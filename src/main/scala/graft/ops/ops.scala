@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Numeric conventions shared by engine operators and their DuckDB oracles.
+  *
+  * Sums of doubles are order-dependent in IEEE arithmetic, so a distributed
+  * sum and a single-threaded oracle sum can differ by far more than any
+  * "round to k places" tolerance at 100 TB row counts. We therefore
+  * accumulate through exact decimals (order-independent) and cast the exact
+  * result back to double — bit-identical on any executor count/plan shape.
+  */
+object Num {
+  /** Order-independent sum of a double column (exact decimal accumulate). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+
+  /** Order-independent mean. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Sample variance from exact sums: (n*Sxx - Sx^2) / (n*(n-1)). */
+  def dvarSamp(c: Column): Column = {
+    val n = count(c).cast("double")
+    (n * dsum(c * c) - dsum(c) * dsum(c)) / (n * (n - lit(1.0)))
+  }
+
+  def dstddevSamp(c: Column): Column = sqrt(dvarSamp(c))
+
+  /** Pearson correlation from exact sums (deterministic across plans). */
+  def dcorr(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val num = n * dsum(x * y) - dsum(x) * dsum(y)
+    val den = sqrt(n * dsum(x * x) - dsum(x) * dsum(x)) *
+      sqrt(n * dsum(y * y) - dsum(y) * dsum(y))
+    num / den
+  }
+}
+
+/** Relational operators from the reference's pandas surface (SURVEY.md §2.2-2.6).
+  * Each is a pure DataFrame→DataFrame function; Catalyst handles pushdown,
+  * pruning and join selection — no manual scheduling.
+  */
+object Relational {
+  import Num._
+
+  /** A2/A3 — `value_counts([normalize=True])`: group count + optional share.
+    * Share uses an empty-frame window; safe because the grouped result has
+    * one row per distinct value (small by construction).
+    * Ref: final-assignment/experiments/target_eda.py:29-30. */
+  def valueCounts(df: DataFrame, c: String, normalize: Boolean = false): DataFrame = {
+    val counts = df.groupBy(c).agg(count(lit(1)).as("count"))
+    val out =
+      if (normalize)
+        counts.withColumn(
+          "pct", col("count") / sum("count").over(Window.partitionBy()) * 100.0)
+      else counts
+    out.orderBy(col(c))
+  }
+
+  /** A4 — `pd.crosstab(a, b)` with an explicit pivot domain (skips the extra
+    * distinct-values job Spark would otherwise run; mandatory at scale).
+    * Ref: final-assignment/experiments/target_eda.py:39-43. */
+  def crosstab(df: DataFrame, rowCol: String, colCol: String,
+               colValues: Seq[String]): DataFrame =
+    df.groupBy(rowCol).pivot(colCol, colValues).agg(count(lit(1)))
+      .na.fill(0).orderBy(rowCol)
+
+  /** A5 — crosstab with normalize='index' (row shares).
+    * Ref: target_eda.py:49-53. */
+  def crosstabRowShare(df: DataFrame, rowCols: Seq[String], colCol: String,
+                       colValues: Seq[String]): DataFrame = {
+    val counted = df.groupBy(rowCols.map(col): _*)
+      .pivot(colCol, colValues).agg(count(lit(1))).na.fill(0)
+    val total = colValues.map(v => col(v)).reduce(_ + _)
+    val shares = colValues.map(v => (col(v) / total).as(v))
+    counted.select(rowCols.map(col) ++ shares: _*).orderBy(rowCols.map(col): _*)
+  }
+
+  /** A6 — pivot_table(index, columns, values, aggfunc=mean).
+    * Ref: wine-classification-dacon nb 11 cell 47. */
+  def pivotTable(df: DataFrame, index: String, columns: String,
+                 colValues: Seq[String], values: Column): DataFrame =
+    df.groupBy(index).pivot(columns, colValues).agg(values).orderBy(index)
+
+  /** A7 — melt/unpivot. Ref: cross-validation/wine_analysis.py:188-189. */
+  def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+           varName: String = "variable", valueName: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray,
+      valueCols.map(c => col(c).cast("double")).toArray, varName, valueName)
+
+  /** A9 — per-column null rate in ONE aggregate pass (no per-column jobs).
+    * Ref: 1-1.data_processing.ipynb cell 11. */
+  def nullRates(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c =>
+      avg(when(col(c).isNull, 1.0).otherwise(0.0)).as(c))
+    df.agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array.empty[Column], cols.map(col).toArray, "col_name", "null_rate")
+  }
+
+  /** A10 — per-row null count across columns. Ref: 1-1 nb cell 10. */
+  def rowNullCount(cols: Seq[String]): Column =
+    cols.map(c => when(col(c).isNull, 1).otherwise(0)).reduce(_ + _)
+
+  /** A11 — drop columns above a null-rate threshold. Only the per-column
+    * rates (one row per column) ever reach the driver. Ref: 1-1 nb cell 11. */
+  def dropMostlyNullCols(df: DataFrame, cols: Seq[String], threshold: Double): DataFrame = {
+    val rates = nullRates(df, cols).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dropped = cols.filter(c => rates(c) >= threshold)
+    df.drop(dropped: _*)
+  }
+
+  /** J4/U1 — vertical concat over the intersection of columns, ordered by
+    * the RIGHT frame's column order (reference orders by df23).
+    * Ref: 1-1.data_processing.ipynb cell 4. */
+  def unionOnCommonColumns(a: DataFrame, b: DataFrame): DataFrame = {
+    val common = b.columns.filter(a.columns.toSet)
+    a.select(common.map(col): _*).unionByName(b.select(common.map(col): _*))
+  }
+}
+
+/** Row-level cleaning operators (SURVEY.md §2.2 P8-P17). All are Column
+  * combinators — they stay inside whole-stage codegen. */
+object Cleaning {
+
+  /** P8/P15 — threshold binarize (`(x > t).astype(int)`).
+    * Ref: 1-2.labeling_XYdataset.ipynb cell 3; src/utils/metrics.py:13. */
+  def binarize(c: Column, threshold: Double, strict: Boolean = false): Column =
+    when(if (strict) c > threshold else c >= threshold, 1).otherwise(0)
+
+  /** P9 — dict decode (`Series.map({...})`). Ref: iris_analysis.ipynb cell 0. */
+  def decode[K](c: Column, mapping: Map[K, String]): Column =
+    mapping.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(c === lit(k), lit(v)).otherwise(acc)
+    }
+
+  /** P10 — sentinel rewrite from a codebook: some codes become -1
+    * (not-applicable), some become null (unknown).
+    * Ref: 1-1.data_processing.ipynb cell 6. */
+  def rewriteSentinels(c: Column, toMinusOne: Seq[Double], toNull: Seq[Double]): Column = {
+    val base = if (toNull.nonEmpty) when(c.isin(toNull: _*), lit(null)) else when(lit(false), lit(null))
+    val withNa = if (toMinusOne.nonEmpty) base.when(c.isin(toMinusOne: _*), lit(-1.0)) else base
+    withNa.otherwise(c)
+  }
+
+  /** P16 — clip. Ref: src/ensemble/alternative.py:212. */
+  def clip(c: Column, lo: Double, hi: Double): Column =
+    least(greatest(c, lit(lo)), lit(hi))
+
+  /** P17 — pd.cut: half-open (lo, hi] bins with labels, like pandas default.
+    * Ref: target_eda.py:48. */
+  def cut(c: Column, bins: Seq[Double], labels: Seq[String]): Column = {
+    require(bins.size == labels.size + 1)
+    labels.zipWithIndex.foldLeft(lit(null).cast("string")) { case (acc, (lbl, i)) =>
+      when(c > bins(i) && c <= bins(i + 1), lit(lbl)).otherwise(acc)
+    }
+  }
+}
+
+/** Ranking / window operators (SURVEY.md §2.5). */
+object Ranking {
+
+  /** W2 — global top-k with a deterministic tiebreak. */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** W6/W8 — top-n rows per group (row_number window, no global sort). */
+  def topNPerGroup(df: DataFrame, partCols: Seq[String], order: Seq[Column],
+                   n: Int, rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+
+  /** A12 — deterministic grouped mode: most frequent value, ties broken by
+    * smallest value (stable across engines, unlike `mode()`).
+    * Ref: legacy/modeling.py:116-119. */
+  def modePerGroup(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val counted = df.filter(col(valueCol).isNotNull)
+      .groupBy((keyCols :+ valueCol).map(col): _*).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("cnt").desc, col(valueCol).asc)
+    counted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select((keyCols :+ valueCol).map(col): _*)
+  }
+}

@@ -1,0 +1,160 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`), for the `embeddings` table (vec_id, embedding, label).
+  *
+  * Two numeric paths:
+  *  - `dot`/`cosine`: sequential fold over the array in codegen — the fast
+  *    path for ranking (single deterministic left-to-right order).
+  *  - `dotExact`/`cosineExact`: per-element products accumulated through
+  *    exact decimals — order-independent, bit-identical to any oracle that
+  *    also sums exactly. Used by the verification queries.
+  */
+object Similarity {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(27, 18))
+
+  /** Sequential-fold dot product (fast path; stays in whole-stage codegen). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Order-independent exact-decimal dot product. Products are exact in
+    * decimal(27,18) when inputs are float32 (≤9 significant decimal digits
+    * each); the decimal sum is exact, and only the final cast rounds. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => dec(x.cast("double")) * dec(y.cast("double"))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)),
+      (acc, v) => acc + v.cast(DecimalType(38, 18))).cast("double")
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def cosineExact(a: Column, b: Column): Column =
+    dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b)))
+
+  /** Brute-force top-k cosine neighbors for each query vector: broadcast
+    * the (small) query set against the corpus, window top-k per query.
+    * This is the exact baseline; 100 TB plan = broadcast-nested-loop with
+    * map-side top-k (no shuffle of the corpus), then a k·|queries| shuffle.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     exact: Boolean = false): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val cos = if (exact) cosineExact(col("__qv"), col(vecCol))
+              else cosine(col("__qv"), col(vecCol))
+    val scored = corpus.join(q, col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), cos.as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * md5-derived uniform in [-0.5, 0.5). Reproducible everywhere, no RNG
+    * state to ship. */
+  private def planeComponent(p: Column, d: Column, seed: Int): Column =
+    (conv(substring(md5(concat_ws(":", lit(seed), p, d)), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)) - 0.5
+
+  /** Random-hyperplane LSH signature: bit p = sign(v · plane_p). Buckets of
+    * equal signature hold vectors with high cosine; probing only the bucket
+    * turns ANN into a shuffle-on-short-key join — the scale path. */
+  def hyperplaneSignature(vec: Column, nPlanes: Int, seed: Int = 42): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+        when(aggregate(
+          zip_with(vec, sequence(lit(1), size(vec)),
+            (x, d) => x.cast("double") * planeComponent(p, d, seed)),
+          lit(0.0), (acc, v) => acc + v) > 0,
+          pow(lit(2.0), p).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** LSH-bucketed ANN: join query and corpus on the hyperplane bucket, then
+    * exact cosine + top-k within the candidates. Recall grows with fewer
+    * planes / multiple probe tables; `nTables` OR-amplifies. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 8, nTables: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = explode(sequence(lit(0), lit(nTables - 1))).as("__t")
+    def sig(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs), tables)
+        .withColumn("__bucket", concat_ws(":", col("__t"),
+          hyperplaneSignature(col(vecAs), nPlanes, seed = 42 + 1000)))
+    val c = sig(corpus, "neighbor_id", "__cv")
+    val q = sig(queries, "query_id", "__qv")
+    val cands = c.join(q, Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked
+    * (never n² at scale); exact-cosine verified. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+                         nPlanes: Int = 6, nTables: Int = 6,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = explode(sequence(lit(0), lit(nTables - 1))).as("__t")
+    val sigs = df.select(col(idCol), col(vecCol), tables)
+      .withColumn("__bucket", concat_ws(":", col("__t"),
+        hyperplaneSignature(col(vecCol), nPlanes, seed = 77)))
+    val l = sigs.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = sigs.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(r, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** IVF-style ANN: k-means-lite centroids picked as md5-pseudo-random
+    * corpus rows (deterministic), vectors assigned to nearest centroid
+    * (one narrow pass), queries probe `nProbe` nearest centroids. The
+    * centroid set is tiny → broadcast; the corpus shuffles once on
+    * centroid id, giving co-partitioned probe joins at scale. */
+  def ivfIndex(corpus: DataFrame, nCentroids: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    // Deterministic "sample": smallest nCentroids md5(vec_id) values.
+    val w = Window.orderBy(md5(col(idCol).cast("string")))
+    val centroids = corpus.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nCentroids)
+      .select(col("__rn").as("centroid_id"), col(vecCol).as("centroid"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__d", cosine(col(vecCol), col("centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("__d").desc, col("centroid_id"))))
+      .filter(col("__r") === 1)
+      .select(col("centroid_id"), col(idCol), col(vecCol))
+    (centroids, assigned)
+  }
+
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+              k: Int, nProbe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qc = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id").orderBy(cosine(col("__qv"), col("centroid")).desc,
+          col("centroid_id"))))
+      .filter(col("__r") <= nProbe)
+      .select(col("centroid_id"), col("query_id"), col("__qv"))
+    val cands = assigned.join(qc, Seq("centroid_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col("__qv"), col(vecCol)).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,326 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Num._
+
+/** Rank machinery shared by the rank-based tests (Spearman, Wilcoxon,
+  * Mann-Whitney, Kruskal-Wallis — SURVEY.md §2.10 T8, T11-T13).
+  *
+  * Scale design: ranks are computed on the per-DISTINCT-VALUE relation
+  * (groupBy value → counts, then a cumulative window over that small
+  * relation), never by sorting the raw rows through a single-partition
+  * window. At 100 TB the distinct-value relation is what fits; midranks
+  * (average ranks for ties) come out exactly right by construction.
+  */
+object Ranks {
+
+  /** Per distinct value of `v`: `cnt` and 1-based midrank `avg_rank`,
+    * plus caller-supplied extra aggregates (e.g. positives per value). */
+  def byValue(df: DataFrame, v: String, extraAggs: Seq[Column] = Nil): DataFrame = {
+    val counts = df.filter(col(v).isNotNull)
+      .groupBy(col(v))
+      .agg(count(lit(1)).as("cnt"), extraAggs: _*)
+    val w = Window.orderBy(col(v)).rowsBetween(Window.unboundedPreceding, -1)
+    counts.withColumn(
+      "avg_rank",
+      coalesce(sum("cnt").over(w), lit(0L)).cast("double") + (col("cnt") + lit(1)) / 2.0)
+  }
+
+  /** Tie-correction term Σ(τ³−τ) over tie groups of `v`. */
+  def tieTerm(rankedByValue: DataFrame): Column =
+    sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).cast("double")
+}
+
+/** Classification metrics (SURVEY.md §2.10 T1-T7). All are single
+  * aggregation passes; nothing collects row data to the driver.
+  * Ref: final-assignment/src/utils/metrics.py:11-22,
+  * teamProject/utils/evaluation.py:10-51. */
+object Metrics {
+
+  /** T6 — confusion matrix as a (label, pred, n) relation.
+    * Ref: teamProject/utils/evaluation.py:90-92. */
+  def confusionMatrix(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    df.groupBy(col(labelCol), col(predCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col(labelCol), col(predCol))
+
+  /** Binary confusion counts in ONE pass (labels/preds in {0,1}). */
+  def binaryCounts(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val l = col(labelCol); val p = col(predCol)
+    df.agg(
+      sum(when(l === 1 && p === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(l === 0 && p === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(l === 1 && p === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(l === 0 && p === 0, 1L).otherwise(0L)).as("tn"))
+  }
+
+  /** T1/T4 — precision / recall / F1 / accuracy from one counting pass.
+    * Ref: final-assignment/src/utils/metrics.py:11-17. */
+  def binaryMetrics(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val c = binaryCounts(df, labelCol, predCol)
+    val tp = col("tp").cast("double"); val fp = col("fp").cast("double")
+    val fn = col("fn").cast("double"); val tn = col("tn").cast("double")
+    c.select(
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      (tp / (tp + fp)).as("precision"),
+      (tp / (tp + fn)).as("recall"),
+      (lit(2.0) * tp / (lit(2.0) * tp + fp + fn)).as("f1"),
+      ((tp + tn) / (tp + fp + fn + tn)).as("accuracy"))
+  }
+
+  /** T2 — per-class F1 + macro-F1 over the union of observed classes
+    * (sklearn `f1_score(average='macro')` semantics: a class with no
+    * predictions and no labels does not appear; zero-division → 0).
+    * Ref: teamProject/utils/evaluation.py:10-51. */
+  def perClassF1(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cm = df.groupBy(col(labelCol).as("l"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+    val classes = cm.select(col("l").as("cls")).union(cm.select(col("p").as("cls"))).distinct()
+    val tp = cm.filter(col("l") === col("p")).select(col("l").as("cls"), col("n").as("tp"))
+    val labelTot = cm.groupBy(col("l").as("cls")).agg(sum("n").as("n_label"))
+    val predTot = cm.groupBy(col("p").as("cls")).agg(sum("n").as("n_pred"))
+    classes
+      .join(tp, Seq("cls"), "left").join(labelTot, Seq("cls"), "left")
+      .join(predTot, Seq("cls"), "left")
+      .na.fill(0L, Seq("tp", "n_label", "n_pred"))
+      .select(
+        col("cls"),
+        col("tp"), col("n_label"), col("n_pred"),
+        when(col("n_label") + col("n_pred") === 0, 0.0)
+          .otherwise(lit(2.0) * col("tp") / (col("n_label") + col("n_pred"))).as("f1"))
+      .orderBy("cls")
+  }
+
+  def macroF1(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    perClassF1(df, labelCol, predCol).agg(avg("f1").as("macro_f1"))
+
+  /** T3 — exact AUROC by the Mann-Whitney rank statistic, computed on the
+    * per-distinct-score relation (midranks handle ties exactly; no global
+    * row sort). AUC = (ΣR₊ − n₊(n₊+1)/2) / (n₊·n₋).
+    * Ref: final-assignment/src/utils/metrics.py:16. */
+  def auroc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val ranked = Ranks.byValue(
+      df.select(col(scoreCol), col(labelCol).cast("long").as("__lbl")),
+      scoreCol,
+      Seq(sum(col("__lbl")).as("pos")))
+    ranked.agg(
+      dsum(col("pos") * col("avg_rank")).as("sum_pos_rank"),
+      sum(col("pos")).cast("double").as("n_pos"),
+      sum(col("cnt") - col("pos")).cast("double").as("n_neg")
+    ).select(
+      ((col("sum_pos_rank") - col("n_pos") * (col("n_pos") + 1) / 2.0)
+        / (col("n_pos") * col("n_neg"))).as("auroc"))
+  }
+
+  /** T5 — the reference's combined score (F1 + AUROC) / 2.
+    * Ref: final-assignment/src/utils/metrics.py:20-22. */
+  def combinedScore(df: DataFrame, labelCol: String, scoreCol: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val withPred = df.withColumn("__pred",
+      when(col(scoreCol) >= threshold, 1).otherwise(0))
+    val f1 = binaryMetrics(withPred, labelCol, "__pred").select("f1")
+    val auc = auroc(df, labelCol, scoreCol)
+    f1.crossJoin(auc).select(
+      col("f1"), col("auroc"), ((col("f1") + col("auroc")) / 2.0).as("score"))
+  }
+}
+
+/** Statistical hypothesis tests (SURVEY.md §2.10 T8-T14). Each returns the
+  * test statistic(s) as a 1-row DataFrame from pure aggregation; p-values
+  * (which need distribution CDFs) are provided by [[PValues]] on the
+  * collected scalars — the only driver-side step, O(1) data. */
+object Tests {
+
+  /** T9 — Welch two-sample t-test of `valueCol` between groups g1, g2 of
+    * `groupCol`. Returns means, t statistic and Welch-Satterthwaite df.
+    * Ref: final-assignment/experiments/train_test_comparison.py:94. */
+  def welchT(df: DataFrame, valueCol: String, groupCol: String,
+             g1: String, g2: String): DataFrame = {
+    val v = col(valueCol)
+    def side(g: String, suffix: String) =
+      df.filter(col(groupCol) === g && v.isNotNull).agg(
+        count(v).cast("double").as("n" + suffix),
+        davg(v).as("mean" + suffix),
+        dvarSamp(v).as("var" + suffix))
+    side(g1, "1").crossJoin(side(g2, "2")).select(
+      col("n1"), col("mean1"), col("n2"), col("mean2"),
+      ((col("mean1") - col("mean2")) /
+        sqrt(col("var1") / col("n1") + col("var2") / col("n2"))).as("t"),
+      (pow(col("var1") / col("n1") + col("var2") / col("n2"), 2.0) /
+        (pow(col("var1") / col("n1"), 2.0) / (col("n1") - 1) +
+         pow(col("var2") / col("n2"), 2.0) / (col("n2") - 1))).as("df"))
+  }
+
+  /** T9 — paired t-test on a per-row difference column. */
+  def pairedT(df: DataFrame, diffCol: String): DataFrame = {
+    val d = col(diffCol)
+    df.filter(d.isNotNull).agg(
+      count(d).cast("double").as("n"), davg(d).as("mean_diff"),
+      dvarSamp(d).as("var_diff")
+    ).select(
+      col("n"), col("mean_diff"),
+      (col("mean_diff") / sqrt(col("var_diff") / col("n"))).as("t"),
+      (col("n") - 1).as("df"))
+  }
+
+  /** T10 — chi-squared test of independence on the a×b contingency table.
+    * One counting pass; margins by broadcast-joinable small relations.
+    * Ref: final-assignment/experiments/train_test_comparison.py:53-56. */
+  def chi2(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = obs.groupBy("a").agg(sum("n").as("row_n"))
+    val colT = obs.groupBy("b").agg(sum("n").as("col_n"))
+    val total = obs.agg(sum("n").as("tot_n"))
+    // The full a×b grid (zeros included): expected counts exist for empty cells.
+    val grid = rowT.crossJoin(colT).crossJoin(total)
+      .join(obs, Seq("a", "b"), "left").na.fill(0L, Seq("n"))
+    val expected = col("row_n") * col("col_n") / col("tot_n").cast("double")
+    grid.agg(
+      sum(pow(col("n") - expected, 2.0) / expected).as("chi2"),
+      ((countDistinct("a") - 1) * (countDistinct("b") - 1)).cast("long").as("dof"))
+  }
+
+  /** T8 — Spearman rank correlation: Pearson over midranks. Ranks come from
+    * the distinct-value relation of each variable, joined back — no
+    * single-partition row sort. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val rx = Ranks.byValue(base, xCol).select(col(xCol), col("avg_rank").as("rx"))
+    val ry = Ranks.byValue(base, yCol).select(col(yCol), col("avg_rank").as("ry"))
+    base.join(rx, Seq(xCol)).join(ry, Seq(yCol))
+      .agg(dcorr(col("rx"), col("ry")).as("rho"))
+  }
+
+  /** T12 — Mann-Whitney U of `valueCol` between g1 and g2 (two-sided z with
+    * tie correction). U₁ = R₁ − n₁(n₁+1)/2 over pooled midranks.
+    * Ref: iris Statistical_test_iris_analysis.ipynb cell 1. */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+                   g1: String, g2: String): DataFrame = {
+    val pool = df.filter(col(groupCol).isin(g1, g2) && col(valueCol).isNotNull)
+      .select(col(valueCol), when(col(groupCol) === g1, 1L).otherwise(0L).as("__g1"))
+    val ranked = Ranks.byValue(pool, valueCol, Seq(sum("__g1").as("n_g1_at")))
+    ranked.agg(
+      dsum(col("n_g1_at") * col("avg_rank")).as("r1"),
+      sum("n_g1_at").cast("double").as("n1"),
+      sum(col("cnt") - col("n_g1_at")).cast("double").as("n2"),
+      Ranks.tieTerm(ranked).as("tie")
+    ).select(
+      (col("r1") - col("n1") * (col("n1") + 1) / 2.0).as("u1"),
+      col("n1"), col("n2"),
+      // z with tie-corrected variance (normal approximation)
+      ((col("r1") - col("n1") * (col("n1") + 1) / 2.0) - col("n1") * col("n2") / 2.0)
+        .as("u_centered"),
+      sqrt(col("n1") * col("n2") / 12.0 *
+        ((col("n1") + col("n2") + 1) -
+          col("tie") / ((col("n1") + col("n2")) * (col("n1") + col("n2") - 1))))
+        .as("sigma"))
+      .withColumn("z", col("u_centered") / col("sigma"))
+      .select(col("u1"), col("n1"), col("n2"), col("z"))
+  }
+
+  /** T11 — Wilcoxon signed-rank on a difference column: W⁺, W⁻, n (nonzero
+    * pairs), z (normal approximation with tie correction; zeros dropped,
+    * scipy `wilcoxon(..., zero_method='wilcox')` convention).
+    * Ref: cross-validation/wine_analysis.py:151. */
+  def wilcoxonSignedRank(df: DataFrame, diffCol: String): DataFrame = {
+    val d = col(diffCol)
+    val nz = df.filter(d.isNotNull && d =!= 0)
+      .select(abs(d).as("absd"), when(d > 0, 1L).otherwise(0L).as("pos"))
+    val ranked = Ranks.byValue(nz, "absd", Seq(sum("pos").as("n_pos_at")))
+    ranked.agg(
+      dsum(col("n_pos_at") * col("avg_rank")).as("w_plus"),
+      sum(col("cnt")).cast("double").as("n"),
+      dsum((col("cnt") - col("n_pos_at")) * col("avg_rank")).as("w_minus"),
+      Ranks.tieTerm(ranked).as("tie")
+    ).select(
+      col("w_plus"), col("w_minus"), col("n"),
+      ((col("w_plus") - col("n") * (col("n") + 1) / 4.0) /
+        sqrt(col("n") * (col("n") + 1) * (col("n") * 2 + 1) / 24.0
+          - col("tie") / 48.0)).as("z"))
+  }
+
+  /** T13 — Kruskal-Wallis H across the groups of `groupCol` (tie-corrected).
+    * H = [12/(N(N+1)) Σ R_g²/n_g − 3(N+1)] / (1 − Σ(τ³−τ)/(N³−N)).
+    * Ref: wine nb 11 cell 50; iris stat nb cell 3. */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+    val ranked = Ranks.byValue(base, valueCol)
+      .select(col(valueCol), col("avg_rank"), col("cnt"))
+    val tie = ranked.agg(Ranks.tieTerm(ranked).as("tie"), sum("cnt").as("n_tot"))
+    val perGroup = base.join(ranked.drop("cnt"), Seq(valueCol))
+      .groupBy(groupCol)
+      .agg(dsum(col("avg_rank")).as("r_g"), count(lit(1)).cast("double").as("n_g"))
+    perGroup.agg(
+      sum(col("r_g") * col("r_g") / col("n_g")).as("sum_r2n"),
+      countDistinct(groupCol).cast("long").as("k")
+    ).crossJoin(tie).select(
+      ((lit(12.0) / (col("n_tot") * (col("n_tot") + 1)) * col("sum_r2n")
+        - (col("n_tot") + 1) * 3.0) /
+        (lit(1.0) - col("tie") /
+          (col("n_tot") * col("n_tot") * col("n_tot") - col("n_tot")).cast("double")))
+        .as("h"),
+      (col("k") - 1).as("dof"))
+  }
+
+  /** T13 — one-way ANOVA F over the groups of `groupCol`.
+    * Ref: wine nb 11 cell 50 (`f_oneway`). */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val v = col(valueCol)
+    val g = df.filter(v.isNotNull).groupBy(groupCol)
+      .agg(count(v).cast("double").as("n_g"), dsum(v).as("s_g"), dsum(v * v).as("ss_g"))
+    g.agg(
+      sum("n_g").as("n"), sum("s_g").as("s"), sum("ss_g").as("ss"),
+      sum(col("s_g") * col("s_g") / col("n_g")).as("sum_gm"),
+      count(lit(1)).cast("double").as("k")
+    ).select(
+      (((col("sum_gm") - col("s") * col("s") / col("n")) / (col("k") - 1)) /
+        ((col("ss") - col("sum_gm")) / (col("n") - col("k")))).as("f"),
+      (col("k") - 1).cast("long").as("df1"),
+      (col("n") - col("k")).cast("long").as("df2"))
+  }
+}
+
+/** Driver-side p-value helpers over the collected 1-row statistics — O(1)
+  * data, plain Scala math (no external dependency; Abramowitz & Stegun
+  * approximations, same formulas scipy uses asymptotically). */
+object PValues {
+
+  /** Standard normal CDF via A&S 7.1.26 erf approximation (|ε| < 1.5e-7). */
+  def normalCdf(z: Double): Double = {
+    val x = z / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+    val poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+      t * (-1.453152027 + t * 1.061405429))))
+    val erf = 1.0 - poly * math.exp(-x * x)
+    0.5 * (1.0 + math.signum(x) * erf)
+  }
+
+  def twoSidedFromZ(z: Double): Double = 2.0 * (1.0 - normalCdf(math.abs(z)))
+  def oneSidedGreaterFromZ(z: Double): Double = 1.0 - normalCdf(z)
+
+  /** Student-t two-sided p via the normal-scale transform of Hill (1970)
+    * adequate for df ≥ 5 (reference tests all have df ≫ 5); exact at ∞. */
+  def twoSidedFromT(t: Double, df: Double): Double = {
+    // Cornish-Fisher style conversion t → z
+    val a = df - 0.5
+    val b = 48.0 * a * a
+    val z0 = math.sqrt(a * math.log1p(t * t / df))
+    val z = z0 + (z0 * z0 * z0 + 3 * z0) / b
+    twoSidedFromZ(z)
+  }
+
+  /** Chi-squared upper-tail p via Wilson-Hilferty cube-root normality. */
+  def chi2Sf(x: Double, dof: Double): Double = {
+    if (x <= 0) return 1.0
+    val z = (math.cbrt(x / dof) - (1.0 - 2.0 / (9.0 * dof))) /
+      math.sqrt(2.0 / (9.0 * dof))
+    1.0 - normalCdf(z)
+  }
+
+  /** Significance stars as in the reference's plots (T14).
+    * Ref: cross-validation/wine_analysis.py:296-303. */
+  def stars(p: Double): String =
+    if (p < 0.001) "***" else if (p < 0.01) "**" else if (p < 0.05) "*" else "ns"
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Event-time windowed aggregation over the `events` table
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The same transform functions run in BATCH (verifiable against a SQL
+  * oracle) and in STRUCTURED STREAMING (`readStream` + watermark): the
+  * `window`/`session_window` operators are identical in both modes, which
+  * is exactly how the engine should be validated — batch for correctness,
+  * streaming for the incremental path.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.11); this module is
+  * the engine's extension for the `events` stream table.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window counts/sums per event_type. */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding event-time windows (width, slide). */
+  def slidingAgg(events: DataFrame, width: String = "2 hours",
+                 slide: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows per user with an inactivity gap. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** JSON props extraction (events.props is a JSON string). */
+  def withPropsField(events: DataFrame, field: String, as: String): DataFrame =
+    events.withColumn(as, get_json_object(col("props"), s"$$.$field").cast("long"))
+
+  /** Streaming variant: watermarked tumbling aggregation ready for
+    * `writeStream`. Late data beyond the watermark is dropped — state stays
+    * bounded, the requirement for an unbounded 100 TB/day stream. */
+  def streamingTumblingAgg(stream: DataFrame, width: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** Wire a streaming aggregation to an in-memory sink (demo/test). */
+  def toMemorySink(df: DataFrame, queryName: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+}

@@ -1,0 +1,233 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over the
+  * `documents` table (doc_id, text, lang, source, n_chars). All are Column
+  * combinators (whole-stage-codegen friendly) or shuffle-on-key relational
+  * plans; nothing touches the driver.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the baseline token counter). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword-aware token split: words, numbers, and single
+    * punctuation marks each count (a practical proxy for BPE token counts
+    * without a vocab file). */
+  def bpeishTokens(text: Column): Column = {
+    // split on word boundaries, keep punctuation as tokens, drop empties
+    filter(split(text, "(?<=\\W)|(?=\\W)"), t => trim(t) =!= "")
+  }
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Quality-score features: length, token stats, punctuation/alpha/digit
+    * ratios, stopword ratio, mean word length — the usual pre-training
+    * corpus filters (C4/Gopher-style heuristics). */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "this", "was", "are")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(stopwords: _*))) / size(toks).cast("double")
+  }
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))) /
+      length(text).cast("double")
+
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")) / length(text).cast("double")
+
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+  }
+
+  /** Composite quality features frame for the documents table. */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t).cast("long"))
+      .withColumn("n_unique_tokens", uniqueTokenCount(t).cast("long"))
+      .withColumn("mean_word_len", meanWordLength(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("alpha_ratio", alphaRatio(t))
+  }
+
+  /** Language ID by stopword-profile hit ratio (n-gram/lexicon heuristic):
+    * score(lang) = |tokens ∩ profile(lang)| / |tokens|; argmax wins,
+    * deterministic tie-break on language code. Profiles are tiny and ship
+    * broadcast inside the generated expression. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that", "for", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "von", "ist", "des", "ein", "mit"),
+    "zh" -> Seq("de", "shi", "le", "zai", "wo", "you", "ta", "zhe", "men", "bu"))
+
+  def langScores(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> (size(filter(toks, t => t.isin(words: _*))) / size(toks).cast("double"))
+    }
+  }
+
+  /** Predicted language = argmax of profile scores (ties → first code). */
+  def langId(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Column = {
+    val scores = langScores(text, profiles)
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprints. `contentFingerprint` is order-sensitive
+    * (normalized text hash); `shingleFingerprint` is order-insensitive
+    * (bag-of-distinct-tokens hash) — catches token-reordered copies. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  def contentFingerprint(text: Column): Column = md5(normalizeText(text))
+
+  def shingleFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(normalizeText(text))))))
+
+  /** n-token shingles (overlapping n-grams of the token stream). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(normalizeText(text))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact Jaccard similarity of the distinct n-gram shingle sets. */
+  def jaccardShingles(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(shingles(a, n)); val sb = array_distinct(shingles(b, n))
+    size(array_intersect(sa, sb)) / size(array_union(sa, sb)).cast("double")
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: keep the smallest doc_id per normalized-content
+    * fingerprint. One shuffle on the 128-bit hash — the canonical 100 TB
+    * exact-dedup plan (hash first so the shuffle key is 32 bytes, not the
+    * document text). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__fp", contentFingerprint(col(textCol)))
+    val keep = keyed.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+    keyed.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  /** MinHash signature as an array of `numHashes` md5-derived minima.
+    * Permutation i is "order tokens by md5(i:token)"; the signature entry is
+    * that minimum digest. Pure string ops → reproducible on any engine
+    * (the DuckDB oracle computes the identical signature). */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
+    val sh = array_distinct(shingles(text, shingleN))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit(":"), s)))))
+  }
+
+  /** LSH band keys from a minhash signature: md5 of each band's rows.
+    * Docs sharing any band key are near-dup candidates. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat(b.cast("string"), lit("|"),
+        concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
+
+  /** MinHash+LSH near-duplicate candidate pairs with estimated and exact
+    * Jaccard. Plan shape (the scale path):
+    *   docs → signature (narrow) → explode band keys → shuffle on band key
+    *   → self-join within buckets (only bucket-sized joins, never n²)
+    *   → distinct pairs → exact-verify by shingle Jaccard.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 16, bands: Int = 4,
+                          shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol), col(textCol),
+      minhashSignature(col(textCol), numHashes, shingleN).as("__sig"))
+    val banded = sigs.select(col(idCol), col(textCol), col("__sig"),
+      explode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
+    val left = banded.select(col("__band"), col(idCol).as("id_a"),
+      col(textCol).as("text_a"), col("__sig").as("sig_a"))
+    val right = banded.select(col("__band"), col(idCol).as("id_b"),
+      col(textCol).as("text_b"), col("__sig").as("sig_b"))
+    left.join(right, Seq("__band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
+          .cast("double") / numHashes).as("est_jaccard"),
+        jaccardShingles(col("text_a"), col("text_b"), shingleN).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash (64-bit, as two 32-bit halves to stay in exact Long space):
+    * per distinct token, bit b contributes +1/−1 by md5-derived bit; the
+    * fingerprint sets bit b iff the sum is positive. */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val toks = array_distinct(tokens(normalizeText(text)))
+    // token hash: first 8 hex chars of md5 → 32-bit int space
+    val counts = aggregate(
+      toks,
+      transform(sequence(lit(0), lit(bits - 1)), _ => lit(0L)),
+      (acc, t) => {
+        val h = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+        zip_with(acc, sequence(lit(0), lit(bits - 1)),
+          (a, b) => a + when(
+            pmod((h / pow(lit(2.0), b)).cast("long"), lit(2)) === 1, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(bits - 1)),
+        (c, b) => when(c > 0, pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the fingerprint into `bands` chunks
+    * (pigeonhole: ≤k differing bits ⇒ some chunk equal), shuffle on chunk,
+    * verify by full Hamming distance. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val chunk = bits / bands
+    val mask = (1L << chunk) - 1
+    val sigs = df.select(col(idCol), simhash(col(textCol), bits).as("__sh"))
+    val banded = sigs.select(col(idCol), col("__sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat(b.cast("string"), lit(":"),
+          (col("__sh") / pow(lit(2.0), b * chunk)).cast("long")
+            .bitwiseAND(mask)))).as("__band"))
+    val l = banded.select(col("__band"), col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val r = banded.select(col("__band"), col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    l.join(r, Seq("__band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram-Jaccard near-dup pairs *within small candidate groups* (e.g.
+    * same lang+source): token-sorted-prefix blocking keeps the join from
+    * going n². For unblocked corpora use [[minhashNearDupPairs]]. */
+  def jaccardNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[String], shingleN: Int = 3,
+                          threshold: Double = 0.5): DataFrame = {
+    val l = df.select((blockCols.map(col) :+ col(idCol).as("id_a") :+ col(textCol).as("text_a")): _*)
+    val r = df.select((blockCols.map(col) :+ col(idCol).as("id_b") :+ col(textCol).as("text_b")): _*)
+    l.join(r, blockCols).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardShingles(col("text_a"), col("text_b"), shingleN).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir>
+
+For each query output parquet under <verify_out_dir>/<name>/ and its SQL in
+oracle_sql.json, runs the SQL in DuckDB over the sf tables and compares
+rows / schema / values (exact, after sorting columns by name and rows by all
+columns).
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        pq = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        if not pq:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            sp = con.execute(f"SELECT * FROM '{pq[0]}'").fetchdf()
+            du = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        sp = sp.reindex(sorted(sp.columns), axis=1)
+        du = du.reindex(sorted(du.columns), axis=1)
+        problems = []
+        if list(sp.columns) != list(du.columns):
+            problems.append(f"schema: spark={list(sp.columns)} duck={list(du.columns)}")
+        elif len(sp) != len(du):
+            problems.append(f"rows: spark={len(sp)} duck={len(du)}")
+        else:
+            sp2 = sp.sort_values(by=list(sp.columns)).reset_index(drop=True)
+            du2 = du.sort_values(by=list(du.columns)).reset_index(drop=True)
+            for c in sp.columns:
+                a, b = sp2[c], du2[c]
+                try:
+                    b = b.astype(a.dtype)
+                except Exception:
+                    problems.append(f"dtype {c}: {a.dtype} vs {b.dtype}")
+                    continue
+                neq = ~((a == b) | (a.isna() & b.isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    problems.append(
+                        f"value {c}@row{i}: spark={a[i]!r} duck={b[i]!r} "
+                        f"(n_mismatch={int(neq.sum())})")
+                if str(sp2[c].dtype) != str(du2[c].dtype):
+                    problems.append(f"dtype-warn {c}: {sp2[c].dtype} vs {du2[c].dtype}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems[:4]))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sp)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
