@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types.LongType
 
 /** Catalog over a driver-provided scale-factor directory of parquet tables
@@ -27,7 +27,7 @@ object Tables {
     // the generator emits microsecond-resolution values).
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }

@@ -14,8 +14,17 @@ import org.apache.spark.sql.types._
   * result back to double — bit-identical on any executor count/plan shape.
   */
 object Num {
-  /** Order-independent sum of a double column (exact decimal accumulate). */
+  /** Order-independent sum of a double column (exact decimal accumulate).
+    *
+    * Cross-engine caveat: some engines (DuckDB) implement double→decimal
+    * casts via a double multiply by 10^scale, which is only exact while
+    * |v|·10^scale < 2^53 (≈ |v| < 9e9 at scale 6). Keep per-row inputs
+    * below that — normalize large intermediate terms before accumulating
+    * (see stats.Tests.kruskalWallis for the pattern). */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+
+  /** Higher-precision variant for small-magnitude values (dot products). */
+  def dsum12(c: Column): Column = sum(c.cast(DecimalType(30, 12))).cast("double")
 
   /** Order-independent mean. */
   def davg(c: Column): Column = dsum(c) / count(c)

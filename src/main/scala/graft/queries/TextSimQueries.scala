@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Num.dsum12
+import graft.text.TextOps
+import graft.sim.Similarity
+
+/** Training-data pipeline queries: text analysis, dedup family, similarity
+  * search — over `documents` and `embeddings`. SQL-expressible ops carry a
+  * DuckDB oracle (string/list functions mirror the Spark expressions
+  * exactly); the LSH join pipelines are rows-only checked here and
+  * recall-tested in ScalaTest.
+  */
+object TextSimQueries {
+  import Sql._
+
+  // ---- shared SQL fragments -------------------------------------------
+  /** tokens of raw text (whitespace), as in TextOps.tokens. */
+  private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private val toksLowerSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  /** normalized text + its tokens, as in TextOps.normalizeText/tokens. */
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  private val normToksSql = s"""regexp_split_to_array(trim($normSql), '\\s+')"""
+  /** distinct 3-token shingles of normalized text (docs all have ≥3 tokens). */
+  private val shinglesSql =
+    s"""list_distinct(list_transform(range(0, len($normToksSql) - 2),
+       | i -> array_to_string(($normToksSql)[i+1:i+3], ' ')))""".stripMargin
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Text quality features (C4/Gopher-style heuristics), one narrow pass.
+    "q_x_quality" -> ((s, d) =>
+      TextOps.qualityFeatures(Tables(s, d, "documents"))
+        .select("doc_id", "n_chars_m", "n_tokens", "n_unique_tokens",
+          "mean_word_len", "stopword_ratio", "alpha_ratio")
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace + BPE-ish regex tokenizer.
+    "q_x_token_counts" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_ws"),
+        size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    // Language ID by stopword-profile hit ratio.
+    "q_x_lang_id" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // Document fingerprints (order-sensitive + bag-of-words).
+    "q_x_fingerprints" -> ((s, d) =>
+      Tables(s, d, "documents").filter(col("doc_id") < 100).select(
+        col("doc_id"),
+        TextOps.contentFingerprint(col("text")).as("fp_content"),
+        TextOps.shingleFingerprint(col("text")).as("fp_shingle"))
+        .orderBy("doc_id")),
+
+    // Exact dedup over a doubled corpus (proves duplicate rows collapse).
+    "q_x_exact_dedup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      TextOps.exactDedup(docs.unionByName(docs), "doc_id", "text")
+        .agg(count(lit(1)).as("n_unique"), sum("doc_id").as("id_sum"))
+    }),
+
+    // MinHash signatures (md5-permutation minima — engine-reproducible).
+    "q_x_minhash_sigs" -> ((s, d) => {
+      val sig = TextOps.minhashSignature(col("text"), 8, 3)
+      val cols = (0 until 8).map(i => element_at(sig, i + 1).as(s"mh$i"))
+      Tables(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id") +: cols: _*).orderBy("doc_id")
+    }),
+
+    // LSH band keys over the minhash signature (2 bands × 4 rows).
+    "q_x_lsh_bands" -> ((s, d) => {
+      val sig = TextOps.minhashSignature(col("text"), 8, 3)
+      val bands = TextOps.lshBandKeys(sig, 2, 4)
+      Tables(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), element_at(bands, 1).as("band0"),
+          element_at(bands, 2).as("band1"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash fingerprint (16-bit here so the oracle stays tractable).
+    "q_x_simhash" -> ((s, d) =>
+      Tables(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), TextOps.simhash(col("text"), 16).as("simhash"))
+        .orderBy("doc_id")),
+
+    // Exact n-gram Jaccard on consecutive doc pairs.
+    "q_x_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val a = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          TextOps.jaccardShingles(col("text_a"), col("text_b"), 3).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    // MinHash+LSH near-dup pipeline (rows-only; recall tested in ScalaTest).
+    "q_x_minhash_neardup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      TextOps.minhashNearDupPairs(docs.unionByName(
+        docs.select(col("doc_id") + 100000, col("text"), col("lang"),
+          col("source"), col("n_chars")).toDF(docs.columns: _*)),
+        "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pipeline (rows-only).
+    "q_x_simhash_neardup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      TextOps.simhashNearDupPairs(docs.unionByName(
+        docs.select(col("doc_id") + 100000, col("text"), col("lang"),
+          col("source"), col("n_chars")).toDF(docs.columns: _*)),
+        "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force exact cosine top-k (the ANN baseline), decimal-exact.
+    "q_v_knn_brute" -> ((s, d) => knnBruteExact(s, d, k = 5)),
+
+    // Hyperplane-LSH ANN (rows-only; recall vs brute force in ScalaTest).
+    "q_v_lsh_ann" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 5,
+        nPlanes = 4, nTables = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF ANN (rows-only).
+    "q_v_ivf_ann" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val (centroids, assigned) = Similarity.ivfIndex(e, nCentroids = 16)
+      Similarity.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
+        k = 5, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding-cosine near-dup pairs (rows-only).
+    "q_x_embed_neardup" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      Similarity.cosineNearDupPairs(e.unionByName(
+        e.select(col("vec_id") + 100000, col("embedding"), col("label"))
+          .toDF(e.columns: _*)), threshold = 0.999)
+        .orderBy("id_a", "id_b")
+    }))
+
+  /** Exact top-k cosine: products exploded and accumulated through
+    * decimal(30,12) — order-independent, oracle-matched. The fast
+    * (codegen fold) path lives in Similarity.bruteForceTopK. */
+  private def knnBruteExact(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = Tables(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val dots = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(zip_with(col("qv"), col("cv"),
+          (x, y) => x.cast("double") * y.cast("double"))))
+      .groupBy("query_id", "neighbor_id").agg(dsum12(col("col")).as("dot"))
+    val n2 = e.select(col("vec_id"),
+        explode(transform(col("embedding"), x => x.cast("double") * x.cast("double"))).as("p"))
+      .groupBy("vec_id").agg(dsum12(col("p")).as("n2"))
+    val cos = dots
+      .join(n2.select(col("vec_id").as("query_id"), col("n2").as("n2q")), Seq("query_id"))
+      .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("n2c")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("dot") / (sqrt(col("n2q")) * sqrt(col("n2c")))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cos.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_x_quality" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars_m,
+         | CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         | CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_unique_tokens,
+         | CAST(list_sum(list_transform($toksSql, t -> length(t))) AS DOUBLE)
+         |   / len($toksSql) AS mean_word_len,
+         | len(list_filter($toksLowerSql,
+         |   t -> list_contains(${sqlList(TextOps.EnStopwords)}, t)))
+         |   / CAST(len($toksLowerSql) AS DOUBLE) AS stopword_ratio,
+         | length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |   / CAST(length(text) AS DOUBLE) AS alpha_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_x_token_counts" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         |   AS BIGINT) AS n_bpeish
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_x_lang_id" -> {
+      val profs = TextOps.LangProfiles.toSeq.sortBy(_._1)
+      val scoreCols = profs.map { case (lang, words) =>
+        s"""len(list_filter($toksLowerSql, t -> list_contains(${sqlList(words)}, t)))
+           | / CAST(len($toksLowerSql) AS DOUBLE) AS s_$lang""".stripMargin
+      }.mkString(",\n ")
+      val best = profs.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
+      val cases = profs.map { case (lang, _) =>
+        s"WHEN s_$lang = best AND s_$lang > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scoreCols FROM documents),
+         |b AS (SELECT *, $best AS best FROM sc)
+         |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q_x_fingerprints" ->
+      s"""SELECT doc_id, md5($normSql) AS fp_content,
+         | md5(array_to_string(list_sort(list_distinct($normToksSql)), ' '))
+         |   AS fp_shingle
+         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q_x_exact_dedup" ->
+      s"""SELECT COUNT(*) AS n_unique, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM (
+         | SELECT fp, MIN(doc_id) AS doc_id FROM (
+         |  SELECT md5($normSql) AS fp, doc_id FROM
+         |   (SELECT * FROM documents UNION ALL SELECT * FROM documents) u
+         | ) k GROUP BY fp) dedup""".stripMargin,
+
+    "q_x_minhash_sigs" -> {
+      val cols = (0 until 8).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s))) AS mh$i")
+        .mkString(",\n ")
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, $cols FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q_x_lsh_bands" -> {
+      val mh = (0 until 8).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE doc_id < 50),
+         |sig AS (SELECT doc_id, ${mh.mkString("[", ", ", "]")} AS sg FROM t)
+         |SELECT doc_id,
+         | md5('0' || '|' || array_to_string(sg[1:4], ',')) AS band0,
+         | md5('1' || '|' || array_to_string(sg[5:8], ',')) AS band1
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
+
+    "q_x_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($normToksSql)) AS t
+         |  FROM documents WHERE doc_id < 50),
+         |bits AS (SELECT doc_id, b,
+         |  SUM(CASE WHEN ((strpos('0123456789abcdef',
+         |      substr(md5(t), 8 - b // 4, 1)) - 1)
+         |      // CAST(power(2, b % 4) AS INTEGER)) % 2 = 1
+         |    THEN 1 ELSE -1 END) AS c
+         |  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb
+         |  GROUP BY doc_id, b)
+         |SELECT doc_id, CAST(SUM(CASE WHEN c > 0
+         |  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_x_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | len(list_intersect(a.sh, b.sh))
+         |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |WHERE a.doc_id < 100 ORDER BY id_a""".stripMargin,
+
+    "q_v_knn_brute" ->
+      """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+        |    * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS n2
+        |  FROM embeddings, idx GROUP BY vec_id),
+        |dots AS (SELECT q.qid, e.vec_id AS nid,
+        |  CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |    AS DECIMAL(30,12))) AS DOUBLE) AS dot
+        |  FROM q, embeddings e, idx WHERE e.vec_id != q.qid GROUP BY 1, 2),
+        |cos AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |  dot / (SQRT(nq.n2) * SQRT(nc.n2)) AS cosine
+        |  FROM dots JOIN n2 nq ON nq.vec_id = qid JOIN n2 nc ON nc.vec_id = nid)
+        |SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, neighbor_id) AS rn FROM cos) t
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)
+}

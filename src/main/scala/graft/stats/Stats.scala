@@ -93,7 +93,8 @@ object Metrics {
   }
 
   def macroF1(df: DataFrame, labelCol: String, predCol: String): DataFrame =
-    perClassF1(df, labelCol, predCol).agg(avg("f1").as("macro_f1"))
+    // davg (decimal-exact) so the tiny cross-class sum is order-independent
+    perClassF1(df, labelCol, predCol).agg(davg(col("f1")).as("macro_f1"))
 
   /** T3 — exact AUROC by the Mann-Whitney rank statistic, computed on the
     * per-distinct-score relation (midranks handle ties exactly; no global
@@ -147,9 +148,10 @@ object Tests {
       col("n1"), col("mean1"), col("n2"), col("mean2"),
       ((col("mean1") - col("mean2")) /
         sqrt(col("var1") / col("n1") + col("var2") / col("n2"))).as("t"),
-      (pow(col("var1") / col("n1") + col("var2") / col("n2"), 2.0) /
-        (pow(col("var1") / col("n1"), 2.0) / (col("n1") - 1) +
-         pow(col("var2") / col("n2"), 2.0) / (col("n2") - 1))).as("df"))
+      (((col("var1") / col("n1") + col("var2") / col("n2")) *
+        (col("var1") / col("n1") + col("var2") / col("n2"))) /
+        ((col("var1") / col("n1")) * (col("var1") / col("n1")) / (col("n1") - 1) +
+         (col("var2") / col("n2")) * (col("var2") / col("n2")) / (col("n2") - 1))).as("df"))
   }
 
   /** T9 — paired t-test on a per-row difference column. */
@@ -178,7 +180,7 @@ object Tests {
       .join(obs, Seq("a", "b"), "left").na.fill(0L, Seq("n"))
     val expected = col("row_n") * col("col_n") / col("tot_n").cast("double")
     grid.agg(
-      sum(pow(col("n") - expected, 2.0) / expected).as("chi2"),
+      dsum((col("n") - expected) * (col("n") - expected) / expected).as("chi2"),
       ((countDistinct("a") - 1) * (countDistinct("b") - 1)).cast("long").as("dof"))
   }
 
@@ -252,11 +254,15 @@ object Tests {
     val perGroup = base.join(ranked.drop("cnt"), Seq(valueCol))
       .groupBy(groupCol)
       .agg(dsum(col("avg_rank")).as("r_g"), count(lit(1)).cast("double").as("n_g"))
-    perGroup.agg(
-      sum(col("r_g") * col("r_g") / col("n_g")).as("sum_r2n"),
-      countDistinct(groupCol).cast("long").as("k")
-    ).crossJoin(tie).select(
-      ((lit(12.0) / (col("n_tot") * (col("n_tot") + 1)) * col("sum_r2n")
+    // Σ R_g²/n_g is accumulated in NORMALIZED form Σ (R_g/N)(R_g/n_g):
+    // raw R_g² terms overflow the exact range of the decimal accumulation
+    // (see Num), the normalized terms never do. H = 12/(N+1)·S − 3(N+1).
+    perGroup.crossJoin(tie).agg(
+      dsum(col("r_g") / col("n_tot") * (col("r_g") / col("n_g"))).as("s_norm"),
+      count(lit(1)).cast("long").as("k"),
+      max("tie").as("tie"), max("n_tot").as("n_tot")
+    ).select(
+      ((lit(12.0) / (col("n_tot") + 1) * col("s_norm")
         - (col("n_tot") + 1) * 3.0) /
         (lit(1.0) - col("tie") /
           (col("n_tot") * col("n_tot") * col("n_tot") - col("n_tot")).cast("double")))
@@ -271,8 +277,8 @@ object Tests {
     val g = df.filter(v.isNotNull).groupBy(groupCol)
       .agg(count(v).cast("double").as("n_g"), dsum(v).as("s_g"), dsum(v * v).as("ss_g"))
     g.agg(
-      sum("n_g").as("n"), sum("s_g").as("s"), sum("ss_g").as("ss"),
-      sum(col("s_g") * col("s_g") / col("n_g")).as("sum_gm"),
+      sum("n_g").as("n"), dsum(col("s_g")).as("s"), dsum(col("ss_g")).as("ss"),
+      dsum(col("s_g") / col("n_g") * col("s_g")).as("sum_gm"),
       count(lit(1)).cast("double").as("k")
     ).select(
       (((col("sum_gm") - col("s") * col("s") / col("n")) / (col("k") - 1)) /

@@ -17,10 +17,10 @@ object TextOps {
   /** BPE-ish subword-aware token split: words, numbers, and single
     * punctuation marks each count (a practical proxy for BPE token counts
     * without a vocab file). */
-  def bpeishTokens(text: Column): Column = {
-    // split on word boundaries, keep punctuation as tokens, drop empties
-    filter(split(text, "(?<=\\W)|(?=\\W)"), t => trim(t) =!= "")
-  }
+  def bpeishTokens(text: Column): Column =
+    // words / numbers / single punctuation marks (RE2-compatible pattern —
+    // no lookarounds — so the oracle regex is identical)
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))
   def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
@@ -121,8 +121,10 @@ object TextOps {
     * document text). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keyed = df.withColumn("__fp", contentFingerprint(col(textCol)))
-    val keep = keyed.groupBy("__fp").agg(min(col(idCol)).as(idCol))
-    keyed.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
+    // row_number (not semi-join) so true duplicate rows collapse to ONE
+    val w = Window.partitionBy("__fp").orderBy(col(idCol))
+    keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__fp", "__rn")
   }
 
   /** MinHash signature as an array of `numHashes` md5-derived minima.
