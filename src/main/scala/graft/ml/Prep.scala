@@ -73,10 +73,11 @@ object Split {
     * reproducible for a given seed. Ref: src/ensemble/alternative.py:130-139. */
   def bootstrap(df: DataFrame, keyCol: String, ratio: Double = 1.0,
                 seed: Int = 42, nTrials: Int = 8): DataFrame = {
+    val threshold = f"${math.floor(ratio / nTrials * 4294967296.0).toLong}%08x"
     val copies = aggregate(
       transform(sequence(lit(0), lit(nTrials - 1)),
-        d => when(hashUniform(concat_ws("#", col(keyCol), d), seed)
-          < ratio / nTrials, 1).otherwise(0)),
+        d => when(substring(hashKey(concat_ws("#", col(keyCol), d), seed), 1, 8)
+          < threshold, 1).otherwise(0)),
       lit(0), (a, x) => a + x)
     // sequence(1,0) would yield [1,0] (negative step), so guard zero copies
     df.withColumn("__rep",

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Cleaning, Num}
+import graft.ml.{Prep, Split}
+import graft.ensemble.Ensemble
+
+/** Remaining ML-prep operators (scalers, null-gate, corr-prune, bootstrap)
+  * and the ensemble combinator family (SURVEY.md §2.9) as oracle-checked
+  * queries. Ensemble "model predictions" are deterministic arithmetic
+  * transforms of events.value, so every blend is exactly reproducible. */
+object MlQueries {
+  import Num._
+  import Sql._
+
+  /** Three pseudo-model probability columns in [0,1]. */
+  private def preds(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events").select(
+      col("event_id"),
+      (col("value") / 500.0).as("p1"),
+      (col("value") / 500.0 * (col("value") / 500.0)).as("p2"),
+      (lit(1.0) - col("value") / 500.0).as("p3"))
+
+  private val predsSql =
+    """SELECT event_id, value / 500.0 AS p1,
+      | value / 500.0 * (value / 500.0) AS p2,
+      | 1.0 - value / 500.0 AS p3 FROM events""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M2 — robust scaling (median/IQR), exact percentiles.
+    "q_m2_robust_scale" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val fitted = Prep.fitRobustScaler(c, Seq("c_acctbal"))
+      Prep.robustScale(c.select("c_custkey", "c_acctbal"), fitted, Seq("c_acctbal"))
+        .withColumnRenamed("c_acctbal", "z").orderBy("c_custkey")
+    }),
+
+    // M3 — min-max scaling.
+    "q_m3_minmax_scale" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val fitted = Prep.fitMinMaxScaler(c, Seq("c_acctbal"))
+      Prep.minMaxScale(c.select("c_custkey", "c_acctbal"), fitted, Seq("c_acctbal"))
+        .withColumnRenamed("c_acctbal", "z").orderBy("c_custkey")
+    }),
+
+    // A11 — drop-columns-above-null-rate gate; result = surviving columns.
+    "q_a11_null_gate" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables(s, d, "events")
+        .withColumn("v_high", when(col("value") > 50, lit(null)).otherwise(col("value")))
+        .withColumn("v_low", when(col("value") > 400, lit(null)).otherwise(col("value")))
+      val targets = Seq("v_high", "v_low", "value")
+      val kept = graft.ops.Relational
+        .dropMostlyNullCols(e, targets, 0.8).columns.filter(targets.contains)
+      kept.toSeq.toDF("col_name").orderBy("col_name")
+    }),
+
+    // A16 — high-correlation feature pruning; result = dropped columns.
+    "q_a16_corr_prune" -> ((s, d) => {
+      import s.implicits._
+      val l = Tables(s, d, "lineitem")
+        .withColumn("qty2", col("l_quantity") * 2.0)
+      val cols = Seq("l_quantity", "qty2", "l_extendedprice", "l_discount")
+      val corr = Prep.corrMatrix(l, cols)
+      Prep.highCorrDrops(corr, cols, 0.99).toDF("col_name").orderBy("col_name")
+    }),
+
+    // M13 — deterministic bootstrap resample (≈ Poisson(1) replication).
+    "q_m13_bootstrap" -> ((s, d) =>
+      Split.bootstrap(Tables(s, d, "events"), "event_id", ratio = 1.0,
+        seed = 42, nTrials = 8)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))),
+
+    // E2/E1/E5/E6/E9 — arithmetic blend family over aligned predictions.
+    "q_e_blends" -> ((s, d) =>
+      preds(s, d).select(
+        col("event_id"),
+        Ensemble.simpleAverage(Seq(col("p1"), col("p2"), col("p3"))).as("avg3"),
+        Ensemble.weightedAverage(Seq(col("p1"), col("p2"), col("p3")),
+          Seq(2.0, 3.0, 5.0)).as("wavg"),
+        Ensemble.weightedAverage(Seq(col("p1"), col("p2"), col("p3")),
+          Ensemble.rankWeights(Seq(0.6, 0.8, 0.7))).as("rank_wavg"),
+        Ensemble.harmonicMean(Seq(col("p1"), col("p2"), col("p3"))).as("hmean"),
+        Ensemble.medianOfPredictions(Seq(col("p1"), col("p2"), col("p3"))).as("med3"),
+        Ensemble.sequentialBlend(Seq(col("p1"), col("p2"), col("p3")), 0.3).as("seq_blend"))
+        .orderBy("event_id")),
+
+    // E4 — geometric mean (log/exp are libm-dependent → rows-only check).
+    "q_e_geometric" -> ((s, d) =>
+      preds(s, d).select(col("event_id"),
+        Ensemble.geometricMean(Seq(col("p1"), col("p2"), col("p3"))).as("gmean"))
+        .orderBy("event_id")),
+
+    // E11 — hard majority vote (ties → smallest label).
+    "q_e_hard_vote" -> ((s, d) =>
+      Tables(s, d, "events").select(
+        col("event_id"),
+        Ensemble.hardVote(Seq(
+          pmod(col("event_id"), lit(3)),
+          pmod(col("event_id") + 1, lit(3)),
+          pmod(col("event_id") * 2, lit(3)))).as("vote"))
+        .orderBy("event_id")),
+
+    // E11 — soft vote (argmax of averaged class probabilities).
+    "q_e_soft_vote" -> ((s, d) =>
+      preds(s, d).select(
+        col("event_id"),
+        Ensemble.softVote(Seq(
+          "a" -> Seq(col("p1")), "b" -> Seq(col("p2")), "c" -> Seq(col("p3"))))
+          .as("winner"))
+        .orderBy("event_id")),
+
+    // E12 — best config per model type from a results-store relation.
+    "q_e_best_per_type" -> ((s, d) =>
+      Ensemble.bestPerType(resultsStore(s, d))
+        .orderBy("model_type")),
+
+    // W6 — nth-best (rank 2) per model type.
+    "q_e_second_best" -> ((s, d) =>
+      Ensemble.nthBestPerType(resultsStore(s, d), 2)
+        .select(col("model_type"), col("config_name"), col("test_score"))
+        .orderBy("model_type")))
+
+  /** Tiny results-store relation derived from events (model_type × config
+    * → mean value as the "test score"). */
+  private def resultsStore(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events")
+      .groupBy(col("event_type").as("model_type"),
+        concat(lit("cfg"), pmod(col("event_id"), lit(7))).as("config_name"))
+      .agg(davg(col("value")).as("test_score"))
+
+  private val resultsStoreSql =
+    s"""SELECT event_type AS model_type,
+       | 'cfg' || CAST(event_id % 7 AS VARCHAR) AS config_name,
+       | ${davgSql("value")} AS test_score
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_m2_robust_scale" ->
+      """WITH st AS (SELECT QUANTILE_CONT(c_acctbal, 0.5) AS med,
+        |  QUANTILE_CONT(c_acctbal, 0.75) - QUANTILE_CONT(c_acctbal, 0.25) AS iqr
+        | FROM customer)
+        |SELECT c_custkey, (c_acctbal - st.med) / st.iqr AS z
+        |FROM customer, st ORDER BY c_custkey""".stripMargin,
+
+    "q_m3_minmax_scale" ->
+      """WITH st AS (SELECT CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+        |  CAST(MAX(c_acctbal) AS DOUBLE) AS hi FROM customer)
+        |SELECT c_custkey, (c_acctbal - st.lo) / (st.hi - st.lo) AS z
+        |FROM customer, st ORDER BY c_custkey""".stripMargin,
+
+    "q_a11_null_gate" ->
+      """SELECT col_name FROM (
+        | SELECT 'v_high' AS col_name,
+        |  AVG(CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END) AS r FROM events
+        | UNION ALL SELECT 'v_low',
+        |  AVG(CASE WHEN value > 400 THEN 1.0 ELSE 0.0 END) FROM events
+        | UNION ALL SELECT 'value',
+        |  AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) FROM events
+        |) t WHERE r < 0.8 ORDER BY col_name""".stripMargin,
+
+    "q_a16_corr_prune" -> {
+      val cols = Seq("l_quantity", "qty2", "l_extendedprice", "l_discount")
+      val branches = (for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield s"SELECT '${cols(j)}' AS col_name, " +
+        s"${dcorrSql(cols(i), cols(j))} AS corr FROM src")
+        .mkString("\nUNION ALL\n")
+      s"""WITH src AS (SELECT *, l_quantity * 2.0 AS qty2 FROM lineitem)
+         |SELECT DISTINCT col_name FROM (\n$branches\n) t
+         |WHERE ABS(corr) > 0.99 ORDER BY col_name""".stripMargin
+    },
+
+    "q_m13_bootstrap" ->
+      s"""SELECT COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events CROSS JOIN (SELECT unnest(range(0, 8)) AS dd) t
+         |WHERE substr(MD5('42' || ':' || CAST(event_id AS VARCHAR)
+         |  || '#' || CAST(dd AS VARCHAR)), 1, 8) < '20000000'""".stripMargin,
+
+    "q_e_blends" ->
+      s"""WITH p AS ($predsSql)
+         |SELECT event_id,
+         | (p1 + p2 + p3) / 3 AS avg3,
+         | p1 * (2.0 / 10.0) + p2 * (3.0 / 10.0) + p3 * (5.0 / 10.0) AS wavg,
+         | p1 * (1.0 / 14.0) + p2 * (9.0 / 14.0) + p3 * (4.0 / 14.0) AS rank_wavg,
+         | 3.0 / (1.0 / LEAST(GREATEST(p1, 1e-10), 1 - 1e-10)
+         |      + 1.0 / LEAST(GREATEST(p2, 1e-10), 1 - 1e-10)
+         |      + 1.0 / LEAST(GREATEST(p3, 1e-10), 1 - 1e-10)) AS hmean,
+         | list_sort([p1, p2, p3])[2] AS med3,
+         | LEAST(GREATEST(LEAST(GREATEST(p1 * (1 - 0.3) + p2 * 0.3, 1e-10), 1 - 1e-10)
+         |   * (1 - 0.3) + p3 * 0.3, 1e-10), 1 - 1e-10) AS seq_blend
+         |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_e_hard_vote" ->
+      """SELECT event_id,
+        | CASE WHEN v1 = v2 OR v1 = v3 THEN v1 WHEN v2 = v3 THEN v2
+        |      ELSE LEAST(v1, v2, v3) END AS vote
+        |FROM (SELECT event_id, event_id % 3 AS v1, (event_id + 1) % 3 AS v2,
+        |  (event_id * 2) % 3 AS v3 FROM events) t
+        |ORDER BY event_id""".stripMargin,
+
+    "q_e_soft_vote" ->
+      s"""WITH p AS ($predsSql),
+         |b AS (SELECT event_id, p1, p2, p3, GREATEST(p1, p2, p3) AS best FROM p)
+         |SELECT event_id, CASE WHEN p1 = best THEN 'a' WHEN p2 = best THEN 'b'
+         |  ELSE 'c' END AS winner
+         |FROM b ORDER BY event_id""".stripMargin,
+
+    "q_e_best_per_type" ->
+      s"""WITH rs AS ($resultsStoreSql)
+         |SELECT model_type, config_name, test_score FROM (
+         | SELECT *, ROW_NUMBER() OVER (PARTITION BY model_type
+         |   ORDER BY test_score DESC, config_name ASC) AS rn FROM rs) t
+         |WHERE rn = 1 ORDER BY model_type""".stripMargin,
+
+    "q_e_second_best" ->
+      s"""WITH rs AS ($resultsStoreSql)
+         |SELECT model_type, config_name, test_score FROM (
+         | SELECT *, ROW_NUMBER() OVER (PARTITION BY model_type
+         |   ORDER BY test_score DESC, config_name ASC) AS rn FROM rs) t
+         |WHERE rn = 2 ORDER BY model_type""".stripMargin)
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("valueCounts counts and normalizes") {
+    val df = Seq("a", "b", "a", "a", "c").toDF("x")
+    val vc = Relational.valueCounts(df, "x").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(vc.toSeq == Seq(("a", 3L), ("b", 1L), ("c", 1L)))
+    val pct = Relational.valueCounts(df, "x", normalize = true)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(math.abs(pct("a") - 60.0) < 1e-12)
+  }
+
+  test("crosstab with explicit domain fills zeros") {
+    val df = Seq(("r1", "x"), ("r1", "x"), ("r2", "y")).toDF("a", "b")
+    val ct = Relational.crosstab(df, "a", "b", Seq("x", "y", "z")).collect()
+    val r1 = ct.find(_.getString(0) == "r1").get
+    assert(r1.getLong(1) == 2 && r1.getLong(2) == 0 && r1.getLong(3) == 0)
+    val r2 = ct.find(_.getString(0) == "r2").get
+    assert(r2.getLong(1) == 0 && r2.getLong(2) == 1)
+  }
+
+  test("cut uses pandas (lo, hi] semantics") {
+    val df = Seq(0.0, 2.5, 2.51, 5.0, 7.0).toDF("v")
+      .select(Cleaning.cut(col("v"), Seq(0, 2.5, 5), Seq("lo", "hi")).as("bin"))
+    assert(df.collect().map(_.getString(0)) === Array(null, "lo", "hi", "hi", null))
+  }
+
+  test("rewriteSentinels maps codes to -1/null and passes others") {
+    val df = Seq(1.0, 8.0, 9.0, 3.5).toDF("v")
+      .select(Cleaning.rewriteSentinels(col("v"), toMinusOne = Seq(8), toNull = Seq(9)).as("o"))
+    val out = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out === Array(Some(1.0), Some(-1.0), None, Some(3.5)))
+  }
+
+  test("binarize threshold strict/non-strict") {
+    val df = Seq(0.5, 0.4, 0.6).toDF("v")
+    val ge = df.select(Cleaning.binarize(col("v"), 0.5).as("o")).collect().map(_.getInt(0))
+    val gt = df.select(Cleaning.binarize(col("v"), 0.5, strict = true).as("o")).collect().map(_.getInt(0))
+    assert(ge === Array(1, 0, 1) && gt === Array(0, 0, 1))
+  }
+
+  test("modePerGroup breaks ties on smallest value") {
+    val df = Seq(("g", "b"), ("g", "a"), ("g", "b"), ("g", "a"), ("h", "z"))
+      .toDF("k", "v")
+    val m = Ranking.modePerGroup(df, Seq("k"), "v").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(m == Map("g" -> "a", "h" -> "z"))
+  }
+
+  test("topNPerGroup returns n rows per group in order") {
+    val df = Seq(("g", 3), ("g", 1), ("g", 2), ("h", 9)).toDF("k", "v")
+    val t = Ranking.topNPerGroup(df, Seq("k"), Seq(col("v").desc), 2)
+      .select("k", "v", "rn").collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(t.toSet == Set(("g", 3, 1), ("g", 2, 2), ("h", 9, 1)))
+  }
+
+  test("unionOnCommonColumns keeps right frame's column order") {
+    val a = Seq((1, "x", 9.0)).toDF("id", "s", "w")
+    val b = Seq((8.0, 2, "y")).toDF("w", "id", "s")
+    val u = Relational.unionOnCommonColumns(a, b)
+    assert(u.columns.toSeq == Seq("w", "id", "s"))
+    assert(u.count() == 2)
+  }
+
+  test("nullRates + dropMostlyNullCols gate") {
+    val df = Seq((Some(1.0), None: Option[Double]), (Some(2.0), Some(1.0)),
+      (None, None), (Some(3.0), None)).toDF("mostly_ok", "mostly_null")
+    val rates = Relational.nullRates(df, Seq("mostly_ok", "mostly_null"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("mostly_ok") == 0.25 && rates("mostly_null") == 0.75)
+    val kept = Relational.dropMostlyNullCols(df, Seq("mostly_ok", "mostly_null"), 0.75)
+    assert(kept.columns.toSeq == Seq("mostly_ok"))
+  }
+
+  test("rowNullCount sums per-row nulls") {
+    val df = Seq((Some(1.0), None: Option[Double]), (None, None))
+      .toDF("a", "b")
+      .select(Relational.rowNullCount(Seq("a", "b")).as("n"))
+    assert(df.collect().map(_.getInt(0)) === Array(1, 2))
+  }
+
+  test("melt unpivots to long form") {
+    val df = Seq(("k", 1.0, 2.0)).toDF("id", "x", "y")
+    val m = Relational.melt(df, Seq("id"), Seq("x", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(m.toSet == Set(("k", "x", 1.0), ("k", "y", 2.0)))
+  }
+
+  test("dsum is exact and order-independent") {
+    val xs = (1 to 10000).map(i => i * 0.1)
+    val expected = BigDecimal(10000 * 10001 / 2) * BigDecimal("0.1")
+    val got = xs.toDF("v").repartition(7).agg(Num.dsum(col("v"))).head.getDouble(0)
+    assert(got == expected.toDouble)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.stats._
+
+/** Reference constants independently computed with plain (non-Spark,
+  * non-DuckDB) arithmetic on the fixtures below. */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val a = Seq(2.1, 3.5, 1.2, 4.8, 3.3, 2.9, 5.1, 0.7, 3.8, 2.2)
+  val b = Seq(3.0, 4.1, 2.5, 5.5, 4.0, 3.1, 6.2, 1.0, 4.5, 2.8)
+
+  def twoGroups = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+  def paired = a.zip(b).map { case (x, y) => x - y }.toDF("d")
+
+  test("welch t-test matches independent computation") {
+    val r = Tests.welchT(twoGroups, "v", "g", "a", "b").head
+    assert(math.abs(r.getAs[Double]("t") - (-1.0735554365027022)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("df") - 17.946117184820753) < 1e-9)
+  }
+
+  test("paired t-test matches") {
+    val r = Tests.pairedT(paired, "d").head
+    assert(math.abs(r.getAs[Double]("t") - (-6.773005957975713)) < 1e-9)
+  }
+
+  test("spearman matches") {
+    val df = a.zip(b).toDF("x", "y")
+    val rho = Tests.spearman(df, "x", "y").head.getDouble(0)
+    assert(math.abs(rho - 0.9878787878787879) < 1e-9)
+  }
+
+  test("mann-whitney matches") {
+    val r = Tests.mannWhitneyU(twoGroups, "v", "g", "a", "b").head
+    assert(r.getAs[Double]("u1") == 37.0)
+    assert(math.abs(r.getAs[Double]("z") - (-0.9827076298239908)) < 1e-9)
+  }
+
+  test("wilcoxon signed-rank matches") {
+    val r = Tests.wilcoxonSignedRank(paired, "d").head
+    assert(r.getAs[Double]("w_plus") == 0.0)
+    assert(r.getAs[Double]("n") == 10.0)
+    // |d| ties: 0.7×3, 0.6×2 → tie term Σ(τ³−τ) = 30;
+    // z = (0 − 27.5) / sqrt(10·11·21/24 − 30/48)
+    assert(math.abs(r.getAs[Double]("z") - (-27.5 / math.sqrt(95.625))) < 1e-9)
+  }
+
+  test("kruskal-wallis matches") {
+    val r = Tests.kruskalWallis(twoGroups, "v", "g").head
+    assert(math.abs(r.getAs[Double]("h") - 0.9657142857142915) < 1e-9)
+    assert(r.getAs[Long]("dof") == 1L)
+  }
+
+  test("anova F matches") {
+    val r = Tests.anovaF(twoGroups, "v", "g").head
+    assert(math.abs(r.getAs[Double]("f") - 1.1525212752445202) < 1e-9)
+  }
+
+  test("chi2 on a known contingency table") {
+    // obs = [[10,20,30],[6,9,17]] → chi2 = 0.27157465150403504, dof = 2
+    val rows = for {
+      (r, i) <- Seq(Seq(10, 20, 30), Seq(6, 9, 17)).zipWithIndex
+      (n, j) <- r.zipWithIndex
+      _ <- 1 to n
+    } yield (s"r$i", s"c$j")
+    val r = Tests.chi2(rows.toDF("a", "b"), "a", "b").head
+    // dsum accumulates cell terms at 6-decimal precision → 1e-5 tolerance
+    assert(math.abs(r.getAs[Double]("chi2") - 0.27157465150403504) < 1e-5)
+    assert(r.getAs[Long]("dof") == 2L)
+  }
+
+  test("auroc matches pairwise-count definition") {
+    val y = Seq(0, 1, 0, 1, 1, 0, 1, 0, 1, 1)
+    val s = Seq(0.2, 0.7, 0.4, 0.8, 0.6, 0.3, 0.9, 0.75, 0.65, 0.55)
+    // pos scores {0.7,0.8,0.6,0.9,0.65,0.55}, neg {0.2,0.4,0.3,0.75} → 20/24
+    val auc = Metrics.auroc(y.zip(s).toDF("y", "s"), "y", "s").head.getDouble(0)
+    assert(math.abs(auc - 20.0 / 24.0) < 1e-12)
+  }
+
+  test("binary metrics and macro F1 on a hand case") {
+    val df = Seq((1, 1), (1, 0), (0, 1), (0, 0), (1, 1)).toDF("label", "pred")
+    val m = Metrics.binaryMetrics(df, "label", "pred").head
+    assert(m.getAs[Long]("tp") == 2 && m.getAs[Long]("fp") == 1
+      && m.getAs[Long]("fn") == 1 && m.getAs[Long]("tn") == 1)
+    assert(math.abs(m.getAs[Double]("f1") - 2.0 * 2 / (2 * 2 + 1 + 1)) < 1e-12)
+
+    // labels [a,a,b,c], preds [a,b,b,b]: f1 = 2/3, 1/2, 0 → macro 0.38888…
+    val mc = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("c", "b")).toDF("l", "p")
+    val macroF1 = Metrics.macroF1(mc, "l", "p").head.getDouble(0)
+    assert(math.abs(macroF1 - (2.0 / 3 + 0.5) / 3) < 1e-6)
+  }
+
+  test("p-value approximations are sane") {
+    assert(math.abs(PValues.normalCdf(1.959963985) - 0.975) < 1e-4)
+    assert(math.abs(PValues.twoSidedFromZ(1.959963985) - 0.05) < 1e-3)
+    assert(math.abs(PValues.chi2Sf(3.841458821, 1) - 0.05) < 5e-3)
+    assert(math.abs(PValues.twoSidedFromT(2.0, 60) - 0.0499) < 2e-3)
+    assert(PValues.stars(0.0001) == "***" && PValues.stars(0.2) == "ns")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.streaming.StreamOps
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  val events = Seq(
+    Ev(ts(5), "a", 1.0), Ev(ts(20), "a", 2.0), Ev(ts(65), "a", 4.0),
+    Ev(ts(10), "b", 8.0), Ev(ts(130), "b", 16.0))
+
+  test("streaming tumbling agg equals the batch tumbling agg") {
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(events: _*)
+    val q = StreamOps.toMemorySink(
+      StreamOps.streamingTumblingAgg(stream.toDF(), "1 hour", "2 hours"), "t_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_stream")
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = StreamOps.tumblingAgg(events.toDF(), "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(batch.size == 4) // (h0: a×2, b×1), (h1: a×1), (h2: b×1)
+  }
+
+  test("session windows merge within gap and split beyond it") {
+    val sess = StreamOps.sessionAgg(
+      Seq(Ev(ts(0), "u", 1), Ev(ts(10), "u", 1), Ev(ts(50), "u", 1)).toDF()
+        .withColumn("user_id", lit(7L)),
+      "30 minutes")
+    val rows = sess.collect()
+    assert(rows.length == 2)
+    val first = rows.minBy(_.getAs[Timestamp]("session_start").getTime)
+    assert(first.getAs[Long]("n_events") == 2)
+    // session end = last event + gap
+    assert(first.getAs[Timestamp]("session_end").getTime ==
+      ts(10).getTime + 30 * 60 * 1000)
+  }
+
+  test("sliding windows produce width/slide copies") {
+    val s = StreamOps.slidingAgg(Seq(Ev(ts(5), "a", 1.0)).toDF(), "2 hours", "1 hour")
+      .collect()
+    assert(s.length == 2) // event belongs to 2 overlapping windows
+  }
+
+  test("props JSON extraction") {
+    val df = Seq(("""{"k": 42}""", "a")).toDF("props", "event_type")
+    val k = StreamOps.withPropsField(df, "k", "k").head.getAs[Long]("k")
+    assert(k == 42L)
+  }
+}

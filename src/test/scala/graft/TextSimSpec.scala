@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.sim.Similarity
+
+class TextSimSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("exactDedup keeps one row per content, min id, collapses dup rows") {
+    val df = Seq(
+      (3L, "the quick brown fox"),
+      (1L, "the  quick brown fox "), // whitespace/normalization dup
+      (2L, "something else"),
+      (2L, "something else")         // true duplicate row
+    ).toDF("id", "text")
+    val out = TextOps.exactDedup(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("jaccardShingles: identical=1, disjoint=0, partial in between") {
+    val df = Seq(
+      ("a b c d e f", "a b c d e f"),
+      ("a b c d e f", "x y z w v u"),
+      ("a b c d e f g h", "a b c d e f x y")).toDF("t1", "t2")
+    val j = df.select(TextOps.jaccardShingles(col("t1"), col("t2"), 3).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(j(0) == 1.0 && j(1) == 0.0 && j(2) > 0 && j(2) < 1)
+  }
+
+  test("minhash estimates jaccard and LSH finds planted near-dups") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("sigma", "sigmaX")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, "totally different words " +
+      "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.minhashNearDupPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("simhash: identical → 0 hamming, near-dup closer than unrelated") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base.replace("kappa", "kappaX")
+    val far = "completely unrelated content about spark engines and queries"
+    val df = Seq((0L, base), (1L, base), (2L, near), (3L, far)).toDF("id", "text")
+      .select(col("id"), TextOps.simhash(col("text"), 32).as("sh"))
+    val sh = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sh(0L), sh(1L)) == 0)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
+  }
+
+  test("langId picks the profile language") {
+    val df = Seq(
+      "the cat and the dog sat on the mat for a while",
+      "el perro y el gato en la casa de la abuela con los amigos",
+      "der hund und die katze sind nicht von der stadt").toDF("text")
+      .select(TextOps.langId(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es", "de"))
+  }
+
+  test("bpeish tokens split words, numbers and punctuation") {
+    val n = Seq("hello, world! 42 times").toDF("t")
+      .select(size(TextOps.bpeishTokens(col("t"))).as("n")).head.getInt(0)
+    // hello , world ! 42 times → 6
+    assert(n == 6)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((1L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val c = df.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-6)
+  }
+
+  test("LSH ANN recall vs brute force on sf0.001 embeddings") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(e, q, 5, nPlanes = 4, nTables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(s"LSH recall@5 = $recall")
+    // deterministic measured value on uniform-ish vectors is 0.16;
+    // guard regression, not quality (IVF is the better index for this corpus)
+    assert(recall >= 0.15, s"LSH recall too low: $recall")
+  }
+
+  test("IVF ANN recall vs brute force on sf0.001 embeddings") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (centroids, assigned) = Similarity.ivfIndex(e, 8)
+    val ivf = Similarity.ivfTopK(assigned, centroids, q, 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
+  test("embedding near-dup pairs finds planted duplicates") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings").limit(50)
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + 1000).as("vec_id"), col("embedding"), col("label")))
+    val pairs = Similarity.cosineNearDupPairs(doubled, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every planted duplicate (id, id+1000) should be found
+    val planted = (0 until 50).map(i => (i.toLong, i + 1000L)).toSet
+    val found = pairs.toSet & planted
+    info(s"planted near-dups found: ${found.size}/50")
+    assert(found.size >= 45)
+  }
+}
