@@ -1,0 +1,48 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions.input_file_name
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Sources/sinks (SURVEY.md §2.1). CSV with declared schemas (S1/S2),
+  * glob scans tagged with their originating file (S10), JSON results
+  * stores (S6/S9), and the reference's single-file CSV submissions (S7) —
+  * written distributed then promoted to one file, never collected.
+  */
+object Io {
+
+  /** S1 — header CSV scan with a declared schema (never inferSchema at
+    * scale: schema inference is an extra full read). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S10 — glob scan with source-file provenance column.
+    * Ref: final-assignment/experiments/utils/evaluate_all_submissions.py:27-36. */
+  def readCsvGlob(spark: SparkSession, glob: String, schema: StructType,
+                  fileCol: String = "source_file"): DataFrame =
+    readCsv(spark, glob, schema).withColumn(fileCol, input_file_name())
+
+  /** S7 — single-file CSV sink (submission files): executors write one
+    * part, the driver renames it. Only metadata crosses the driver.
+    * Ref: final-assignment/experiments/ensemble_experiment.py:204-219. */
+  def writeSingleCsv(df: DataFrame, outFile: String): Unit = {
+    val tmp = outFile + ".tmpdir"
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.startsWith("part-"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    Files.createDirectories(Paths.get(outFile).toAbsolutePath.getParent)
+    Files.move(part, Paths.get(outFile), StandardCopyOption.REPLACE_EXISTING)
+    // clean the temp dir
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  /** S6/S9 — JSON results store (one object per line). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}

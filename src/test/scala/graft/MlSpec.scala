@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ml.{Models, Qda, Split}
+
+/** Model layer tests. The embeddings table's labels are statistically
+  * independent of the vectors (max |corr(dim, label)| ≈ 0.08, all vectors
+  * unit-norm), so it only exercises MECHANICS — training, CV, scoring all
+  * run end-to-end at ~0.1 chance accuracy. Model QUALITY is asserted on a
+  * constructed, genuinely learnable dataset (mean-separated Gaussians). */
+class MlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.01"
+
+  /** embeddings with the first `d` dims as plain columns f0..f(d-1). */
+  def featured(d: Int) = {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val cols = (0 until d).map(i =>
+      element_at(col("embedding"), i + 1).cast("double").as(s"f$i"))
+    e.select(col("vec_id") +: col("label").cast("double").as("y") +: cols: _*)
+  }
+
+  def majorityShare(df: org.apache.spark.sql.DataFrame): Double = {
+    val counts = df.groupBy("y").count().collect().map(_.getLong(1))
+    counts.max.toDouble / counts.sum
+  }
+
+  /** 3 mean-separated Gaussian-ish classes, 4 features, deterministic. */
+  def learnable(n: Int = 900) = {
+    val u = (c: Int) => Split.hashUniform(concat_ws("#", col("id"), lit(c)), 7)
+    spark.range(n).select(col("id"),
+        pmod(col("id"), lit(3)).cast("double").as("y"),
+        (pmod(col("id"), lit(3)) * 2.0 + u(0)).as("f0"),
+        (pmod(col("id"), lit(3)) * -1.5 + u(1)).as("f1"),
+        u(2).as("f2"), u(3).as("f3"))
+  }
+
+  test("MLlib pipelines train end-to-end on embeddings (mechanics only)") {
+    val df = featured(64).cache()
+    val tagged = Split.tagHoldout(df, "vec_id", 0.25)
+    val train = tagged.filter(col("split") === "train")
+    val test = tagged.filter(col("split") === "test")
+    val feats = (0 until 64).map(i => s"f$i")
+    for (name <- Seq("logistic_regression", "random_forest")) {
+      val pipe = Models.pipelineFor(Models.registry(10)(name)(), feats, "y")
+      val acc = Models.evaluate(pipe.fit(train).transform(test), "y")
+      info(s"$name acc=$acc (labels are noise → ≈0.1 expected)")
+      assert(acc > 0.04 && acc <= 1.0)
+    }
+    df.unpersist()
+  }
+
+  test("models reach high accuracy on a learnable dataset") {
+    val df = learnable().cache()
+    val tagged = Split.tagHoldout(df, "id", 0.3)
+    val train = tagged.filter(col("split") === "train")
+    val test = tagged.filter(col("split") === "test")
+    val feats = Seq("f0", "f1", "f2", "f3")
+    for (name <- Seq("logistic_regression", "random_forest")) {
+      val pipe = Models.pipelineFor(Models.registry(3, 4)(name)(), feats, "y")
+      val acc = Models.evaluate(pipe.fit(train).transform(test), "y")
+      info(s"$name learnable acc=$acc")
+      assert(acc > 0.9, s"$name should separate mean-coded classes, got $acc")
+    }
+    val stats = Qda.fit(train, feats, "y", regParam = 1e-3)
+    val acc = test.withColumn("p", Qda.predictExpr(stats, feats))
+      .filter(col("p") === col("y")).count().toDouble / test.count()
+    info(s"QDA learnable holdout acc=$acc")
+    assert(acc > 0.9)
+    df.unpersist()
+  }
+
+  test("stratified CV harness returns k folds per model and sane summary") {
+    val df = featured(8)
+    val results = Models.crossValidate(df, (0 until 8).map(i => s"f$i"), "y",
+      "vec_id", k = 3, numClasses = 10,
+      models = Some(Seq("decision_tree", "naive_bayes")))
+    assert(results.size == 6)
+    val summary = Models.summarizeCv(spark, results).collect()
+    assert(summary.length == 2)
+    // 10 balanced classes → anything clearly above random-guess floor
+    assert(summary.forall(r => r.getDouble(1) > 0.05 && r.getDouble(1) <= 1.0))
+  }
+
+  test("QDA expression scorer separates classes (d=12)") {
+    val df = featured(12).cache()
+    val feats = (0 until 12).map(i => s"f$i")
+    val base = majorityShare(df)
+    val stats = Qda.fit(df, feats, "y", regParam = 1e-3)
+    assert(stats.size == 10 && math.abs(stats.map(_.prior).sum - 1.0) < 1e-9)
+    val pred = df.withColumn("pred", Qda.predictExpr(stats, feats))
+    val acc = pred.filter(col("pred") === col("y")).count().toDouble / pred.count()
+    info(s"QDA(d=12) acc=$acc (baseline $base)")
+    assert(acc > base)
+    df.unpersist()
+  }
+
+  test("QDA udf scorer agrees with expression scorer and scales to d=32") {
+    val df = featured(8)
+    val feats = (0 until 8).map(i => s"f$i")
+    val stats = Qda.fit(df, feats, "y", regParam = 1e-3)
+    val both = df
+      .withColumn("p_expr", Qda.predictExpr(stats, feats))
+      .withColumn("p_udf", Qda.predictUdf(stats)(array(feats.map(col): _*)))
+    assert(both.filter(col("p_expr") =!= col("p_udf")).count() == 0)
+
+    val wide = featured(32)
+    val wfeats = (0 until 32).map(i => s"f$i")
+    val wstats = Qda.fit(wide, wfeats, "y", regParam = 1e-3)
+    val acc = wide.withColumn("p", Qda.predictUdf(wstats)(array(wfeats.map(col): _*)))
+      .filter(col("p") === col("y")).count().toDouble / wide.count()
+    info(s"QDA(d=32) acc=$acc")
+    assert(acc > majorityShare(wide))
+  }
+
+  test("LDA (pooled covariance) also works") {
+    val df = featured(8)
+    val feats = (0 until 8).map(i => s"f$i")
+    val stats = Qda.fit(df, feats, "y", regParam = 1e-3, pooled = true)
+    val acc = df.withColumn("p", Qda.predictExpr(stats, feats))
+      .filter(col("p") === col("y")).count().toDouble / df.count()
+    info(s"LDA acc=$acc")
+    assert(acc > majorityShare(df))
+  }
+
+  test("random search over LR regParam returns trials with varying scores") {
+    val df = featured(8)
+    val trials = Models.randomSearchLr(df, (0 until 8).map(i => s"f$i"), "y",
+      "vec_id", nTrials = 3)
+    assert(trials.size == 3)
+    assert(trials.forall { case (rp, acc) => rp > 0 && acc > 0 && acc <= 1.0 })
+  }
+}
