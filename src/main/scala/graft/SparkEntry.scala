@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ StatsQueries.queries ++
-      TextSimQueries.queries ++ StreamQueries.queries ++ MlQueries.queries
+      TextSimQueries.queries ++ StreamQueries.queries ++ MlQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ StatsQueries.oracles ++
-      TextSimQueries.oracles ++ StreamQueries.oracles ++ MlQueries.oracles
+      TextSimQueries.oracles ++ StreamQueries.oracles ++ MlQueries.oracles ++
+      MultimodalQueries.oracles
 }

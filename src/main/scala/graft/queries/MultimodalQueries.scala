@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal-column queries over fake binary media derived from the
+  * documents table. Frame sampling is pure expression → oracle-checked;
+  * the stub-decode feature extraction involves JVM hashing → rows-only. */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary frame sampling: chunk + stride select, all in expressions.
+    "q_mm_frame_sample" -> ((s, d) => {
+      val docs = Multimodal.withFakeImage(
+        Tables(s, d, "documents").filter(col("doc_id") < 50), "text")
+      Multimodal.sampleFrames(docs, "doc_id", "image", frameBytes = 32, stride = 2)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Stub decode → features (mapPartitions batch path; rows-only check).
+    "q_mm_features" -> ((s, d) => {
+      val docs = Multimodal.withFakeImage(
+        Tables(s, d, "documents").filter(col("doc_id") < 50), "text")
+      Multimodal.filterDecodable(
+        Multimodal.extractImageFeatures(docs, "doc_id", "image"))
+        .toDF()
+        .select("id", "format", "width", "height", "sizeBytes", "meanIntensity")
+        .orderBy("id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_mm_frame_sample" ->
+      // the fake media bytes are UTF-8 of ASCII text, so a VARCHAR
+      // substring cast to BLOB is byte-identical to the binary slice
+      """SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        | CAST(substring(text, CAST(fi AS INTEGER) * 32 + 1, 32) AS BLOB) AS frame
+        |FROM documents,
+        | LATERAL (SELECT unnest(range(0, CAST(octet_length(CAST(text AS BLOB)) // 32
+        |   AS INTEGER), 2)) AS fi) t
+        |WHERE doc_id < 50 AND octet_length(CAST(text AS BLOB)) // 32 > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin)
+}

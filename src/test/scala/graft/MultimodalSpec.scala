@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs = Seq((1L, "hello world this is a binary payload of some length"),
+    (2L, "x"), (3L, "another somewhat longer document body for frames"))
+    .toDF("doc_id", "text")
+
+  test("fake image column is the utf-8 bytes of the text") {
+    val df = Multimodal.withFakeImage(docs, "text")
+    val row = df.filter(col("doc_id") === 2L).select("image").head
+    assert(row.getAs[Array[Byte]](0).toSeq == "x".getBytes("UTF-8").toSeq)
+  }
+
+  test("feature extraction is deterministic, typed, and batched") {
+    val df = Multimodal.withFakeImage(docs, "text")
+    val f1 = Multimodal.extractImageFeatures(df, "doc_id", "image").collect()
+    val f2 = Multimodal.extractImageFeatures(df, "doc_id", "image").collect()
+    assert(f1.map(_.id).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(f1.sortBy(_.id).zip(f2.sortBy(_.id)).forall { case (a, b) =>
+      a.format == b.format && a.meanIntensity == b.meanIntensity &&
+        a.histogram.toSeq == b.histogram.toSeq
+    })
+    val one = f1.find(_.id == 1L).get
+    assert(one.sizeBytes == 51 && one.histogram.sum > 0 && one.meanIntensity > 0)
+  }
+
+  test("frame sampling chunks the binary with stride") {
+    val df = Multimodal.withFakeImage(docs, "text")
+    val frames = Multimodal.sampleFrames(df, "doc_id", "image",
+      frameBytes = 10, stride = 2).collect()
+    // doc 1: 51 bytes → 5 frames → idx 0,2,4; doc 2: 1 byte → 0 frames;
+    // doc 3: 48 bytes → 4 frames → idx 0,2
+    val byDoc = frames.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).sorted.toSeq)
+    assert(byDoc(1L) == Seq(0, 2, 4))
+    assert(!byDoc.contains(2L))
+    assert(byDoc(3L) == Seq(0, 2))
+    val f0 = frames.find(r => r.getLong(0) == 1L && r.getInt(1) == 0).get
+    assert(new String(f0.getAs[Array[Byte]](2), "UTF-8") == "hello worl")
+  }
+
+  test("decodability gate filters degenerate media") {
+    val df = Multimodal.withFakeImage(docs, "text")
+    val feats = Multimodal.extractImageFeatures(df, "doc_id", "image")
+    assert(Multimodal.filterDecodable(feats, minSize = 2L).collect()
+      .map(_.id).sorted.toSeq == Seq(1L, 3L))
+  }
+}

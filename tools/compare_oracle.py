@@ -38,6 +38,12 @@ def main(outdir, sfdir):
             continue
         sp = sp.reindex(sorted(sp.columns), axis=1)
         du = du.reindex(sorted(du.columns), axis=1)
+        for frame in (sp, du):  # bytearray (binary cols) is unhashable
+            for c in frame.columns:
+                if frame[c].dtype == object and frame[c].map(
+                        lambda v: isinstance(v, (bytes, bytearray))).any():
+                    frame[c] = frame[c].map(
+                        lambda v: bytes(v) if isinstance(v, (bytes, bytearray)) else v)
         problems = []
         if list(sp.columns) != list(du.columns):
             problems.append(f"schema: spark={list(sp.columns)} duck={list(du.columns)}")
