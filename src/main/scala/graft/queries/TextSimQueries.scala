@@ -109,21 +109,28 @@ object TextSimQueries {
     // MinHash+LSH near-dup pipeline (rows-only; recall tested in ScalaTest).
     "q_x_minhash_neardup" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
+      // bands=2 (8 rows/band): the synthetic corpus shares a tiny
+      // vocabulary, so shorter bands put most of the corpus into a handful
+      // of buckets and the self-join goes quadratic; 8-row bands target
+      // the near-exact duplicates this query plants.
       TextOps.minhashNearDupPairs(docs.unionByName(
         docs.select(col("doc_id") + 100000, col("text"), col("lang"),
           col("source"), col("n_chars")).toDF(docs.columns: _*)),
-        "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.5)
+        "doc_id", "text", numHashes = 16, bands = 2, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pipeline (rows-only).
+    // SimHash near-dup pipeline (rows-only). Small-vocabulary corpora
+    // saturate the fingerprint, so the query reports the hamming histogram
+    // rather than the (quadratically large) raw pair set.
     "q_x_simhash_neardup" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       TextOps.simhashNearDupPairs(docs.unionByName(
         docs.select(col("doc_id") + 100000, col("text"), col("lang"),
           col("source"), col("n_chars")).toDF(docs.columns: _*)),
         "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
-        .orderBy("id_a", "id_b")
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("hamming")
     }),
 
     // Brute-force exact cosine top-k (the ANN baseline), decimal-exact.

@@ -58,43 +58,61 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * md5-derived uniform in [-0.5, 0.5). Reproducible everywhere, no RNG
-    * state to ship. */
-  private def planeComponent(p: Column, d: Column, seed: Int): Column =
-    (conv(substring(md5(concat_ws(":", lit(seed), p, d)), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)) - 0.5
+    * md5-derived uniform in [-0.5, 0.5). Computed ONCE on the driver and
+    * embedded as a literal — the generated per-row code is pure mult-adds
+    * (the naive version evaluated an md5 per row·plane·dim and dominated
+    * the whole benchmark). */
+  private def planeConst(seed: Int, p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$p:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+  }
 
   /** Random-hyperplane LSH signature: bit p = sign(v · plane_p). Buckets of
     * equal signature hold vectors with high cosine; probing only the bucket
-    * turns ANN into a shuffle-on-short-key join — the scale path. */
-  def hyperplaneSignature(vec: Column, nPlanes: Int, seed: Int = 42): Column =
+    * turns ANN into a shuffle-on-short-key join — the scale path.
+    *
+    * The plane matrix ships as ONE array-literal and the dot products run
+    * as higher-order folds: expanding them to per-term expressions (nPlanes
+    * × dim multiply nodes) made janino compile times dominate the query. */
+  def hyperplaneSignature(vec: Column, nPlanes: Int, dim: Int = 64,
+                          seed: Int = 42): Column = {
+    val planes = typedLit((0 until nPlanes).map(p =>
+      (0 until dim).map(d => planeConst(seed, p, d))))
     aggregate(
-      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-        when(aggregate(
-          zip_with(vec, sequence(lit(1), size(vec)),
-            (x, d) => x.cast("double") * planeComponent(p, d, seed)),
+      zip_with(planes, sequence(lit(0), lit(nPlanes - 1)), (plane, p) =>
+        when(aggregate(zip_with(vec, plane, (x, c) => x.cast("double") * c),
           lit(0.0), (acc, v) => acc + v) > 0,
           pow(lit(2.0), p).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
+  }
 
   /** LSH-bucketed ANN: join query and corpus on the hyperplane bucket, then
     * exact cosine + top-k within the candidates. Recall grows with fewer
     * planes / multiple probe tables; `nTables` OR-amplifies. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 8, nTables: Int = 4,
+              nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tables = explode(sequence(lit(0), lit(nTables - 1))).as("__t")
     def sig(df: DataFrame, idAs: String, vecAs: String) =
-      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs), tables)
-        .withColumn("__bucket", concat_ws(":", col("__t"),
-          hyperplaneSignature(col(vecAs), nPlanes, seed = 42 + 1000)))
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        explode(array((0 until nTables).map(t => concat_ws(":", lit(t),
+          hyperplaneSignature(col(vecCol), nPlanes, dim, seed = 1042 + t))): _*))
+          .as("__bucket"))
     val c = sig(corpus, "neighbor_id", "__cv")
     val q = sig(queries, "query_id", "__qv")
-    val cands = c.join(q, Seq("__bucket"))
+    // dedupe candidate ID pairs FIRST (a pair found by several tables is
+    // otherwise scored nTables times), then join vectors back once
+    val pairs = c.drop("__cv").join(q.drop("__qv"), Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val cands = pairs
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -103,17 +121,21 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked
     * (never n² at scale); exact-cosine verified. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
-                         nPlanes: Int = 6, nTables: Int = 6,
+                         nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tables = explode(sequence(lit(0), lit(nTables - 1))).as("__t")
-    val sigs = df.select(col(idCol), col(vecCol), tables)
-      .withColumn("__bucket", concat_ws(":", col("__t"),
-        hyperplaneSignature(col(vecCol), nPlanes, seed = 77)))
-    val l = sigs.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val r = sigs.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    l.join(r, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+    val sigs = df.select(col(idCol), col(vecCol),
+      explode(array((0 until nTables).map(t => concat_ws(":", lit(t),
+        hyperplaneSignature(col(vecCol), nPlanes, dim, seed = 77 + t))): _*))
+        .as("__bucket"))
+    val l = sigs.select(col("__bucket"), col(idCol).as("id_a"))
+    val r = sigs.select(col("__bucket"), col(idCol).as("id_b"))
+    // distinct ID pairs first; vectors join back once for the cosine check
+    val pairs = l.join(r, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
-      .distinct()
       .filter(col("cosine") >= threshold)
   }
 

@@ -137,6 +137,59 @@ object TextOps {
       i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit(":"), s)))))
   }
 
+  /** JVM-side shingle set of a normalized text (shared by the fast paths). */
+  private def shingleSet(text: String, n: Int): Array[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+    if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val out = new scala.collection.mutable.HashSet[String]
+      var i = 0
+      while (i + n <= toks.length) {
+        out += toks.slice(i, i + n).mkString(" "); i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** Fast numeric minhash: murmur3 per shingle + `numHashes` universal-hash
+    * permutations h_i(x) = (a_i·x + b_i) mod p, all in one tight JVM loop.
+    *
+    * Deliberately a UDF: the equivalent higher-order-function expression
+    * chain is INTERPRETED by Spark (no codegen, no CSE across lambdas) and
+    * measured ~100× slower (7 ms/doc). The md5-string variant above stays
+    * as the cross-engine-reproducible form used by the oracle queries. */
+  def minhashSignatureFast(text: Column, numHashes: Int, shingleN: Int = 3,
+                           seed: Long = 42L): Column = {
+    val p = 1000000007L
+    val rng = new scala.util.Random(seed)
+    val coef = Array.fill(numHashes)((1 + rng.nextInt(Int.MaxValue - 1)).toLong,
+      rng.nextInt(Int.MaxValue).toLong)
+    val f = udf { (t: String) =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      shingleSet(t, shingleN).foreach { s =>
+        val h = java.lang.Integer.toUnsignedLong(
+          scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)) % p
+        var i = 0
+        while (i < numHashes) {
+          val v = (coef(i)._1 * h + coef(i)._2) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+    f(text)
+  }
+
+  /** JVM fast path for exact shingle-Jaccard (pipeline verify step). */
+  def jaccardShinglesFast(a: Column, b: Column, n: Int): Column = {
+    val f = udf { (x: String, y: String) =>
+      val sa = shingleSet(x, n).toSet; val sb = shingleSet(y, n).toSet
+      (sa & sb).size.toDouble / (sa | sb).size
+    }
+    f(a, b)
+  }
+
   /** LSH band keys from a minhash signature: md5 of each band's rows.
     * Docs sharing any band key are near-dup candidates. */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -154,22 +207,35 @@ object TextOps {
                           numHashes: Int = 16, bands: Int = 4,
                           shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol), col(textCol),
-      minhashSignature(col(textCol), numHashes, shingleN).as("__sig"))
-    val banded = sigs.select(col(idCol), col(textCol), col("__sig"),
+    // Signatures are the materialized index: persisted BEFORE banding —
+    // otherwise projection collapse inlines the whole shingle+hash pipeline
+    // into every band-key expression and recomputes it per band (higher-
+    // order functions are interpreted, with no cross-lambda CSE). The band
+    // self-join then carries ONLY (band, id, sig) — never document text.
+    val sigs = df.select(col(idCol),
+        minhashSignatureFast(col(textCol), numHashes, shingleN).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col(idCol), col("__sig"),
       explode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
     val left = banded.select(col("__band"), col(idCol).as("id_a"),
-      col(textCol).as("text_a"), col("__sig").as("sig_a"))
+      col("__sig").as("sig_a"))
     val right = banded.select(col("__band"), col(idCol).as("id_b"),
-      col(textCol).as("text_b"), col("__sig").as("sig_b"))
-    left.join(right, Seq("__band"))
+      col("__sig").as("sig_b"))
+    val candidates = left.join(right, Seq("__band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
-          .cast("double") / numHashes).as("est_jaccard"),
-        jaccardShingles(col("text_a"), col("text_b"), shingleN).as("jaccard"))
+          .cast("double") / numHashes).as("est_jaccard"))
       .distinct()
+      // cheap signature-level prune before touching any document text
+      .filter(col("est_jaccard") >= threshold * 0.5)
+    // exact-verify ONLY the survivors: join texts back by id
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        jaccardShinglesFast(col("text_a"), col("text_b"), shingleN).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -194,6 +260,27 @@ object TextOps {
       lit(0L), (a, x) => a + x)
   }
 
+  /** JVM fast simhash (murmur3 token hashes; pipeline use — the md5
+    * expression variant above is the oracle-reproducible form). */
+  def simhashFast(text: Column, bits: Int = 32): Column = {
+    val f = udf { (t: String) =>
+      val counts = new Array[Int](bits)
+      t.trim.toLowerCase.split("\\s+").distinct.foreach { tok =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(tok, 0x12345678)
+        var b = 0
+        while (b < bits) {
+          if (((h >>> (b % 32)) & 1) == 1) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < bits) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    f(text)
+  }
+
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -204,7 +291,9 @@ object TextOps {
                           bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     val chunk = bits / bands
     val mask = (1L << chunk) - 1
-    val sigs = df.select(col(idCol), simhash(col(textCol), bits).as("__sh"))
+    // persist: the fingerprint relation feeds both sides of the self-join
+    val sigs = df.select(col(idCol), simhashFast(col(textCol), bits).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), col("__sh"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat(b.cast("string"), lit(":"),

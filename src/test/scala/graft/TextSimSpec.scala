@@ -93,9 +93,9 @@ class TextSimSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     info(s"LSH recall@5 = $recall")
-    // deterministic measured value on uniform-ish vectors is 0.16;
-    // guard regression, not quality (IVF is the better index for this corpus)
-    assert(recall >= 0.15, s"LSH recall too low: $recall")
+    // measured 0.78 once per-table seeds were fixed (identical tables had
+    // made OR-amplification a no-op and recall was 0.16)
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
   test("IVF ANN recall vs brute force on sf0.001 embeddings") {
