@@ -1,0 +1,142 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Num._
+
+/** Gaussianizing transforms (SURVEY.md §2.7 M4/M5 — the reference's
+  * PowerTransformer / QuantileTransformer, flagged "hard" in §7.4).
+  *
+  * Scale design: fitting never iterates over row data on the driver.
+  * Yeo-Johnson evaluates the WHOLE λ grid in one aggregation pass (each λ
+  * contributes two aggregate expressions); the quantile transformer fits
+  * from one approx-quantile sketch pass. Only O(grid) / O(probes) scalars
+  * reach the driver.
+  */
+object Transforms {
+
+  /** Yeo-Johnson ψ(λ, x) as a Column expression. */
+  def yeoJohnson(x: Column, lam: Double): Column = {
+    val posBranch =
+      if (math.abs(lam) < 1e-12) log(x + 1)
+      else (pow(x + 1, lam) - 1) / lam
+    val negBranch =
+      if (math.abs(lam - 2) < 1e-12) -log(-x + 1)
+      else -(pow(-x + 1, 2 - lam) - 1) / (2 - lam)
+    when(x >= 0, posBranch).otherwise(negBranch)
+  }
+
+  /** M4 — fit λ per column by grid MLE in ONE aggregation pass.
+    *
+    * Log-likelihood (profile): −n/2·log σ̂²(ψ_λ) + (λ−1)·Σ sign(x)·log(|x|+1);
+    * the second term is λ-independent up to the (λ−1) factor, so the pass
+    * computes Σψ, Σψ² for every grid λ plus Σ sign(x)log(|x|+1) once. */
+  def fitYeoJohnson(df: DataFrame, cols: Seq[String],
+                    grid: Seq[Double] = (-20 to 20).map(_ * 0.25)): Map[String, Double] = {
+    val aggs = cols.flatMap { c =>
+      val x = col(c)
+      grid.zipWithIndex.flatMap { case (lam, i) =>
+        val psi = yeoJohnson(x, lam)
+        Seq(sum(psi).as(s"${c}__s_$i"), sum(psi * psi).as(s"${c}__ss_$i"))
+      } ++ Seq(
+        sum(signum(x) * log(abs(x) + 1)).as(s"${c}__slog"),
+        count(x).cast("double").as(s"${c}__n"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.map { c =>
+      val n = row.getAs[Double](s"${c}__n")
+      val slog = row.getAs[Double](s"${c}__slog")
+      val best = grid.zipWithIndex.maxBy { case (lam, i) =>
+        val s = row.getAs[Double](s"${c}__s_$i")
+        val ss = row.getAs[Double](s"${c}__ss_$i")
+        val variance = ss / n - (s / n) * (s / n)
+        if (variance <= 0 || variance.isNaN) Double.NegativeInfinity
+        else -n / 2.0 * math.log(variance) + (lam - 1) * slog
+      }
+      c -> best._1
+    }.toMap
+  }
+
+  /** Apply fitted λs (+ optional z-standardization of the output, matching
+    * sklearn PowerTransformer(standardize=True)). */
+  def applyYeoJohnson(df: DataFrame, lambdas: Map[String, Double],
+                      standardize: Boolean = true): DataFrame = {
+    val transformed = lambdas.foldLeft(df) { case (acc, (c, lam)) =>
+      acc.withColumn(c, yeoJohnson(col(c), lam))
+    }
+    if (!standardize) transformed
+    else {
+      val fitted = Prep.fitStandardScaler(transformed, lambdas.keys.toSeq)
+      Prep.standardScale(transformed, fitted, lambdas.keys.toSeq)
+    }
+  }
+
+  /** M5 — quantile transformer: fit an empirical-CDF sketch per column
+    * (approx quantiles at `nProbes` evenly spaced probabilities), then map
+    * x → interpolated F(x) ∈ [0,1] ("uniform") or Φ⁻¹(F(x)) ("normal"). */
+  case class QuantileModel(col: String, breaks: Array[Double])
+
+  def fitQuantileTransformer(df: DataFrame, cols: Seq[String],
+                             nProbes: Int = 101): Seq[QuantileModel] = {
+    val probs = (0 until nProbes).map(_.toDouble / (nProbes - 1)).toArray
+    val quantiles = df.stat.approxQuantile(cols.toArray, probs, 1e-4)
+    cols.zip(quantiles).map { case (c, q) => QuantileModel(c, q) }.toSeq
+  }
+
+  /** Piecewise-linear empirical CDF lookup (binary search over the fitted
+    * breakpoints — a closure, since a 100-way when-chain per column defeats
+    * codegen). Clamped to [ε, 1−ε] so the normal inverse stays finite. */
+  def quantileTransform(model: QuantileModel, output: String = "uniform"): Column = {
+    val breaks = model.breaks
+    val eps = 1e-7
+    val f = udf { (x: Double) =>
+      val n = breaks.length
+      val u =
+        if (x <= breaks(0)) 0.0
+        else if (x >= breaks(n - 1)) 1.0
+        else {
+          var idx = java.util.Arrays.binarySearch(breaks, x)
+          if (idx < 0) idx = -idx - 2
+          val lo = breaks(idx); val hi = breaks(idx + 1)
+          val frac = if (hi > lo) (x - lo) / (hi - lo) else 0.0
+          (idx + frac) / (n - 1)
+        }
+      val clamped = math.min(1 - eps, math.max(eps, u))
+      if (output == "normal") inverseNormalCdf(clamped) else clamped
+    }
+    f(col(model.col))
+  }
+
+  def applyQuantileTransformer(df: DataFrame, models: Seq[QuantileModel],
+                               output: String = "uniform"): DataFrame =
+    models.foldLeft(df)((acc, m) =>
+      acc.withColumn(m.col, quantileTransform(m, output)))
+
+  /** Acklam's rational approximation of Φ⁻¹ (|ε| < 1.15e-9). */
+  def inverseNormalCdf(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02, -3.066479806614716e+01,
+      2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00, 4.374664141464968e+00,
+      2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pLow = 0.02425
+    if (p < pLow) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pLow) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+}

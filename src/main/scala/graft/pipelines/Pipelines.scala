@@ -123,9 +123,22 @@ object Experiment {
     Io.writeJson(results, s"$outDir/results_store")
     val store = Io.readJson(spark, s"$outDir/results_store")
 
-    // (5) best per type → "retrain" → ensemble of prediction columns
-    val best = Ensemble.bestPerType(store)
-    // (6) submission scoring loop: here the combined score of the stored best
+    // (5) best per type + the stacking ensemble (E10) over gaussianized
+    // features (M4): fit Yeo-Johnson on train, apply to both, OOF-stack
+    val lambdas = graft.ml.Transforms.fitYeoJohnson(train, feats)
+    val trainYj = graft.ml.Transforms.applyYeoJohnson(train, lambdas)
+    val testYj = graft.ml.Transforms.applyYeoJohnson(test, lambdas)
+    val (stack, _) = graft.ml.Stacking.fit(trainYj, feats, "y", "vec_id",
+      baseModels = Seq("logistic_regression", "decision_tree"), k = 3)
+    val stacked = graft.ml.Stacking.transform(stack, testYj, "vec_id")
+    val stackAcc = stacked.filter(col("stack_prediction") === col("y")).count()
+      .toDouble / stacked.count()
+    import spark.implicits._
+    val stackRow = Seq(("stacking_oof", "yj+lr_dt", 0.0, stackAcc, 0.0))
+      .toDF("model_type", "config_name", "train_score", "test_score", "overfit_gap")
+
+    // (6) best per type over single models + the stack
+    val best = Ensemble.bestPerType(store.unionByName(stackRow))
     best.select(col("model_type"), col("config_name"), col("test_score"))
   }
 

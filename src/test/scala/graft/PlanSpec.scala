@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.CoreQueries
+
+/** Physical-plan assertions: the optimizations the engine RELIES on at
+  * 100 TB must actually appear in the plans Catalyst produces — predicate
+  * pushdown into the parquet scan, broadcast joins for dims, whole-stage
+  * codegen on the hot aggregation path. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  def planOf(q: String): String =
+    CoreQueries.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filters push down into the parquet scan") {
+    val plan = planOf("q_p4_filter")
+    assert(plan.contains("PushedFilters:"), "no pushed filters section")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,30.0)"),
+      s"quantity filter not pushed:\n${plan.take(2000)}")
+    // projection pruning: untouched wide columns must not be read
+    assert(plan.contains("ReadSchema") && !plan.contains("l_comment"))
+    assert(!plan.split("ReadSchema")(1).split("\n")(0).contains("l_tax"),
+      "scan reads columns the query never uses")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact table for dims)") {
+    val plan = planOf("q_j2_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for nation/region:\n${plan.take(2000)}")
+  }
+
+  test("aggregation pipeline: map-side combine + whole-stage codegen") {
+    val df = CoreQueries.queries("q_a1_tpch_q1")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial aggregation (map-side combine) before the shuffle
+    assert(plan.contains("partial_sum"), "no map-side partial aggregation")
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+    // whole-stage codegen spans exist (AQE wraps the plan lazily, so
+    // inspect with AQE off — production runs keep AQE on)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val noAqe = CoreQueries.queries("q_a1_tpch_q1")(spark, sfDir)
+      val codegen = noAqe.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(!codegen.contains("Found 0 WholeStageCodegen"),
+        s"no codegen subtrees:\n${codegen.take(500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q_w1_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit+orderBy should become top-k:\n${plan.take(2000)}")
+  }
+
+  test("semi and anti joins stay joins (no materialized subqueries)") {
+    assert(planOf("q_j_semi").contains("LeftSemi"))
+    assert(planOf("q_j_anti").contains("LeftAnti"))
+  }
+}
