@@ -168,6 +168,34 @@ object Cleaning {
   }
 }
 
+/** Skew mitigation for joins/aggregations at scale. AQE's skew-join
+  * handling covers sort-merge joins; explicit salting remains the tool for
+  * skewed AGGREGATION keys and broadcast-ineligible skewed joins. */
+object Skew {
+
+  /** Two-phase salted aggregation: count rows per (key, salt) with a
+    * deterministic per-row salt, then merge the partials per key. The first
+    * shuffle spreads a hot key over `salts` reducers. */
+  def saltedCount(df: DataFrame, keyCol: String, saltFromCol: String,
+                  salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(crc32(col(saltFromCol).cast("string")), lit(salts)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(keyCol)).agg(sum("__partial").as("n"))
+
+  /** Salted join of a skewed fact against a small-ish dim that cannot be
+    * broadcast: replicate the dim `salts`× and split the fact by salt so a
+    * hot key's rows land on `salts` different reducers. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltFromCol: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(crc32(col(saltFromCol).cast("string")), lit(salts)))
+    val replicatedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}
+
 /** Ranking / window operators (SURVEY.md §2.5). */
 object Ranking {
 

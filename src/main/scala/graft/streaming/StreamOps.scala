@@ -65,4 +65,33 @@ object StreamOps {
       .queryName(queryName)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * totals emitted on every update (count, sum, max event time). The
+    * state is O(1) per key — the pattern for arbitrary streaming state
+    * the built-in window aggregations can't express. */
+  case class UserRunning(n: Long, sum: Double, lastTs: java.sql.Timestamp)
+  case class UserUpdate(user_id: Long, n: Long, sum_value: Double,
+                        last_ts: java.sql.Timestamp)
+
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[
+      (Long, java.sql.Timestamp, Double)]): org.apache.spark.sql.Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserUpdate](
+        OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(
+            UserRunning(0L, 0.0, new java.sql.Timestamp(0L)))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            UserRunning(acc.n + 1, acc.sum + r._3,
+              if (r._2.after(acc.lastTs)) r._2 else acc.lastTs)
+          }
+          state.update(next)
+          Iterator(UserUpdate(user, next.n, next.sum, next.lastTs))
+      }
+  }
 }

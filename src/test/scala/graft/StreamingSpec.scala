@@ -57,6 +57,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.length == 2) // event belongs to 2 overlapping windows
   }
 
+  test("flatMapGroupsWithState keeps running per-user totals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(Long, Timestamp, Double)](spark)
+    val q = StreamOps.runningUserTotals(stream.toDS())
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("append").start()
+    stream.addData((1L, ts(0), 2.0), (1L, ts(5), 3.0), (2L, ts(1), 7.0))
+    q.processAllAvailable()
+    stream.addData((1L, ts(10), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_state")
+      .groupBy("user_id").agg(max("n").as("n"), max("sum_value").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1L) == ((3L, 10.0))) // state carried across micro-batches
+    assert(rows(2L) == ((1L, 7.0)))
+  }
+
+  test("salted aggregation and join match their unsalted results") {
+    import graft.ops.Skew
+    val df = (1 to 500).map(i => (if (i <= 400) "hot" else s"k$i", i.toLong))
+      .toDF("k", "v")
+    val salted = Skew.saltedCount(df, "k", "v", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted("hot") == 400 && salted("k500") == 1)
+
+    val dim = Seq(("hot", "H"), ("k500", "X")).toDF("k", "label")
+    val joined = Skew.saltedJoin(df, dim, "k", "v", 8)
+    assert(joined.count() == 401)
+    assert(joined.columns.toSeq.sorted == Seq("k", "label", "v"))
+  }
+
   test("props JSON extraction") {
     val df = Seq(("""{"k": 42}""", "a")).toDF("props", "event_type")
     val k = StreamOps.withPropsField(df, "k", "k").head.getAs[Long]("k")

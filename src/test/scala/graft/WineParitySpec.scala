@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.Io
+import graft.ml.{Models, Prep}
+
+/** Reference-parity check on the ONE real dataset shipped in the reference
+  * checkout (wine-classification-dacon). BASELINE.md publishes stratified
+  * 5-fold CV accuracies (seed 42, sklearn): RandomForest 0.6664 ± 0.0081
+  * (best), DecisionTree 0.5881, GaussianNB 0.4515 (worst). Fold RNG is not
+  * reproducible across sklearn/Spark (SURVEY §7.4), so parity is asserted
+  * STATISTICALLY: same ordering, means within a few points.
+  */
+class WineParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val winePath = "/root/reference/wine-classification-dacon/data/train.csv"
+
+  val featureNames = Seq("fixed acidity", "volatile acidity", "citric acid",
+    "residual sugar", "chlorides", "free sulfur dioxide",
+    "total sulfur dioxide", "density", "pH", "sulphates", "alcohol")
+
+  def wineSchema: StructType = StructType(
+    StructField("index", IntegerType) +: StructField("quality", IntegerType) +:
+      featureNames.map(n => StructField(n, DoubleType)) :+
+      StructField("type", StringType))
+
+  test("wine 5-fold CV reproduces the reference's model ordering and levels") {
+    assume(new java.io.File(winePath).exists(), "reference checkout not present")
+    val raw = Io.readCsv(spark, winePath, wineSchema)
+    // reference prep (wine nb 03): drop index, label-encode type, standardize.
+    // quality spans 3..9 → shift to dense 0-based labels (gaussian NB scores
+    // NaN for empty classes otherwise; accuracy is relabel-invariant).
+    val vocab = Prep.fitLabelEncoder(raw, "type")
+    val df = Prep.labelEncode(raw, vocab, "type")
+      .withColumn("y", (col("quality") - 3).cast("double"))
+      .withColumn("type_idx", col("type_idx").cast("double"))
+    val feats = featureNames :+ "type_idx"
+
+    // estimator capacity matched to the sklearn defaults the reference used
+    // (unbounded-depth trees; 100-tree forest)
+    import org.apache.spark.ml.classification._
+    val estimators = Map[String, () => org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Transformer]](
+      "random_forest" -> (() => new RandomForestClassifier()
+        .setNumTrees(100).setMaxDepth(20).setSeed(42)),
+      "decision_tree" -> (() => new DecisionTreeClassifier()
+        .setMaxDepth(20).setSeed(42)),
+      "naive_bayes" -> (() => new NaiveBayes().setModelType("gaussian")))
+    val folded = graft.ml.Split.tagStratifiedKFold(df, "index", "y", 5).cache()
+    val cv = for (name <- estimators.keys.toSeq.sorted; fold <- 0 until 5) yield {
+      val train = folded.filter(col("fold") =!= fold)
+      val test = folded.filter(col("fold") === fold)
+      val fitted = Models.pipelineFor(estimators(name)(), feats, "y").fit(train)
+      graft.ml.CvResult(name, fold,
+        Models.evaluate(fitted.transform(test), "y"),
+        Models.evaluate(fitted.transform(test), "y", "f1"))
+    }
+    val means = cv.groupBy(_.model).view
+      .mapValues(rs => rs.map(_.accuracy).sum / rs.size).toMap
+    info(s"wine CV means: $means  (reference: rf 0.666, dt 0.588, nb 0.452)")
+
+    // same ranking as the reference tournament
+    assert(means("random_forest") > means("decision_tree"))
+    assert(means("decision_tree") > means("naive_bayes"))
+    // levels statistically comparable to BASELINE.md (generous ±0.05 band:
+    // different fold RNG + MLlib vs sklearn hyperparameter defaults)
+    assert(math.abs(means("random_forest") - 0.6664) < 0.05,
+      s"rf ${means("random_forest")} too far from reference 0.6664")
+    assert(math.abs(means("decision_tree") - 0.5881) < 0.06,
+      s"dt ${means("decision_tree")} too far from reference 0.5881")
+    assert(math.abs(means("naive_bayes") - 0.4515) < 0.08,
+      s"nb ${means("naive_bayes")} too far from reference 0.4515")
+  }
+}
