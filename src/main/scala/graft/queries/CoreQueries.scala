@@ -268,6 +268,43 @@ object CoreQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q6 shape — tight filter + single aggregate (pushdown showcase).
+    "q_a_tpch_q6" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q12 shape — join + conditional counting by priority class.
+    "q_j_tpch_q12" -> ((s, d) => {
+      val o = Tables(s, d, "orders"); val l = Tables(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q14 shape — conditional revenue share over a join.
+    "q_j_tpch_q14" -> ((s, d) => {
+      val p = Tables(s, d, "part"); val l = Tables(s, d, "lineitem")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          (dsum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+            * 100.0 /
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("promo_revenue_pct"))
+    }),
+
     // M10 — deterministic modulo split.
     "q_m10_modulo_split" -> ((s, d) =>
       Split.tagModulo(Tables(s, d, "events"), "event_id", 5, 4)
@@ -556,6 +593,31 @@ object CoreQueries {
       """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_a_tpch_q6" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24""".stripMargin,
+
+    "q_j_tpch_q12" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_j_tpch_q14" ->
+      s"""SELECT ${dsumSql(
+           "CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) " +
+           "ELSE 0.0 END")} * 100.0 /
+         | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS promo_revenue_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "q_m10_modulo_split" ->
       s"""SELECT CASE WHEN event_id % 5 = 4 THEN 'test' ELSE 'train' END AS split,
