@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expressions.FloatDotProduct
+import graft.sim.Similarity
+
+class ExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native dot product is bit-identical to the HOF fold") {
+    val e = graft.core.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("b")),
+        Seq("vec_id"))
+    val diff = pairs.select(
+      FloatDotProduct.dot(col("a"), col("b")).as("native"),
+      Similarity.dotFold(col("a"), col("b")).as("fold"))
+      .filter(col("native") =!= col("fold")).count()
+    assert(diff == 0, "native and fold dot products must agree exactly")
+  }
+
+  test("null array yields null; mismatched type fails analysis") {
+    val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    val row = df.select(FloatDotProduct.dot(col("a"), col("b"))).head
+    assert(row.isNullAt(0))
+    val bad = Seq((1, "x")).toDF("a", "b")
+    intercept[Exception] {
+      bad.select(FloatDotProduct.dot(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("native dot is substantially faster than the interpreted fold") {
+    val e = graft.core.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+      .cache()
+    e.count()
+    def time(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      (1 to 20).foreach(_ => e.select(sum(c)).collect())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tf = time(Similarity.dotFold(col("a"), col("b")))
+    val tn = time(FloatDotProduct.dot(col("a"), col("b")))
+    info(f"fold: $tf%.2f s, native: $tn%.2f s (x${tf / tn}%.1f)")
+    assert(tn < tf, "codegen'd expression should not be slower than the fold")
+    e.unpersist()
+  }
+}
