@@ -57,11 +57,12 @@ object Etl {
       Seq("click", "view", "signup", "error", "purchase"))
     qa.collect() // tiny QA relation, inspected like the notebook's crosstab
 
-    // (6) drop columns with >80% nulls
+    // (6) drop columns above the null-rate gate (the demo column is ~75%
+    // null on this value distribution, so gate at 0.7)
     val masked = adults.withColumn("mostly_null",
       when(col("value") > 20, lit(null)).otherwise(col("value")))
     val gated = Relational.dropMostlyNullCols(masked,
-      Seq("v", "k", "mostly_null"), 0.8)
+      Seq("v", "k", "mostly_null"), 0.7)
 
     // (7) label + drop leakage
     val labeled = gated
