@@ -89,6 +89,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.columns.toSeq.sorted == Seq("k", "label", "v"))
   }
 
+  test("parquet table replays as a file-source stream; agg matches batch") {
+    // the events table itself, replayed through readStream with a watermark
+    val sfDir = "/root/testdata/sf0.001"
+    val batchDf = graft.core.Tables(spark, sfDir, "events")
+    // the file-stream source wants a directory: stage the table file
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(dir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = StreamOps.toMemorySink(
+      StreamOps.streamingTumblingAgg(stream, "1 hour", "2 hours"), "t_file")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_file")
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StreamOps.tumblingAgg(batchDf, "1 hour")
+      .select(col("w_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("props JSON extraction") {
     val df = Seq(("""{"k": 42}""", "a")).toDF("props", "event_type")
     val k = StreamOps.withPropsField(df, "k", "k").head.getAs[Long]("k")
