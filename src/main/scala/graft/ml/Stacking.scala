@@ -75,3 +75,32 @@ object Stacking {
       .withColumnRenamed("prediction", "stack_prediction")
   }
 }
+
+/** E8 — bagging: n base models fitted on deterministic bootstrap resamples,
+  * predictions averaged. Ref: src/ensemble/alternative.py:120-151. */
+object Bagging {
+
+  def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
+          idCol: String, nBags: Int = 5, ratio: Double = 1.0,
+          modelName: String = "decision_tree"): Seq[org.apache.spark.ml.PipelineModel] = {
+    val registry = Models.registry(numClasses = 2, nFeatures = featureCols.size)
+    (0 until nBags).map { b =>
+      val sample = Split.bootstrap(train, idCol, ratio, seed = 42 + b)
+      Models.pipelineFor(registry(modelName)(), featureCols, labelCol).fit(sample)
+    }
+  }
+
+  /** Average of the bags' P(1); threshold at 0.5 for the class. */
+  def transform(models: Seq[org.apache.spark.ml.PipelineModel], df: DataFrame,
+                idCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val scored = models.zipWithIndex.map { case (m, i) =>
+      m.transform(df).select(col(idCol),
+        element_at(vector_to_array(col("probability")), 2).as(s"__b_$i"))
+    }.reduce(_.join(_, Seq(idCol)))
+    val avgP = models.indices.map(i => col(s"__b_$i")).reduce(_ + _) / models.size
+    df.join(scored.select(col(idCol), avgP.as("bag_probability")), Seq(idCol))
+      .withColumn("bag_prediction",
+        when(col("bag_probability") >= 0.5, 1.0).otherwise(0.0))
+  }
+}

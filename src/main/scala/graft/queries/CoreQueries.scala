@@ -339,12 +339,17 @@ object CoreQueries {
       Prep.oneHot(Tables(s, d, "customer").select("c_custkey", "c_mktsegment"),
         "c_mktsegment", segments).drop("c_mktsegment").orderBy("c_custkey")),
 
-    // M1 — standard scaling, fit-then-apply.
+    // M1 — standard scaling, fit-then-apply. The z-score is invariant
+    // under linear scaling, so fit on x·0.001: the fitted sums stay within
+    // the cross-engine-exact decimal range at any scale factor.
     "q_m1_standard_scale" -> ((s, d) => {
       val c = Tables(s, d, "customer")
-      val fitted = Prep.fitStandardScaler(c, Seq("c_acctbal"))
-      Prep.standardScale(c.select("c_custkey", "c_acctbal"), fitted, Seq("c_acctbal"))
-        .withColumnRenamed("c_acctbal", "z").orderBy("c_custkey")
+      val fitted = Prep.fitStandardScaler(
+        c.withColumn("__s", col("c_acctbal") * 0.001), Seq("__s"))
+      val row = fitted.collect()(0)
+      val m = row.getAs[Double]("__s__mean"); val sd = row.getAs[Double]("__s__std")
+      c.select(col("c_custkey"),
+        ((col("c_acctbal") * 0.001 - m) / sd).as("z")).orderBy("c_custkey")
     }),
 
     // A13 — median imputation fit → apply → checksum.
@@ -653,9 +658,9 @@ object CoreQueries {
     },
 
     "q_m1_standard_scale" ->
-      s"""WITH st AS (SELECT ${davgSql("c_acctbal")} AS m, ${dstddevSql("c_acctbal")} AS s
-         | FROM customer)
-         |SELECT c_custkey, (c_acctbal - st.m) / st.s AS z
+      s"""WITH st AS (SELECT ${davgSql("c_acctbal * 0.001")} AS m,
+         |  ${dstddevSql("c_acctbal * 0.001")} AS s FROM customer)
+         |SELECT c_custkey, (c_acctbal * 0.001 - st.m) / st.s AS z
          |FROM customer, st ORDER BY c_custkey""".stripMargin,
 
     "q_a13_impute_median" ->

@@ -83,6 +83,22 @@ class TransformStackSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("bagging averages bootstrap models and classifies the holdout") {
+    val df = binary(800).cache()
+    val tagged = Split.tagHoldout(df, "id", 0.3)
+    val train = tagged.filter(col("split") === "train")
+    val test = tagged.filter(col("split") === "test")
+    val bags = graft.ml.Bagging.fit(train, Seq("f0", "f1", "f2"), "y", "id", nBags = 3)
+    val scored = graft.ml.Bagging.transform(bags, test, "id")
+    val acc = scored.filter(col("bag_prediction") === col("y")).count().toDouble /
+      scored.count()
+    info(s"bagging holdout acc=$acc")
+    assert(acc > 0.9)
+    assert(scored.agg(min("bag_probability"), max("bag_probability")).head
+      .toSeq.forall { case d: Double => d >= 0.0 && d <= 1.0 })
+    df.unpersist()
+  }
+
   test("fitted MLlib pipelines persist and reload (S11)") {
     val df = binary(400)
     val pipe = Models.pipelineFor(
