@@ -14,18 +14,25 @@ object Bench {
     // JVM/codegen/parquet-reader warmup outside the timed loop
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+    // 3-decimal rounding keeps the whole JSON line under ~2 KB: the driver
+    // captures only the tail of the run output, and a full-precision line
+    // for ~70 queries overflows that window and defeats its JSON parse.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent; drop any cache a pipeline persisted
       spark.catalog.clearCache()
-      name -> dt
+      // a crashed query reports -1 instead of a normal-looking duration
+      name -> (if (ok) r3(dt) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nFailed = results.count(_._2 < 0)
+    val total = r3(results.values.filter(_ >= 0).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

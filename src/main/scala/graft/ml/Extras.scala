@@ -66,14 +66,37 @@ object Extras {
       .drop(models.indices.map(i => s"__p_$i"): _*)
   }
 
+  /** Global 1..n rank by a hash key WITHOUT a single-partition window: rank
+    * inside 256 hash-prefix buckets in parallel, then add per-bucket offsets
+    * (the only global window runs over the 256 bucket-count rows). The
+    * bucket is a PREFIX of the order key, so bucket order is consistent
+    * with the global order. Adds `rankCol`; `__h` is the order key. */
+  private def hashRank(df: DataFrame, keyCol: String, seed: Int,
+                       rankCol: String): DataFrame = {
+    val bucketed = df
+      .withColumn("__h", Split.hashKey(col(keyCol), seed))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val wLocal = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col(keyCol))
+    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    bucketed.withColumn("__lr", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn(rankCol, col("__off") + col("__lr"))
+      .drop("__h", "__b", "__lr", "__off")
+  }
+
   /** M14 — permutation importance: shuffle ONE feature column (deterministic
     * md5-rank rotation — a derangement-free but uniform permutation), score,
     * Δ = base metric − permuted metric. Distributed: the permutation is a
-    * self-join on shifted ranks, never a driver materialization.
+    * self-join on shifted ranks, never a driver materialization nor a
+    * single-partition global sort (see [[hashRank]]).
     * Ref: wine nb 11 cell 46. */
   def permuteColumn(df: DataFrame, idCol: String, c: String, seed: Int): DataFrame = {
-    val w = Window.orderBy(Split.hashKey(col(idCol), seed), col(idCol))
-    val ranked = df.withColumn("__rn", row_number().over(w))
+    val ranked = hashRank(df, idCol, seed, "__rn")
     val n = df.count()
     val shifted = ranked.select(
       (pmod(col("__rn"), lit(n)) + 1).as("__rn"), col(c).as("__perm"))

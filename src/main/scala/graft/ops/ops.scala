@@ -76,15 +76,20 @@ object Relational {
     df.groupBy(rowCol).pivot(colCol, colValues).agg(count(lit(1)))
       .na.fill(0).orderBy(rowCol)
 
-  /** A5 — crosstab with normalize='index' (row shares).
+  /** A5 — crosstab with normalize='index' (row shares). The denominator is
+    * the TRUE per-group row count (pandas normalize='index' semantics), not
+    * the sum of the listed pivot columns — the two differ whenever
+    * `colValues` does not enumerate the full domain of `colCol`.
     * Ref: target_eda.py:49-53. */
   def crosstabRowShare(df: DataFrame, rowCols: Seq[String], colCol: String,
                        colValues: Seq[String]): DataFrame = {
     val counted = df.groupBy(rowCols.map(col): _*)
       .pivot(colCol, colValues).agg(count(lit(1))).na.fill(0)
-    val total = colValues.map(v => col(v)).reduce(_ + _)
-    val shares = colValues.map(v => (col(v) / total).as(v))
-    counted.select(rowCols.map(col) ++ shares: _*).orderBy(rowCols.map(col): _*)
+    val totals = df.groupBy(rowCols.map(col): _*)
+      .agg(count(lit(1)).as("__row_total"))
+    val shares = colValues.map(v => (col(v) / col("__row_total")).as(v))
+    counted.join(totals, rowCols)
+      .select(rowCols.map(col) ++ shares: _*).orderBy(rowCols.map(col): _*)
   }
 
   /** A6 — pivot_table(index, columns, values, aggfunc=mean).

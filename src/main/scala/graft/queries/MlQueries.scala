@@ -58,13 +58,20 @@ object MlQueries {
     }),
 
     // A16 — high-correlation feature pruning; result = dropped columns.
+    // The mix columns are tuned so corr(q,mix1)≈0.975 and corr(mix1,mix2)
+    // ≈0.979 exceed the 0.95 threshold while corr(q,mix2)≈0.909 does not:
+    // the greedy upper-triangle walk drops ONLY mix1 (the (mix1,mix2) pair
+    // is skipped because mix1 is already gone), whereas "every col_b of a
+    // hot pair" would also drop mix2 — so the oracle guards the greedy
+    // semantics, not just the result on trivially-correlated data.
     "q_a16_corr_prune" -> ((s, d) => {
       import s.implicits._
       val l = Tables(s, d, "lineitem")
-        .withColumn("qty2", col("l_quantity") * 2.0)
-      val cols = Seq("l_quantity", "qty2", "l_extendedprice", "l_discount")
+        .withColumn("mix1", col("l_quantity") + col("l_discount") * 114.0)
+        .withColumn("mix2", col("l_quantity") + col("l_discount") * 228.0)
+      val cols = Seq("l_quantity", "mix1", "mix2", "l_discount")
       val corr = Prep.corrMatrix(l, cols)
-      Prep.highCorrDrops(corr, cols, 0.99).toDF("col_name").orderBy("col_name")
+      Prep.highCorrDrops(corr, cols, 0.95).toDF("col_name").orderBy("col_name")
     }),
 
     // M13 — deterministic bootstrap resample (≈ Poisson(1) replication).
@@ -162,15 +169,26 @@ object MlQueries {
         |) t WHERE r < 0.8 ORDER BY col_name""".stripMargin,
 
     "q_a16_corr_prune" -> {
-      val cols = Seq("l_quantity", "qty2", "l_extendedprice", "l_discount")
-      val branches = (for {
+      // Greedy upper-triangle walk over cols = [q, m1, m2, d] encoded
+      // explicitly: a column is dropped iff some EARLIER SURVIVING column
+      // correlates above the threshold with it (Prep.highCorrDrops).
+      val cols = Seq("l_quantity", "mix1", "mix2", "l_discount")
+      val corrs = (for {
         i <- cols.indices; j <- cols.indices if i < j
-      } yield s"SELECT '${cols(j)}' AS col_name, " +
-        s"${dcorrSql(cols(i), cols(j))} AS corr FROM src")
-        .mkString("\nUNION ALL\n")
-      s"""WITH src AS (SELECT *, l_quantity * 2.0 AS qty2 FROM lineitem)
-         |SELECT DISTINCT col_name FROM (\n$branches\n) t
-         |WHERE ABS(corr) > 0.99 ORDER BY col_name""".stripMargin
+      } yield s"ABS(${dcorrSql(cols(i), cols(j))}) > 0.95 AS hot_${i}_$j")
+        .mkString(",\n ")
+      s"""WITH src AS (SELECT l_quantity, l_discount,
+         |  l_quantity + l_discount * 114.0 AS mix1,
+         |  l_quantity + l_discount * 228.0 AS mix2 FROM lineitem),
+         |h AS (SELECT $corrs FROM src),
+         |g AS (SELECT hot_0_1 AS drop_1,
+         |  (hot_0_2 OR (NOT hot_0_1 AND hot_1_2)) AS drop_2, * FROM h),
+         |g2 AS (SELECT *, (hot_0_3 OR (NOT drop_1 AND hot_1_3)
+         |  OR (NOT drop_2 AND hot_2_3)) AS drop_3 FROM g)
+         |SELECT col_name FROM g2, (VALUES ('${cols(1)}', 1), ('${cols(2)}', 2),
+         |  ('${cols(3)}', 3)) v(col_name, ci)
+         |WHERE (ci = 1 AND drop_1) OR (ci = 2 AND drop_2) OR (ci = 3 AND drop_3)
+         |ORDER BY col_name""".stripMargin
     },
 
     "q_m13_bootstrap" ->

@@ -16,6 +16,9 @@ object MultimodalQueries {
       val docs = Multimodal.withFakeImage(
         Tables(s, d, "documents").filter(col("doc_id") < 50), "text")
       Multimodal.sampleFrames(docs, "doc_id", "image", frameBytes = 32, stride = 2)
+        // surface the frame as UTF-8 text (the fake media is ASCII): the
+        // driver's pandas-side hasher cannot hash raw binary cells
+        .withColumn("frame", decode(col("frame"), "UTF-8"))
         .orderBy("doc_id", "frame_idx")
     }),
 
@@ -33,9 +36,9 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     "q_mm_frame_sample" ->
       // the fake media bytes are UTF-8 of ASCII text, so a VARCHAR
-      // substring cast to BLOB is byte-identical to the binary slice
+      // substring is byte-identical to the binary slice decoded back
       """SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
-        | CAST(substring(text, CAST(fi AS INTEGER) * 32 + 1, 32) AS BLOB) AS frame
+        | substring(text, CAST(fi AS INTEGER) * 32 + 1, 32) AS frame
         |FROM documents,
         | LATERAL (SELECT unnest(range(0, CAST(octet_length(CAST(text AS BLOB)) // 32
         |   AS INTEGER), 2)) AS fi) t

@@ -106,7 +106,9 @@ object TextSimQueries {
         .orderBy("id_a")
     }),
 
-    // MinHash+LSH near-dup pipeline (rows-only; recall tested in ScalaTest).
+    // MinHash+LSH near-dup pipeline. Oracle-checked: the fast UDF signature
+    // is bit-identical to the md5-expression form, and band-sharing is
+    // expressible as signature-slice equality in SQL.
     "q_x_minhash_neardup" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       // bands=2 (8 rows/band): the synthetic corpus shares a tiny
@@ -120,9 +122,11 @@ object TextSimQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pipeline (rows-only). Small-vocabulary corpora
-    // saturate the fingerprint, so the query reports the hamming histogram
-    // rather than the (quadratically large) raw pair set.
+    // SimHash near-dup pipeline. Small-vocabulary corpora saturate the
+    // fingerprint, so the query reports the hamming histogram rather than
+    // the (quadratically large) raw pair set. Oracle-checked: with
+    // maxHamming < bands the pigeonhole makes banding EXACT, so the SQL
+    // oracle can skip the banding and filter all pairs by hamming.
     "q_x_simhash_neardup" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       TextOps.simhashNearDupPairs(docs.unionByName(
@@ -153,10 +157,14 @@ object TextSimQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // Embedding-cosine near-dup pairs (rows-only).
+    // Embedding-cosine near-dup pairs, LSH-blocked, decimal-exact cosine.
+    // Oracle-checked against an all-pairs SQL scan: safe because qualifying
+    // pairs are exact duplicates (same bucket in every table — LSH recall
+    // is 1.0 for them) and the organic cosine ceiling (~0.51) is far below
+    // the 0.999 threshold.
     "q_x_embed_neardup" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
-      Similarity.cosineNearDupPairs(e.unionByName(
+      Similarity.cosineNearDupPairsExact(e.unionByName(
         e.select(col("vec_id") + 100000, col("embedding"), col("label"))
           .toDF(e.columns: _*)), threshold = 0.999)
         .orderBy("id_a", "id_b")
@@ -279,6 +287,76 @@ object TextSimQueries {
          |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |WHERE a.doc_id < 100 ORDER BY id_a""".stripMargin,
+
+    "q_x_minhash_neardup" -> {
+      val mins = (0 until 16).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
+        .mkString(",\n   ")
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |shx AS (SELECT doc_id, $shinglesSql AS sh FROM u),
+         |sig AS (SELECT doc_id, sh, [$mins] AS sg FROM shx),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sh AS sha, b.sh AS shb,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
+         |      AS est_jaccard
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |    AND (a.sg[1:8] = b.sg[1:8] OR a.sg[9:16] = b.sg[9:16])),
+         |ex AS (SELECT id_a, id_b, est_jaccard,
+         |    len(list_intersect(sha, shb))
+         |      / CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE)
+         |      AS jaccard
+         |  FROM cand WHERE est_jaccard >= 0.25)
+         |SELECT id_a, id_b, est_jaccard, jaccard FROM ex
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_x_simhash_neardup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_distinct(
+        |    regexp_split_to_array(trim(lower(trim(
+        |      regexp_replace(text, '\s+', ' ', 'g')))), '\s+'))) AS t FROM u),
+        |bits AS (SELECT doc_id, b,
+        |  SUM(CASE WHEN ((strpos('0123456789abcdef',
+        |      substr(md5(t), 8 - b // 4, 1)) - 1)
+        |      // CAST(power(2, b % 4) AS INTEGER)) % 2 = 1
+        |    THEN 1 ELSE -1 END) AS c
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb
+        |  GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 0
+        |  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id)
+        |SELECT CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming,
+        |  COUNT(*) AS n_pairs
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_x_embed_neardup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+        |    * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS n2
+        |  FROM u, idx GROUP BY vec_id),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.embedding AS va, b.embedding AS vb
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    >= 0.9 * sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |dots AS (SELECT id_a, id_b, CAST(SUM(CAST(CAST(va[i] AS DOUBLE)
+        |    * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+        |  FROM cand, idx GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+        |FROM dots JOIN n2 na ON na.vec_id = id_a JOIN n2 nb ON nb.vec_id = id_b
+        |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_v_knn_brute" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),

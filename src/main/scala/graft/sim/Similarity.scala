@@ -125,11 +125,11 @@ object Similarity {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked
-    * (never n² at scale); exact-cosine verified. */
-  def cosineNearDupPairs(df: DataFrame, threshold: Double,
-                         nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** LSH-blocked candidate ID pairs (id_a < id_b, deduped across tables) —
+    * the shared blocking stage of the near-dup variants below. */
+  def nearDupCandidates(df: DataFrame, nPlanes: Int = 12, nTables: Int = 4,
+                        dim: Int = 64, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
     val sigs = df.select(col(idCol), col(vecCol),
       explode(array((0 until nTables).map(t => concat_ws(":", lit(t),
         hyperplaneSignature(col(vecCol), nPlanes, dim, seed = 77 + t))): _*))
@@ -137,12 +137,44 @@ object Similarity {
     val l = sigs.select(col("__bucket"), col(idCol).as("id_a"))
     val r = sigs.select(col("__bucket"), col(idCol).as("id_b"))
     // distinct ID pairs first; vectors join back once for the cosine check
-    val pairs = l.join(r, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+    l.join(r, Seq("__bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    pairs
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked
+    * (never n² at scale); exact-cosine verified. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+                         nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    nearDupCandidates(df, nPlanes, nTables, dim, idCol, vecCol)
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
       .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+
+  /** Oracle-matched variant: the surviving pairs' cosines are accumulated
+    * through DECIMAL(30,12) per-element products (order-independent, bit-
+    * identical to a SQL engine using the same accumulation). The blocking
+    * stage is unchanged; only the few candidate pairs pay the exact path. */
+  def cosineNearDupPairsExact(df: DataFrame, threshold: Double,
+                              nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.ops.Num.dsum12
+    val n2 = df.select(col(idCol),
+        explode(transform(col(vecCol), x => x.cast("double") * x.cast("double"))).as("p"))
+      .groupBy(idCol).agg(dsum12(col("p")).as("n2"))
+    val dots = nearDupCandidates(df, nPlanes, nTables, dim, idCol, vecCol)
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        posexplode(zip_with(col("va"), col("vb"),
+          (x, y) => x.cast("double") * y.cast("double"))))
+      .groupBy("id_a", "id_b").agg(dsum12(col("col")).as("dot"))
+    dots
+      .join(n2.select(col(idCol).as("id_a"), col("n2").as("n2a")), Seq("id_a"))
+      .join(n2.select(col(idCol).as("id_b"), col("n2").as("n2b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -153,11 +185,16 @@ object Similarity {
     * centroid id, giving co-partitioned probe joins at scale. */
   def ivfIndex(corpus: DataFrame, nCentroids: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    // Deterministic "sample": smallest nCentroids md5(vec_id) values.
-    val w = Window.orderBy(md5(col(idCol).cast("string")))
-    val centroids = corpus.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nCentroids)
-      .select(col("__rn").as("centroid_id"), col(vecCol).as("centroid"))
+    // Deterministic "sample": smallest nCentroids md5(vec_id) values, via
+    // orderBy+limit (executes as TakeOrdered — per-partition top-N + driver
+    // merge, never a single-partition sort of the corpus). The row_number
+    // window then runs over nCentroids rows only.
+    val picked = corpus
+      .select(md5(col(idCol).cast("string")).as("__h"), col(vecCol).as("centroid"))
+      .orderBy(col("__h")).limit(nCentroids)
+    val centroids = picked
+      .withColumn("centroid_id", row_number().over(Window.orderBy(col("__h"))))
+      .select(col("centroid_id"), col("centroid"))
     val assigned = corpus.crossJoin(broadcast(centroids))
       .withColumn("__d", cosine(col(vecCol), col("centroid")))
       .withColumn("__r", row_number().over(

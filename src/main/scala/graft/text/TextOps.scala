@@ -151,32 +151,40 @@ object TextOps {
     }
   }
 
-  /** Fast numeric minhash: murmur3 per shingle + `numHashes` universal-hash
-    * permutations h_i(x) = (a_i·x + b_i) mod p, all in one tight JVM loop.
+  /** MD5 hex digest in a tight JVM loop (MessageDigest is per-call state;
+    * the caller reuses one instance per row). */
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val hex = "0123456789abcdef"
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hex.charAt((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex.charAt(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Fast JVM minhash, BIT-IDENTICAL to the [[minhashSignature]] expression
+    * (same md5-string permutation minima) — so every oracle written against
+    * the expression form also verifies this one.
     *
     * Deliberately a UDF: the equivalent higher-order-function expression
     * chain is INTERPRETED by Spark (no codegen, no CSE across lambdas) and
-    * measured ~100× slower (7 ms/doc). The md5-string variant above stays
-    * as the cross-engine-reproducible form used by the oracle queries. */
-  def minhashSignatureFast(text: Column, numHashes: Int, shingleN: Int = 3,
-                           seed: Long = 42L): Column = {
-    val p = 1000000007L
-    val rng = new scala.util.Random(seed)
-    val coef = Array.fill(numHashes)((1 + rng.nextInt(Int.MaxValue - 1)).toLong,
-      rng.nextInt(Int.MaxValue).toLong)
+    * measured ~100× slower (7 ms/doc). */
+  def minhashSignatureFast(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
     val f = udf { (t: String) =>
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      shingleSet(t, shingleN).foreach { s =>
-        val h = java.lang.Integer.toUnsignedLong(
-          scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)) % p
-        var i = 0
-        while (i < numHashes) {
-          val v = (coef(i)._1 * h + coef(i)._2) % p
-          if (v < sig(i)) sig(i) = v
-          i += 1
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sh = shingleSet(t, shingleN)
+      Array.tabulate(numHashes) { i =>
+        var min: String = null
+        sh.foreach { s =>
+          val h = md5Hex(md, i + ":" + s)
+          if (min == null || h < min) min = h
         }
+        min
       }
-      sig
     }
     f(text)
   }
@@ -260,16 +268,22 @@ object TextOps {
       lit(0L), (a, x) => a + x)
   }
 
-  /** JVM fast simhash (murmur3 token hashes; pipeline use — the md5
-    * expression variant above is the oracle-reproducible form). */
+  /** JVM fast simhash, BIT-IDENTICAL to the [[simhash]] expression (token
+    * hash = first 4 md5 bytes big-endian = first 8 md5 hex chars), so
+    * expression-form oracles verify it too. bits ≤ 32 (the 32-bit token
+    * hash bounds the usable fingerprint width, as in the expression). */
   def simhashFast(text: Column, bits: Int = 32): Column = {
+    require(bits <= 32, "token hash provides 32 bits")
     val f = udf { (t: String) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       val counts = new Array[Int](bits)
       t.trim.toLowerCase.split("\\s+").distinct.foreach { tok =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(tok, 0x12345678)
+        val d = md.digest(tok.getBytes("UTF-8"))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
         var b = 0
         while (b < bits) {
-          if (((h >>> (b % 32)) & 1) == 1) counts(b) += 1 else counts(b) -= 1
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
       }

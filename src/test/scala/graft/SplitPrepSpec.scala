@@ -92,6 +92,16 @@ class SplitPrepSpec extends AnyFunSuite {
     assert(drops == Seq("a2"))
   }
 
+  test("highCorrDrops greedy walk skips pairs whose first column was dropped") {
+    // chain a~b hot, b~c hot, a~c NOT hot: greedy drops only b (the (b,c)
+    // pair is skipped because b is already gone); the naive "every col_b of
+    // a hot pair" reading would also drop c.
+    val corr = Seq(
+      ("a", "b", 0.997), ("a", "c", 0.90), ("b", "c", 0.996))
+      .toDF("col_a", "col_b", "corr")
+    assert(Prep.highCorrDrops(corr, Seq("a", "b", "c"), 0.95) == Seq("b"))
+  }
+
   test("ensemble combinators: median, votes, rank weights") {
     val df = Seq((0.2, 0.5, 0.4)).toDF("p1", "p2", "p3")
     val med = df.select(Ensemble.medianOfPredictions(

@@ -47,6 +47,22 @@ class TextSimSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
   }
 
+  test("fast UDF minhash/simhash are bit-identical to the expression forms") {
+    // the oracle SQL is written against the md5-expression forms; the fast
+    // JVM UDFs must agree exactly or the near-dup oracles silently drift
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(30)
+    val mh = docs.select(
+      TextOps.minhashSignature(col("text"), 8).as("e"),
+      TextOps.minhashSignatureFast(col("text"), 8).as("f"))
+      .collect()
+    mh.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    val sh = docs.select(
+      TextOps.simhash(col("text"), 32).as("e"),
+      TextOps.simhashFast(col("text"), 32).as("f"))
+      .collect()
+    sh.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("simhash: identical → 0 hamming, near-dup closer than unrelated") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val near = base.replace("kappa", "kappaX")
