@@ -74,11 +74,13 @@ object Split {
   def bootstrap(df: DataFrame, keyCol: String, ratio: Double = 1.0,
                 seed: Int = 42, nTrials: Int = 8): DataFrame = {
     val threshold = f"${math.floor(ratio / nTrials * 4294967296.0).toLong}%08x"
-    val copies = aggregate(
-      transform(sequence(lit(0), lit(nTrials - 1)),
-        d => when(substring(hashKey(concat_ws("#", col(keyCol), d), seed), 1, 8)
-          < threshold, 1).otherwise(0)),
-      lit(0), (a, x) => a + x)
+    // unrolled per-trial expressions, NOT a transform/aggregate lambda chain:
+    // higher-order functions are interpreted (no codegen), and the md5-per-
+    // trial loop dominated this operator's benchmark time
+    val copies = Seq.tabulate(nTrials) { d =>
+      when(substring(hashKey(concat_ws("#", col(keyCol), lit(d)), seed), 1, 8)
+        < threshold, 1).otherwise(0)
+    }.reduce(_ + _)
     // sequence(1,0) would yield [1,0] (negative step), so guard zero copies
     df.withColumn("__rep",
         explode(when(copies >= 1, sequence(lit(1), copies))

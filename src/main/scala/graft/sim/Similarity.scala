@@ -95,6 +95,31 @@ object Similarity {
       lit(0L), (acc, v) => acc + v)
   }
 
+  /** JVM fast path for [[hyperplaneSignature]], BIT-IDENTICAL to the
+    * expression form: the same plane constants, the same left-to-right
+    * double accumulation, the same sign test — but a codegen-free tight
+    * loop instead of an interpreted higher-order-function chain (which
+    * dominated the LSH blocking stages' benchmark time). */
+  def hyperplaneSignatureFast(vec: Column, nPlanes: Int, dim: Int = 64,
+                              seed: Int = 42): Column = {
+    val planes = Array.tabulate(nPlanes, dim)((p, d) => planeConst(seed, p, d))
+    val f = udf { (v: Seq[Float]) =>
+      var sig = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val plane = planes(p)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(v.length, dim)
+        while (i < n) { dot += v(i).toDouble * plane(i); i += 1 }
+        if (dot > 0) sig += (1L << p)
+        p += 1
+      }
+      sig
+    }
+    f(vec)
+  }
+
   /** LSH-bucketed ANN: join query and corpus on the hyperplane bucket, then
     * exact cosine + top-k within the candidates. Recall grows with fewer
     * planes / multiple probe tables; `nTables` OR-amplifies. */
@@ -104,7 +129,7 @@ object Similarity {
     def sig(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
         explode(array((0 until nTables).map(t => concat_ws(":", lit(t),
-          hyperplaneSignature(col(vecCol), nPlanes, dim, seed = 1042 + t))): _*))
+          hyperplaneSignatureFast(col(vecCol), nPlanes, dim, seed = 1042 + t))): _*))
           .as("__bucket"))
     val c = sig(corpus, "neighbor_id", "__cv")
     val q = sig(queries, "query_id", "__qv")
@@ -132,7 +157,7 @@ object Similarity {
                         vecCol: String = "embedding"): DataFrame = {
     val sigs = df.select(col(idCol), col(vecCol),
       explode(array((0 until nTables).map(t => concat_ws(":", lit(t),
-        hyperplaneSignature(col(vecCol), nPlanes, dim, seed = 77 + t))): _*))
+        hyperplaneSignatureFast(col(vecCol), nPlanes, dim, seed = 77 + t))): _*))
         .as("__bucket"))
     val l = sigs.select(col("__bucket"), col(idCol).as("id_a"))
     val r = sigs.select(col("__bucket"), col(idCol).as("id_b"))

@@ -63,6 +63,15 @@ class TextSimSpec extends AnyFunSuite {
     sh.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("fast hyperplane signature is bit-identical to the expression form") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(40)
+    val rows = e.select(
+      Similarity.hyperplaneSignature(col("embedding"), 12, seed = 7).as("a"),
+      Similarity.hyperplaneSignatureFast(col("embedding"), 12, seed = 7).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("simhash: identical → 0 hamming, near-dup closer than unrelated") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val near = base.replace("kappa", "kappaX")
