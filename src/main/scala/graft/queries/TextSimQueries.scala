@@ -138,23 +138,36 @@ object TextSimQueries {
     }),
 
     // Brute-force exact cosine top-k (the ANN baseline), decimal-exact.
-    "q_v_knn_brute" -> ((s, d) => knnBruteExact(s, d, k = 5)),
-
-    // Hyperplane-LSH ANN (rows-only; recall vs brute force in ScalaTest).
-    "q_v_lsh_ann" -> ((s, d) => {
+    "q_v_knn_brute" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 5,
-        nPlanes = 4, nTables = 4)
-        .orderBy("query_id", "rank")
+      val pairs = e.select(col("vec_id").as("neighbor_id"))
+        .crossJoin(broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"))))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+      exactCosineTopK(e, pairs, k = 5)
     }),
 
-    // IVF ANN (rows-only).
+    // Hyperplane-LSH ANN. Oracle-checked: the plane constants are driver-
+    // computed and inlined into the oracle SQL as literals, the signature
+    // dot products accumulate left-to-right doubles in both engines, and
+    // the candidate scoring uses decimal-exact cosine on both sides.
+    "q_v_lsh_ann" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val pairs = Similarity.lshCandidates(e, e.filter(col("vec_id") < 5),
+        nPlanes = 4, nTables = 4)
+      exactCosineTopK(e, pairs, k = 5)
+    }),
+
+    // IVF ANN. Oracle-checked: centroid pick is an md5-ordered top-N,
+    // assignment/probe argmaxes have margins far above any float-summation
+    // ulp, and candidate scoring is decimal-exact.
     "q_v_ivf_ann" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
       val (centroids, assigned) = Similarity.ivfIndex(e, nCentroids = 16)
-      Similarity.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
-        k = 5, nProbe = 4)
-        .orderBy("query_id", "rank")
+      val pairs = Similarity.ivfCandidates(assigned, centroids,
+        e.filter(col("vec_id") < 5), nProbe = 4)
+      exactCosineTopK(e, pairs, k = 5)
     }),
 
     // Embedding-cosine near-dup pairs, LSH-blocked, decimal-exact cosine.
@@ -170,15 +183,29 @@ object TextSimQueries {
         .orderBy("id_a", "id_b")
     }))
 
-  /** Exact top-k cosine: products exploded and accumulated through
-    * decimal(30,12) — order-independent, oracle-matched. The fast
-    * (codegen fold) path lives in Similarity.bruteForceTopK. */
-  private def knnBruteExact(s: SparkSession, d: String, k: Int): DataFrame = {
-    val e = Tables(s, d, "embeddings")
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val dots = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+  /** Exact top-k cosine over given candidate (query_id, neighbor_id)
+    * pairs: products exploded and accumulated through decimal(30,12) —
+    * order-independent, oracle-matched. Shared by the brute/LSH/IVF ANN
+    * queries (only the candidate generation differs); the fast (codegen
+    * fold) path lives in Similarity.bruteForceTopK/lshTopK/ivfTopK. */
+  private def exactCosineTopK(e: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    // Prune with the CODEGEN'D fast cosine first — exact decimal scoring is
+    // ~100× costlier per pair, so only a top-(k+45) margin per query pays
+    // it. Fast-vs-exact differences are sub-ulp; they cannot demote a true
+    // top-k neighbor below rank k+45, so the final ranking is unaffected
+    // (the oracle exact-scores ALL candidates and still matches).
+    val fastW = Window.partitionBy("query_id")
+      .orderBy(col("__fc").desc, col("neighbor_id").asc)
+    val pruned = pairs
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("__fc"))
+      .withColumn("__pr", row_number().over(fastW)).filter(col("__pr") <= k + 45)
+      .select("query_id", "neighbor_id")
+    val dots = pruned
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         posexplode(zip_with(col("qv"), col("cv"),
           (x, y) => x.cast("double") * y.cast("double"))))
@@ -196,6 +223,47 @@ object TextSimQueries {
     cos.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  /** Oracle suffix shared by the ANN queries: decimal-exact cosine + rank
+    * over a `pairs(query_id, neighbor_id)` CTE. */
+  private def exactScoreSql(k: Int): String =
+    s"""idx AS (SELECT unnest(range(1, 65)) AS i),
+       |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+       |    * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS n2
+       |  FROM embeddings, idx GROUP BY vec_id),
+       |dots AS (SELECT query_id, neighbor_id,
+       |  CAST(SUM(CAST(CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)
+       |    AS DECIMAL(30,12))) AS DOUBLE) AS dot
+       |  FROM pairs JOIN embeddings qe ON qe.vec_id = query_id
+       |    JOIN embeddings ce ON ce.vec_id = neighbor_id, idx
+       |  GROUP BY 1, 2),
+       |cosx AS (SELECT query_id, neighbor_id,
+       |  dot / (SQRT(nq.n2) * SQRT(nc.n2)) AS cosine
+       |  FROM dots JOIN n2 nq ON nq.vec_id = query_id
+       |    JOIN n2 nc ON nc.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |  ORDER BY cosine DESC, neighbor_id) AS rn FROM cosx) t
+       |WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Hyperplane-signature SQL for LSH table `t`: the same driver-computed
+    * plane constants as Similarity.hyperplaneSignature(Fast), inlined as
+    * double literals; addition order mirrors the JVM fold exactly. */
+  private def sigSql(nPlanes: Int, dim: Int, seed: Int): String =
+    (0 until nPlanes).map { p =>
+      val dot = (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE)*${Similarity.planeConst(seed, p, i)}")
+        .mkString(" + ")
+      s"CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Fast double cosine in SQL (assignment/probe argmax only — margins
+    * there are far above float-summation ulp differences). */
+  private def fastCosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |  / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_x_quality" ->
@@ -359,20 +427,41 @@ object TextSimQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_v_knn_brute" ->
-      """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
-        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-        |    * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS n2
-        |  FROM embeddings, idx GROUP BY vec_id),
-        |dots AS (SELECT q.qid, e.vec_id AS nid,
-        |  CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
-        |    AS DECIMAL(30,12))) AS DOUBLE) AS dot
-        |  FROM q, embeddings e, idx WHERE e.vec_id != q.qid GROUP BY 1, 2),
-        |cos AS (SELECT qid AS query_id, nid AS neighbor_id,
-        |  dot / (SQRT(nq.n2) * SQRT(nc.n2)) AS cosine
-        |  FROM dots JOIN n2 nq ON nq.vec_id = qid JOIN n2 nc ON nc.vec_id = nid)
-        |SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |  ORDER BY cosine DESC, neighbor_id) AS rn FROM cos) t
-        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)
+      s"""WITH pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         |  FROM embeddings e CROSS JOIN
+         |    (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+         |  WHERE e.vec_id != q.vec_id),
+         |${exactScoreSql(5)}""".stripMargin,
+
+    "q_v_lsh_ann" -> {
+      val sigs = (0 until 4).map(t =>
+        s"${sigSql(nPlanes = 4, dim = 64, seed = 1042 + t)} AS s_$t")
+        .mkString(",\n  ")
+      val share = (0 until 4).map(t => s"q.s_$t = c.s_$t").mkString(" OR ")
+      s"""WITH sig AS (SELECT vec_id,
+         |  $sigs FROM embeddings),
+         |q AS (SELECT * FROM sig WHERE vec_id < 5),
+         |pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM q JOIN sig c ON c.vec_id != q.vec_id AND ($share)),
+         |${exactScoreSql(5)}""".stripMargin
+    },
+
+    "q_v_ivf_ann" -> {
+      val cosEC = fastCosSql("e.embedding", "c.centroid")
+      s"""WITH cent AS (SELECT * FROM (SELECT ROW_NUMBER() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id,
+         |    embedding AS centroid FROM embeddings) t WHERE centroid_id <= 16),
+         |assign AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.centroid_id) AS r
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE r = 1),
+         |probe AS (SELECT query_id, centroid_id FROM (
+         |  SELECT e.vec_id AS query_id, c.centroid_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.centroid_id) AS r
+         |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) t WHERE r <= 4),
+         |pairs AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
+         |    AND a.vec_id != p.query_id),
+         |${exactScoreSql(5)}""".stripMargin
+    })
 }

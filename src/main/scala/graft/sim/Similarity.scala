@@ -69,7 +69,7 @@ object Similarity {
     * embedded as a literal — the generated per-row code is pure mult-adds
     * (the naive version evaluated an md5 per row·plane·dim and dominated
     * the whole benchmark). */
-  private def planeConst(seed: Int, p: Int, d: Int): Double = {
+  private[graft] def planeConst(seed: Int, p: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"$seed:$p:$d".getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
@@ -120,24 +120,30 @@ object Similarity {
     f(vec)
   }
 
-  /** LSH-bucketed ANN: join query and corpus on the hyperplane bucket, then
-    * exact cosine + top-k within the candidates. Recall grows with fewer
-    * planes / multiple probe tables; `nTables` OR-amplifies. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def sig(df: DataFrame, idAs: String, vecAs: String) =
-      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+  /** LSH candidate (query_id, neighbor_id) pairs: rows sharing any of the
+    * `nTables` hyperplane buckets, deduped (a pair found by several tables
+    * would otherwise be scored several times). Recall grows with fewer
+    * planes / more tables; `nTables` OR-amplifies. The blocking stage of
+    * [[lshTopK]], exposed for oracle-matched exact scoring. */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame,
+                    nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def sig(df: DataFrame, idAs: String) =
+      df.select(col(idCol).as(idAs),
         explode(array((0 until nTables).map(t => concat_ws(":", lit(t),
           hyperplaneSignatureFast(col(vecCol), nPlanes, dim, seed = 1042 + t))): _*))
           .as("__bucket"))
-    val c = sig(corpus, "neighbor_id", "__cv")
-    val q = sig(queries, "query_id", "__qv")
     // dedupe candidate ID pairs FIRST (a pair found by several tables is
     // otherwise scored nTables times), then join vectors back once
-    val pairs = c.drop("__cv").join(q.drop("__qv"), Seq("__bucket"))
+    sig(corpus, "neighbor_id").join(sig(queries, "query_id"), Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
+  }
+
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 8, nTables: Int = 4, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = lshCandidates(corpus, queries, nPlanes, nTables, dim, idCol, vecCol)
     val cands = pairs
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
         Seq("neighbor_id"))
@@ -229,21 +235,35 @@ object Similarity {
     (centroids, assigned)
   }
 
-  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
-              k: Int, nProbe: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** IVF candidate (query_id, neighbor_id) pairs: each query probes its
+    * `nProbe` nearest centroids and meets the vectors assigned there.
+    * The blocking stage of [[ivfTopK]], exposed for oracle-matched exact
+    * scoring. */
+  def ivfCandidates(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+                    nProbe: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
     val qc = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .crossJoin(broadcast(centroids))
       .withColumn("__r", row_number().over(
         Window.partitionBy("query_id").orderBy(cosine(col("__qv"), col("centroid")).desc,
           col("centroid_id"))))
       .filter(col("__r") <= nProbe)
-      .select(col("centroid_id"), col("query_id"), col("__qv"))
-    val cands = assigned.join(qc, Seq("centroid_id"))
+      .select(col("centroid_id"), col("query_id"))
+    assigned.join(qc, Seq("centroid_id"))
       .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col("__qv"), col(vecCol)).as("cosine"))
-      .distinct()
+      .select(col("query_id"), col(idCol).as("neighbor_id")).distinct()
+  }
+
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+              k: Int, nProbe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cands = ivfCandidates(assigned, centroids, queries, nProbe, idCol, vecCol)
+      .join(assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
