@@ -101,6 +101,27 @@ object Models {
       .orderBy(desc("mean_accuracy"))
   }
 
+  /** L15 — early stopping analog for gradient boosting: MLlib's GBT has no
+    * per-iteration callback, but accepts a validation split via
+    * validationIndicatorCol — boosting stops once the validation-loss
+    * improvement drops below `tol`, before reaching `maxIter`. Returns the
+    * fitted pipeline and the number of trees actually grown.
+    * Ref: final-assignment best_score.ipynb cell 0 (early_stopping(100)). */
+  def fitGbtWithValidation(train: DataFrame, featureCols: Seq[String],
+                           labelCol: String, idCol: String,
+                           validationFraction: Double = 0.2, maxIter: Int = 100,
+                           tol: Double = 0.01, seed: Int = 42): (PipelineModel, Int) = {
+    val tagged = Split.tagHoldout(train, idCol, validationFraction, seed)
+      .withColumn("__isVal", col("split") === "test").drop("split")
+    val gbt = new GBTClassifier().setMaxIter(maxIter).setMaxDepth(4).setSeed(42)
+      .setValidationIndicatorCol("__isVal")
+    gbt.set(gbt.validationTol, tol)
+    val fitted = pipelineFor(gbt, featureCols, labelCol).fit(tagged)
+    val trees = fitted.stages.last
+      .asInstanceOf[GBTClassificationModel].getNumTrees
+    (fitted, trees)
+  }
+
   /** L13 — seeded random hyperparameter search for one model family:
     * draws log-uniform regParam / uniform depth style params, fits on a
     * holdout split, returns the trial relation.

@@ -93,6 +93,27 @@ object Multimodal {
           .as("frame"))
   }
 
+  /** "Audio" frame energy: treat the binary as unsigned 8-bit samples,
+    * window into `frameBytes`-sized frames, and emit per-frame energy
+    * (Σ sample²) + RMS — the waveform-analysis analog of the image path.
+    * The per-frame sum is exact integer math in a tight JVM loop, so a
+    * byte-level SQL oracle reproduces it bit-for-bit. */
+  def frameEnergy(df: DataFrame, idCol: String, binCol: String,
+                  frameBytes: Int): DataFrame = {
+    val energyUdf = udf { (b: Array[Byte]) =>
+      var e = 0L
+      var i = 0
+      while (i < b.length) {
+        val v = java.lang.Byte.toUnsignedInt(b(i)); e += v.toLong * v; i += 1
+      }
+      e
+    }
+    sampleFrames(df, idCol, binCol, frameBytes, stride = 1)
+      .withColumn("energy", energyUdf(col("frame")))
+      .withColumn("rms", sqrt(col("energy") / lit(frameBytes.toDouble)))
+      .select(col(idCol), col("frame_idx"), col("energy"), col("rms"))
+  }
+
   /** Media metadata quality gate: keep items whose (stub-)decoded shape is
     * plausible for training (the dedup/quality analog for media columns). */
   def filterDecodable(features: Dataset[ImageFeatures], minSize: Long = 1L,

@@ -22,6 +22,14 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // "Audio" waveform framing: per-frame energy/RMS over the byte samples.
+    "q_mm_audio_energy" -> ((s, d) => {
+      val docs = Multimodal.withFakeImage(
+        Tables(s, d, "documents").filter(col("doc_id") < 50), "text", out = "audio")
+      Multimodal.frameEnergy(docs, "doc_id", "audio", frameBytes = 32)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Stub decode → features (mapPartitions batch path; rows-only check).
     "q_mm_features" -> ((s, d) => {
       val docs = Multimodal.withFakeImage(
@@ -43,5 +51,22 @@ object MultimodalQueries {
         | LATERAL (SELECT unnest(range(0, CAST(octet_length(CAST(text AS BLOB)) // 32
         |   AS INTEGER), 2)) AS fi) t
         |WHERE doc_id < 50 AND octet_length(CAST(text AS BLOB)) // 32 > 0
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_mm_audio_energy" ->
+      // per-frame Σ byte² over the ASCII text bytes — integer-exact on
+      // both engines, so energy and rms = sqrt(energy/32) hash-match
+      """WITH fr AS (SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  substring(text, CAST(fi AS INTEGER) * 32 + 1, 32) AS f
+        | FROM documents,
+        |  LATERAL (SELECT unnest(range(0, CAST(octet_length(CAST(text AS BLOB)) // 32
+        |    AS INTEGER))) AS fi) t
+        | WHERE doc_id < 50 AND octet_length(CAST(text AS BLOB)) // 32 > 0),
+        |en AS (SELECT doc_id, frame_idx,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |    i -> ord(substr(f, CAST(i AS INTEGER), 1))
+        |       * ord(substr(f, CAST(i AS INTEGER), 1)))) AS BIGINT) AS energy
+        | FROM fr)
+        |SELECT doc_id, frame_idx, energy, SQRT(energy / 32.0) AS rms
+        |FROM en ORDER BY doc_id, frame_idx""".stripMargin)
 }

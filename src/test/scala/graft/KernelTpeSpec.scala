@@ -67,6 +67,24 @@ class KernelTpeSpec extends AnyFunSuite {
     assert(s1.forall(p => p >= 1e-5 && p <= 1.0))
   }
 
+  test("GBT validation split stops boosting before maxIter on easy data") {
+    val u = (c: Int) => Split.hashUniform(concat_ws("#", col("id"), lit(c)), 13)
+    val df = spark.range(800).select(col("id"),
+        pmod(col("id"), lit(2)).cast("double").as("y"),
+        (pmod(col("id"), lit(2)) * 3.0 + u(0)).as("f0"),
+        (pmod(col("id"), lit(2)) * -2.0 + u(1)).as("f1"))
+      .cache()
+    // on separable data the validation log-loss keeps improving RELATIVELY
+    // (the stop rule is improvement < tol·max(err, 0.01)), so a meaningful
+    // tol is coarser than MLlib's 0.01 default
+    val (fitted, trees) = Models.fitGbtWithValidation(
+      df, Seq("f0", "f1"), "y", "id", maxIter = 80, tol = 0.1)
+    info(s"stopped at $trees/80 trees")
+    assert(trees < 80, s"expected early stop, grew all $trees trees")
+    assert(Models.evaluate(fitted.transform(df), "y") > 0.9)
+    df.unpersist()
+  }
+
   test("TPE search runs end-to-end and finds a competitive regParam") {
     val u = (c: Int) => Split.hashUniform(concat_ws("#", col("id"), lit(c)), 7)
     val df = spark.range(600).select(col("id"),

@@ -45,6 +45,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(f0.getAs[Array[Byte]](2), "UTF-8") == "hello worl")
   }
 
+  test("audio frame energy is the exact integer sum of squared samples") {
+    import spark.implicits._
+    val df = Seq((1L, "ab")).toDF("id", "txt")   // 'a'=97, 'b'=98
+    val out = Multimodal.frameEnergy(
+      Multimodal.withFakeImage(df, "txt", out = "audio"), "id", "audio",
+      frameBytes = 2).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(2) == 97L * 97 + 98L * 98)
+    assert(math.abs(out(0).getDouble(3) -
+      math.sqrt((97.0 * 97 + 98 * 98) / 2.0)) == 0.0)
+  }
+
   test("decodability gate filters degenerate media") {
     val df = Multimodal.withFakeImage(docs, "text")
     val feats = Multimodal.extractImageFeatures(df, "doc_id", "image")

@@ -59,4 +59,25 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q_j_semi").contains("LeftSemi"))
     assert(planOf("q_j_anti").contains("LeftAnti"))
   }
+
+  test("LSH blocking plans are equi-joins on bucket keys, never cartesian") {
+    // brute-force ANN broadcasts deliberately; the LSH-blocked paths must
+    // not — a cartesian/NLJ here is the n² failure mode at 100 TB
+    for (q <- Seq("q_x_embed_neardup", "q_v_lsh_ann")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plan contains a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a nested-loop join")
+    }
+  }
+
+  test("ivf centroid pick is a top-N, not a global sort window") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val (centroids, _) = graft.sim.Similarity.ivfIndex(e, 8)
+    val plan = centroids.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"centroid pick should be TakeOrdered:\n${plan.take(1500)}")
+  }
 }
