@@ -32,6 +32,20 @@ object TextSimQueries {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Language-ID SQL fragments (shared by q_x_lang_id and the corpus
+    * pipeline): per-language stopword-hit scores, their max, and the
+    * argmax CASE — mirroring TextOps.langScores/langId exactly. */
+  private lazy val langProfs = TextOps.LangProfiles.toSeq.sortBy(_._1)
+  private lazy val langScoreColsSql = langProfs.map { case (lang, words) =>
+    s"""len(list_filter($toksLowerSql, t -> list_contains(${sqlList(words)}, t)))
+       | / CAST(len($toksLowerSql) AS DOUBLE) AS s_$lang""".stripMargin
+  }.mkString(",\n ")
+  private lazy val langBestSql =
+    langProfs.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
+  private lazy val langCaseSql = "CASE " + langProfs.map { case (lang, _) =>
+    s"WHEN s_$lang = best AND s_$lang > 0 THEN '$lang'"
+  }.mkString(" ") + " ELSE 'und' END"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text quality features (C4/Gopher-style heuristics), one narrow pass.
     "q_x_quality" -> ((s, d) =>
@@ -48,11 +62,12 @@ object TextSimQueries {
         size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpeish"))
         .orderBy("doc_id")),
 
-    // Language ID by stopword-profile hit ratio.
+    // Language ID by stopword-profile hit ratio (fast UDF, bit-identical
+    // to the expression form the oracle mirrors).
     "q_x_lang_id" -> ((s, d) =>
       Tables(s, d, "documents").select(
         col("doc_id"), col("lang"),
-        TextOps.langId(col("text")).as("pred_lang"))
+        TextOps.langIdFast(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
 
     // Document fingerprints (order-sensitive + bag-of-words).
@@ -181,6 +196,33 @@ object TextSimQueries {
         e.select(col("vec_id") + 100000, col("embedding"), col("label"))
           .toDF(e.columns: _*)), threshold = 0.999)
         .orderBy("id_a", "id_b")
+    }),
+
+    // End-to-end corpus-cleaning pipeline (the composition a training-data
+    // run actually executes): quality gate → language agreement → exact
+    // dedup → minhash near-dup removal (drop the larger id of each pair) →
+    // per-language corpus stats. Every stage is the already-verified
+    // operator; this query verifies their COMPOSITION against one SQL.
+    "q_x_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val quality = TextOps.qualityFeatures(docs)
+        .filter(col("alpha_ratio") > 0.7 && col("n_tokens").between(20, 2000))
+      val langOk = quality.filter(TextOps.langIdFast(col("text")) === col("lang"))
+        .select(docs.columns.map(col): _*)
+      // the deduped relation feeds the near-dup pair join (both sides, plus
+      // the text join-back) AND the final anti-join — persist it or the
+      // interpreted lang-ID filter upstream recomputes four times
+      val deduped = TextOps.exactDedup(langOk, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = TextOps.minhashNearDupPairs(deduped, "doc_id", "text",
+        numHashes = 16, bands = 2, threshold = 0.5)
+      val kept = deduped.join(
+        pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      // per-SOURCE stats (the lang labels are metadata noise on this
+      // synthetic corpus — nearly all text scores as English)
+      kept.groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy("source")
     }))
 
   /** Exact top-k cosine over given candidate (query_id, neighbor_id)
@@ -286,21 +328,11 @@ object TextSimQueries {
          |   AS BIGINT) AS n_bpeish
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_x_lang_id" -> {
-      val profs = TextOps.LangProfiles.toSeq.sortBy(_._1)
-      val scoreCols = profs.map { case (lang, words) =>
-        s"""len(list_filter($toksLowerSql, t -> list_contains(${sqlList(words)}, t)))
-           | / CAST(len($toksLowerSql) AS DOUBLE) AS s_$lang""".stripMargin
-      }.mkString(",\n ")
-      val best = profs.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
-      val cases = profs.map { case (lang, _) =>
-        s"WHEN s_$lang = best AND s_$lang > 0 THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH sc AS (SELECT doc_id, lang, $scoreCols FROM documents),
-         |b AS (SELECT *, $best AS best FROM sc)
-         |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang
-         |FROM b ORDER BY doc_id""".stripMargin
-    },
+    "q_x_lang_id" ->
+      s"""WITH sc AS (SELECT doc_id, lang, $langScoreColsSql FROM documents),
+         |b AS (SELECT *, $langBestSql AS best FROM sc)
+         |SELECT doc_id, lang, $langCaseSql AS pred_lang
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_x_fingerprints" ->
       s"""SELECT doc_id, md5($normSql) AS fp_content,
@@ -425,6 +457,39 @@ object TextSimQueries {
         |FROM dots JOIN n2 na ON na.vec_id = id_a JOIN n2 nb ON nb.vec_id = id_b
         |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_x_corpus_pipeline" -> {
+      val mins = (0 until 16).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
+        .mkString(",\n   ")
+      s"""WITH qd AS (SELECT doc_id, lang, source, text FROM documents
+         |  WHERE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |      / CAST(length(text) AS DOUBLE) > 0.7
+         |    AND len($toksSql) BETWEEN 20 AND 2000),
+         |sc AS (SELECT doc_id, lang, source, text, $langScoreColsSql FROM qd),
+         |bb AS (SELECT *, $langBestSql AS best FROM sc),
+         |lf AS (SELECT doc_id, lang, source, text FROM bb WHERE $langCaseSql = lang),
+         |dd AS (SELECT MIN(doc_id) AS doc_id FROM
+         |  (SELECT md5($normSql) AS fp, doc_id FROM lf) k GROUP BY fp),
+         |d2 AS (SELECT lf.doc_id, lf.source, lf.text FROM lf JOIN dd USING (doc_id)),
+         |shx AS (SELECT doc_id, $shinglesSql AS sh FROM d2),
+         |sig AS (SELECT doc_id, sh, [$mins] AS sg FROM shx),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sh AS sha, b.sh AS shb,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
+         |      AS est_jaccard
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |    AND (a.sg[1:8] = b.sg[1:8] OR a.sg[9:16] = b.sg[9:16])),
+         |removed AS (SELECT DISTINCT id_b AS doc_id FROM cand
+         |  WHERE est_jaccard >= 0.25
+         |    AND len(list_intersect(sha, shb))
+         |      / CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE) >= 0.5),
+         |kept AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM removed))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q_v_knn_brute" ->
       s"""WITH pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id

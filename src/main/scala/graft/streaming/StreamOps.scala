@@ -58,6 +58,20 @@ object StreamOps {
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Streaming exact dedup — the incremental form of TextOps.exactDedup
+    * for a document stream: drop rows whose normalized-content fingerprint
+    * was already seen within the watermark horizon. State holds one
+    * 16-byte hash per distinct document and EXPIRES with the watermark
+    * (dropDuplicatesWithinWatermark), so an unbounded corpus stream runs
+    * with bounded state — the requirement for continuous ingest dedup. */
+  def streamingDedup(stream: DataFrame, textCol: String,
+                     tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    stream
+      .withColumn("__fp", md5(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Wire a streaming aggregation to an in-memory sink (demo/test). */
   def toMemorySink(df: DataFrame, queryName: String): DataStreamWriter[Row] =
     df.writeStream

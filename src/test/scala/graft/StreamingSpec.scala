@@ -7,6 +7,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamOps
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -73,6 +74,27 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(rows(1L) == ((3L, 10.0))) // state carried across micro-batches
     assert(rows(2L) == ((1L, 7.0)))
+  }
+
+  test("streaming dedup keeps one row per content across micro-batches") {
+    val stream = MemoryStream[Doc](spark)
+    stream.addData(
+      Doc(ts(5), 1L, "the quick brown fox"),
+      Doc(ts(10), 2L, "the  quick brown fox "),  // normalization dup of 1
+      Doc(ts(15), 3L, "something else"))
+    // NOT toMemorySink: its AvailableNow trigger ends the query after the
+    // first batch, and this test feeds a second one
+    val q = StreamOps.streamingDedup(stream.toDF(), "text", "ts", "2 hours")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second micro-batch: an exact dup of doc 3 and one new doc
+    stream.addData(Doc(ts(25), 4L, "something else"), Doc(ts(30), 5L, "fresh content"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_stream").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L), s"expected first-seen docs, got $kept")
   }
 
   test("salted aggregation and join match their unsalted results") {

@@ -61,6 +61,11 @@ class TextSimSpec extends AnyFunSuite {
       TextOps.simhashFast(col("text"), 32).as("f"))
       .collect()
     sh.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val li = spark.read.parquet(s"$sfDir/documents.parquet").select(
+      TextOps.langId(col("text")).as("e"),
+      TextOps.langIdFast(col("text")).as("f"))
+      .collect()
+    li.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
   test("fast hyperplane signature is bit-identical to the expression form") {
