@@ -92,6 +92,24 @@ object Relational {
       .select(rowCols.map(col) ++ shares: _*).orderBy(rowCols.map(col): _*)
   }
 
+  /** A4 — `pd.crosstab(..., margins=True)`: the contingency table plus an
+    * "All" grand-total row (via rollup — one aggregation, not a second
+    * pass) and an "All" row-total column.
+    * Ref: target_eda.py:39-43 (margins=True); 1-1.data_processing.ipynb cell 9. */
+  def crosstabWithMargins(df: DataFrame, rowCol: String, colCol: String,
+                          colValues: Seq[String],
+                          totalCol: String = "all_total"): DataFrame = {
+    // conditional sums, not pivot: Spark rejects PIVOT after ROLLUP, and
+    // count(*) gives the TRUE row total even if colValues is partial
+    val cells = colValues.map(v =>
+      sum(when(col(colCol) === v, 1L).otherwise(0L)).as(v))
+    val aggs = cells :+ count(lit(1)).as(totalCol)
+    df.rollup(rowCol).agg(aggs.head, aggs.tail: _*)
+      // rollup's grand-total row carries a null group key → pandas' "All"
+      .withColumn(rowCol, coalesce(col(rowCol).cast("string"), lit("All")))
+      .orderBy(when(col(rowCol) === "All", 1).otherwise(0), col(rowCol))
+  }
+
   /** A6 — pivot_table(index, columns, values, aggfunc=mean).
     * Ref: wine-classification-dacon nb 11 cell 47. */
   def pivotTable(df: DataFrame, index: String, columns: String,
@@ -213,6 +231,22 @@ object Ranking {
                    n: Int, rankCol: String = "rn"): DataFrame = {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+
+  /** W4 — rank rows per metric column (pandas rank(method='min') ≡ SQL
+    * RANK, descending), then the mean rank across metrics, sorted best-
+    * first. The input is an already-aggregated relation (models, features,
+    * nations — driver-scale cardinality), so the global rank windows are
+    * cheap; don't feed this raw fact tables.
+    * Ref: wine-classification-dacon nb 11 cell 48. */
+  def meanRankAcross(df: DataFrame, keyCol: String, metrics: Seq[String]): DataFrame = {
+    val ranked = metrics.foldLeft(df) { (acc, m) =>
+      acc.withColumn(s"${m}_rank", rank().over(Window.orderBy(col(m).desc)))
+    }
+    val meanRank = metrics.map(m => col(s"${m}_rank")).reduce(_ + _)
+      .cast("double") / metrics.size
+    ranked.withColumn("mean_rank", meanRank)
+      .orderBy(col("mean_rank"), col(keyCol))
   }
 
   /** A12 — deterministic grouped mode: most frequent value, ties broken by

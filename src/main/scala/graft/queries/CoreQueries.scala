@@ -127,6 +127,11 @@ object CoreQueries {
       renamePrio(Relational.crosstabRowShare(
         Tables(s, d, "orders"), Seq("o_orderstatus"), "o_orderpriority", priorities))),
 
+    // A4 margins=True — contingency table + "All" grand-total row/column.
+    "q_a4b_crosstab_margins" -> ((s, d) =>
+      renamePrio(Relational.crosstabWithMargins(
+        Tables(s, d, "orders"), "o_orderstatus", "o_orderpriority", priorities))),
+
     // A6 — pivot_table(aggfunc=mean).
     "q_a6_pivot_table" -> ((s, d) =>
       renamePrio(Relational.pivotTable(
@@ -210,6 +215,18 @@ object CoreQueries {
         Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
         .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
         .orderBy("c_nationkey", "rn")),
+
+    // W4 — per-metric ranks + mean rank across metrics (nation stats).
+    "q_w4_mean_rank" -> ((s, d) => {
+      val stats = Tables(s, d, "customer").groupBy("c_nationkey")
+        .agg(davg(col("c_acctbal")).as("avg_bal"),
+          count(lit(1)).as("n_cust"),
+          max(col("c_acctbal")).cast("double").as("max_bal"))
+      Ranking.meanRankAcross(stats, "c_nationkey",
+        Seq("avg_bal", "n_cust", "max_bal"))
+        .select("c_nationkey", "avg_bal_rank", "n_cust_rank", "max_bal_rank",
+          "mean_rank")
+    }),
 
     // W5-ish — per-row share of group total (exact-decimal window sum).
     "q_w5_window_share" -> ((s, d) =>
@@ -470,6 +487,15 @@ object CoreQueries {
       s"""SELECT o_orderstatus, ${prioCountCells(prioAlias)}
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    "q_a4b_crosstab_margins" ->
+      s"""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'All'
+         |  ELSE o_orderstatus END AS o_orderstatus,
+         | ${prioCountCells(prioAlias)},
+         | COUNT(*) AS all_total
+         |FROM orders GROUP BY ROLLUP(o_orderstatus)
+         |ORDER BY (CASE WHEN GROUPING(o_orderstatus) = 1 THEN 1 ELSE 0 END),
+         |  o_orderstatus""".stripMargin,
+
     "q_a5_crosstab_share" -> {
       val shares = priorities.zip(prioAlias).map { case (v, a) =>
         s"(SUM(CASE WHEN o_orderpriority = '$v' THEN 1 ELSE 0 END) /" +
@@ -553,6 +579,19 @@ object CoreQueries {
     "q_w1_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_w4_mean_rank" ->
+      s"""WITH st AS (SELECT c_nationkey, ${davgSql("c_acctbal")} AS avg_bal,
+         |  COUNT(*) AS n_cust, CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+         | FROM customer GROUP BY 1),
+         |r AS (SELECT c_nationkey,
+         |  CAST(RANK() OVER (ORDER BY avg_bal DESC) AS INTEGER) AS avg_bal_rank,
+         |  CAST(RANK() OVER (ORDER BY n_cust DESC) AS INTEGER) AS n_cust_rank,
+         |  CAST(RANK() OVER (ORDER BY max_bal DESC) AS INTEGER) AS max_bal_rank
+         | FROM st)
+         |SELECT c_nationkey, avg_bal_rank, n_cust_rank, max_bal_rank,
+         |  (avg_bal_rank + n_cust_rank + max_bal_rank) / 3.0 AS mean_rank
+         |FROM r ORDER BY mean_rank, c_nationkey""".stripMargin,
 
     "q_w3_topn_per_group" ->
       """SELECT c_nationkey, CAST(rn AS INTEGER) AS rn, c_custkey, c_acctbal FROM (
