@@ -122,6 +122,27 @@ object Relational {
     df.unpivot(idCols.map(col).toArray,
       valueCols.map(c => col(c).cast("double")).toArray, varName, valueName)
 
+  /** A8 — `describe(include='all')` for CATEGORICAL columns: non-null
+    * count, distinct count, mode and its frequency per column (pandas'
+    * count/unique/top/freq rows). One unpivot → one (col, value) count →
+    * one window; never a per-column job. Ties on the mode break to the
+    * smallest value (deterministic, unlike pandas' first-seen).
+    * Ref: wine nb 03 cell 7; teamProject/eda.ipynb cell 6. */
+  def describeCategorical(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val melted = df.unpivot(Array.empty[Column],
+        cols.map(c => col(c).cast("string")).toArray, "col_name", "value")
+      .filter(col("value").isNotNull)
+    val counted = melted.groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("col_name").orderBy(col("cnt").desc, col("value").asc)
+    counted.withColumn("rn", row_number().over(w))
+      .groupBy("col_name").agg(
+        sum("cnt").as("count"),
+        count(lit(1)).as("unique"),
+        max(when(col("rn") === 1, col("value"))).as("top"),
+        max(when(col("rn") === 1, col("cnt"))).as("freq"))
+      .orderBy("col_name")
+  }
+
   /** A9 — per-column null rate in ONE aggregate pass (no per-column jobs).
     * Ref: 1-1.data_processing.ipynb cell 11. */
   def nullRates(df: DataFrame, cols: Seq[String]): DataFrame = {

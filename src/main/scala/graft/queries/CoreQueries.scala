@@ -127,6 +127,11 @@ object CoreQueries {
       renamePrio(Relational.crosstabRowShare(
         Tables(s, d, "orders"), Seq("o_orderstatus"), "o_orderpriority", priorities))),
 
+    // A8 include='all' — categorical describe: count/unique/top/freq.
+    "q_a8b_describe_cat" -> ((s, d) =>
+      Relational.describeCategorical(
+        Tables(s, d, "orders"), Seq("o_orderstatus", "o_orderpriority"))),
+
     // A4 margins=True — contingency table + "All" grand-total row/column.
     "q_a4b_crosstab_margins" -> ((s, d) =>
       renamePrio(Relational.crosstabWithMargins(
@@ -486,6 +491,20 @@ object CoreQueries {
     "q_a4_crosstab" ->
       s"""SELECT o_orderstatus, ${prioCountCells(prioAlias)}
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_a8b_describe_cat" ->
+      """WITH m AS (SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value
+        |    FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+        |c AS (SELECT col_name, value, COUNT(*) AS cnt FROM m
+        |  WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY col_name
+        |  ORDER BY cnt DESC, value) AS rn FROM c)
+        |SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS "count",
+        |  COUNT(*) AS "unique",
+        |  MAX(CASE WHEN rn = 1 THEN value END) AS top,
+        |  MAX(CASE WHEN rn = 1 THEN cnt END) AS freq
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_a4b_crosstab_margins" ->
       s"""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'All'

@@ -30,7 +30,9 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
-    // Stub decode → features (mapPartitions batch path; rows-only check).
+    // Stub decode → features (mapPartitions batch path). Oracle-checked:
+    // the stub codec's hash is a 31-multiplier byte fold reproduced in SQL
+    // via list_reduce, and resize/mean are plain integer arithmetic.
     "q_mm_features" -> ((s, d) => {
       val docs = Multimodal.withFakeImage(
         Tables(s, d, "documents").filter(col("doc_id") < 50), "text")
@@ -52,6 +54,35 @@ object MultimodalQueries {
         |   AS INTEGER), 2)) AS fi) t
         |WHERE doc_id < 50 AND octet_length(CAST(text AS BLOB)) // 32 > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_mm_features" ->
+      // java.util.Arrays.hashCode = fold(31·h + b) in wrapping 32-bit
+      // arithmetic; the fold runs in unsigned-congruent BIGINT space and
+      // converts to the signed value once at the end. width/height come
+      // from the stride resize (the hash-derived dims are overwritten).
+      """WITH d AS (SELECT doc_id AS id, text,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 50),
+        |hb AS (SELECT id, text, n,
+        |  list_reduce(
+        |    list_prepend(CAST(1 AS BIGINT),
+        |      list_transform(range(1, CAST(n + 1 AS INTEGER)),
+        |        i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |    (a, b) -> ((a * 31 + b) % 4294967296 + 4294967296) % 4294967296) AS u
+        |  FROM d),
+        |hs AS (SELECT id, text, n,
+        |  u - (CASE WHEN u >= 2147483648 THEN 4294967296 ELSE 0 END) AS h FROM hb),
+        |f AS (SELECT id, text, n,
+        |  ['png', 'jpeg', 'webp'][CAST(((h % 3) + 3) % 3 AS INTEGER) + 1] AS format,
+        |  GREATEST(1, n // 64) AS s FROM hs),
+        |sam AS (SELECT id, format, n,
+        |  CAST((n + s - 1) // s AS INTEGER) AS width,
+        |  list_transform(range(0, CAST(n AS INTEGER), CAST(s AS INTEGER)),
+        |    i -> CAST(ord(substr(text, CAST(i + 1 AS INTEGER), 1)) AS BIGINT)) AS px
+        |  FROM f)
+        |SELECT id, format, width, CAST(1 AS INTEGER) AS height, n AS sizeBytes,
+        |  CAST(list_sum(px) AS DOUBLE) / len(px) AS meanIntensity
+        |FROM sam ORDER BY id""".stripMargin,
 
     "q_mm_audio_energy" ->
       // per-frame Σ byte² over the ASCII text bytes — integer-exact on
