@@ -83,9 +83,24 @@ object Transforms {
     cols.zip(quantiles).map { case (c, q) => QuantileModel(c, q) }.toSeq
   }
 
+  /** Exact-percentile fit (one aggregation pass, `percentile` ≡ DuckDB's
+    * QUANTILE_CONT) — the oracle-verifiable path; use the approx-sketch
+    * variant above when breakpoint exactness doesn't matter. */
+  def fitQuantileTransformerExact(df: DataFrame, cols: Seq[String],
+                                  nProbes: Int = 101): Seq[QuantileModel] = {
+    val probsSql = (0 until nProbes).map(_.toDouble / (nProbes - 1))
+      .mkString("array(", ",", ")")
+    val aggs = cols.map(c => expr(s"percentile(`$c`, $probsSql)").as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.map(c => QuantileModel(c, row.getAs[Seq[Double]](c).toArray)).toSeq
+  }
+
   /** Piecewise-linear empirical CDF lookup (binary search over the fitted
     * breakpoints — a closure, since a 100-way when-chain per column defeats
-    * codegen). Clamped to [ε, 1−ε] so the normal inverse stays finite. */
+    * codegen). The segment is the LAST breakpoint ≤ x (deterministic under
+    * duplicate breakpoints, unlike Arrays.binarySearch's arbitrary-match,
+    * and reproducible as a count-of-breaks-≤-x in SQL). Clamped to
+    * [ε, 1−ε] so the normal inverse stays finite. */
   def quantileTransform(model: QuantileModel, output: String = "uniform"): Column = {
     val breaks = model.breaks
     val eps = 1e-7
@@ -95,11 +110,15 @@ object Transforms {
         if (x <= breaks(0)) 0.0
         else if (x >= breaks(n - 1)) 1.0
         else {
-          var idx = java.util.Arrays.binarySearch(breaks, x)
-          if (idx < 0) idx = -idx - 2
-          val lo = breaks(idx); val hi = breaks(idx + 1)
-          val frac = if (hi > lo) (x - lo) / (hi - lo) else 0.0
-          (idx + frac) / (n - 1)
+          // last index with breaks(idx) <= x
+          var lo = 0; var hi = n - 1
+          while (lo < hi) {
+            val m = (lo + hi + 1) >>> 1
+            if (breaks(m) <= x) lo = m else hi = m - 1
+          }
+          val l = breaks(lo); val h = breaks(lo + 1)
+          val frac = if (h > l) (x - l) / (h - l) else 0.0
+          (lo + frac) / (n - 1)
         }
       val clamped = math.min(1 - eps, math.max(eps, u))
       if (output == "normal") inverseNormalCdf(clamped) else clamped

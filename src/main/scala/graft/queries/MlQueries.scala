@@ -74,6 +74,17 @@ object MlQueries {
       Prep.highCorrDrops(corr, cols, 0.95).toDF("col_name").orderBy("col_name")
     }),
 
+    // M5 — quantile transform to uniform output (exact-percentile fit;
+    // piecewise-linear empirical CDF, clamped like sklearn's transformer).
+    "q_m5_quantile" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+      val m = graft.ml.Transforms
+        .fitQuantileTransformerExact(cust, Seq("c_acctbal"), 101)
+      cust.select(col("c_custkey"),
+          graft.ml.Transforms.quantileTransform(m.head, "uniform").as("q"))
+        .orderBy("c_custkey")
+    }),
+
     // M13 — deterministic bootstrap resample (≈ Poisson(1) replication).
     "q_m13_bootstrap" -> ((s, d) =>
       Split.bootstrap(Tables(s, d, "events"), "event_id", ratio = 1.0,
@@ -189,6 +200,23 @@ object MlQueries {
          |  ('${cols(3)}', 3)) v(col_name, ci)
          |WHERE (ci = 1 AND drop_1) OR (ci = 2 AND drop_2) OR (ci = 3 AND drop_3)
          |ORDER BY col_name""".stripMargin
+    },
+
+    "q_m5_quantile" -> {
+      val probs = (0 until 101).map(_.toDouble / 100).mkString("[", ",", "]")
+      s"""WITH br AS (SELECT QUANTILE_CONT(c_acctbal, $probs) AS b FROM customer),
+         |t AS (SELECT c_custkey, c_acctbal AS x, b,
+         |  len(list_filter(b, v -> v <= c_acctbal)) AS i
+         |  FROM customer, br)
+         |SELECT c_custkey,
+         |  LEAST(1 - 1e-7, GREATEST(1e-7,
+         |    CASE WHEN x <= b[1] THEN 0.0
+         |         WHEN x >= b[101] THEN 1.0
+         |         ELSE (CAST(i - 1 AS DOUBLE) +
+         |           (CASE WHEN b[i + 1] > b[i]
+         |                 THEN (x - b[i]) / (b[i + 1] - b[i]) ELSE 0.0 END))
+         |           / 100.0 END)) AS q
+         |FROM t ORDER BY c_custkey""".stripMargin
     },
 
     "q_m13_bootstrap" ->
