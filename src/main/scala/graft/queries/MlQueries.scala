@@ -74,6 +74,21 @@ object MlQueries {
       Prep.highCorrDrops(corr, cols, 0.95).toDF("col_name").orderBy("col_name")
     }),
 
+    // M4 — Yeo-Johnson λ selection by grid MLE. The OUTPUT is the chosen λ
+    // per column (a grid literal), not the transformed values: the ψ sums
+    // go through libm pow/log, so values would drift by ulps across
+    // engines, but the argmax margins (~20-47 log-likelihood units,
+    // measured) dwarf any such drift — λ selection is robustly identical.
+    "q_m4_yeojohnson_lambda" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables(s, d, "customer")
+        .withColumn("bal_k", col("c_acctbal") / 1000.0)
+        .withColumn("bal_sq", col("bal_k") * col("bal_k"))
+      val lams = graft.ml.Transforms.fitYeoJohnson(cust, Seq("bal_k", "bal_sq"))
+      Seq(("bal_k", lams("bal_k")), ("bal_sq", lams("bal_sq")))
+        .toDF("col_name", "lambda").orderBy("col_name")
+    }),
+
     // M5 — quantile transform to uniform output (exact-percentile fit;
     // piecewise-linear empirical CDF, clamped like sklearn's transformer).
     "q_m5_quantile" -> ((s, d) => {
@@ -200,6 +215,41 @@ object MlQueries {
          |  ('${cols(3)}', 3)) v(col_name, ci)
          |WHERE (ci = 1 AND drop_1) OR (ci = 2 AND drop_2) OR (ci = 3 AND drop_3)
          |ORDER BY col_name""".stripMargin
+    },
+
+    "q_m4_yeojohnson_lambda" -> {
+      val grid = (-20 to 20).map(_ * 0.25)
+      def psiSql(lam: Double): String = {
+        val pos =
+          if (math.abs(lam) < 1e-12) "LN(x + 1)"
+          else s"(POW(x + 1, $lam) - 1) / $lam"
+        val neg =
+          if (math.abs(lam - 2) < 1e-12) "-LN(-(x) + 1)"
+          else s"-(POW(-(x) + 1, ${2 - lam}) - 1) / ${2 - lam}"
+        s"CASE WHEN x >= 0 THEN $pos ELSE $neg END"
+      }
+      def chain(name: String, xExpr: String): String = {
+        val aggs = grid.zipWithIndex.map { case (lam, i) =>
+          s"SUM(${psiSql(lam)}) AS s_$i, SUM((${psiSql(lam)})*(${psiSql(lam)})) AS ss_$i"
+        }.mkString(",\n ")
+        val scores = grid.zipWithIndex.map { case (lam, i) =>
+          val v = s"(ss_$i/n - (s_$i/n)*(s_$i/n))"
+          s"CASE WHEN $v <= 0 OR isnan($v) THEN -1e308 " +
+            s"ELSE -n/2*LN($v) + ($lam - 1)*slog END"
+        }.mkString(", ")
+        val lams = grid.mkString("[", ", ", "]")
+        s"""(WITH src AS (SELECT $xExpr AS x FROM customer),
+           |a AS (SELECT $aggs,
+           |  SUM(SIGN(x)*LN(ABS(x)+1)) AS slog, CAST(COUNT(x) AS DOUBLE) AS n
+           |  FROM src),
+           |sc AS (SELECT [$scores] AS scores FROM a)
+           |SELECT '$name' AS col_name,
+           |  list_extract($lams, list_position(scores, list_max(scores)))
+           |    AS "lambda" FROM sc)""".stripMargin
+      }
+      chain("bal_k", "c_acctbal / 1000.0") + "\nUNION ALL\n" +
+        chain("bal_sq", "(c_acctbal/1000.0)*(c_acctbal/1000.0)") +
+        "\nORDER BY col_name"
     },
 
     "q_m5_quantile" -> {
