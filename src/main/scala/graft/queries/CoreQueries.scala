@@ -383,6 +383,31 @@ object CoreQueries {
       Prep.impute(masked, fitted)
         .agg(count(col("v")).as("n"), dsum(col("v")).as("sum_v"),
           min("v").as("min_v"), max("v").as("max_v"))
+    }),
+
+    // A14 — mean imputation (fit exact-decimal mean, fill, re-aggregate).
+    "q_a14_impute_mean" -> ((s, d) => {
+      val masked = Tables(s, d, "events")
+        .withColumn("v", when(col("value") > 400, lit(null)).otherwise(col("value")))
+        .select("event_id", "v")
+      val fitted = Prep.fitImputer(masked, Seq("v"), "mean")
+      Prep.impute(masked, fitted)
+        .agg(count(col("v")).as("n"), dsum(col("v")).as("sum_v"),
+          min("v").as("min_v"), max("v").as("max_v"))
+    }),
+
+    // M12 — repeated seeded shuffle splits: per-seed test-row counts and
+    // exact-decimal test means (the StratifiedShuffleSplit accounting).
+    "q_m12_shuffle_split" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables(s, d, "events").select("event_id", "value")
+      (0 until 5).map { seed =>
+        val test = graft.ml.Split.tagHoldout(e, "event_id", 0.5, seed = seed)
+          .filter(col("split") === "test")
+        val r = test.agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+          .head()
+        (seed, r.getLong(0), r.getDouble(1))
+      }.toDF("seed", "n_test", "sum_value").orderBy("seed")
     }))
 
   /** Shared TPC-H Q1-style aggregate (no ordering). */
@@ -727,5 +752,21 @@ object CoreQueries {
          |med AS (SELECT QUANTILE_CONT(v, 0.5) AS m FROM masked)
          |SELECT COUNT(*) AS n, ${dsumSql("COALESCE(v, med.m)")} AS sum_v,
          | MIN(COALESCE(v, med.m)) AS min_v, MAX(COALESCE(v, med.m)) AS max_v
-         |FROM masked, med""".stripMargin)
+         |FROM masked, med""".stripMargin,
+
+    "q_a14_impute_mean" ->
+      s"""WITH masked AS (
+         | SELECT CASE WHEN value > 400 THEN NULL ELSE value END AS v FROM events),
+         |mm AS (SELECT ${davgSql("v")} AS m FROM masked)
+         |SELECT COUNT(*) AS n, ${dsumSql("COALESCE(v, mm.m)")} AS sum_v,
+         | MIN(COALESCE(v, mm.m)) AS min_v, MAX(COALESCE(v, mm.m)) AS max_v
+         |FROM masked, mm""".stripMargin,
+
+    "q_m12_shuffle_split" ->
+      s"""SELECT CAST(seed AS INTEGER) AS seed, COUNT(*) AS n_test,
+         | ${dsumSql("value")} AS sum_value
+         |FROM events CROSS JOIN (SELECT unnest(range(0, 5)) AS seed) s
+         |WHERE substr(MD5(CAST(seed AS VARCHAR) || ':'
+         |  || CAST(event_id AS VARCHAR)), 1, 8) < '80000000'
+         |GROUP BY seed ORDER BY seed""".stripMargin)
 }
