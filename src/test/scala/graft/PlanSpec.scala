@@ -63,7 +63,7 @@ class PlanSpec extends AnyFunSuite {
   test("LSH blocking plans are equi-joins on bucket keys, never cartesian") {
     // brute-force ANN broadcasts deliberately; the LSH-blocked paths must
     // not — a cartesian/NLJ here is the n² failure mode at 100 TB
-    for (q <- Seq("q_x_embed_neardup", "q_v_lsh_ann")) {
+    for (q <- Seq("q_x_embed_neardup", "q_v_lsh_ann", "q_x_corpus_pipeline")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
