@@ -58,6 +58,21 @@ object StreamOps {
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Stream-stream interval join: each event joins the promo rows of the
+    * same user from the preceding `lag` window. BOTH sides carry
+    * watermarks and the join condition bounds event time on both ends, so
+    * Spark can expire join state — the requirement for two unbounded
+    * streams. Same code shape runs in batch (the correctness oracle). */
+  def streamStreamJoin(events: DataFrame, promos: DataFrame,
+                       watermark: String = "2 hours",
+                       lag: String = "1 hour"): DataFrame = {
+    val e = events.withWatermark("ts", watermark)
+    val p = promos.withWatermark("p_ts", watermark)
+    e.join(p, col("user_id") === col("p_user_id") &&
+      col("p_ts") <= col("ts") &&
+      col("p_ts") >= col("ts") - expr(s"INTERVAL $lag"))
+  }
+
   /** Streaming exact dedup — the incremental form of TextOps.exactDedup
     * for a document stream: drop rows whose normalized-content fingerprint
     * was already seen within the watermark horizon. State holds one

@@ -252,9 +252,10 @@ object TextOps {
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
           .cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
-      // cheap signature-level prune before touching any document text
+      // cheap signature-level prune BEFORE the dedup shuffle and before
+      // touching any document text
       .filter(col("est_jaccard") >= threshold * 0.5)
+      .distinct()
     // exact-verify ONLY the survivors: join texts back by id
     val a = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
     val b = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
@@ -332,11 +333,14 @@ object TextOps {
             .bitwiseAND(mask)))).as("__band"))
     val l = banded.select(col("__band"), col(idCol).as("id_a"), col("__sh").as("sh_a"))
     val r = banded.select(col("__band"), col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    // filter BEFORE distinct: the band join emits far more candidate rows
+    // than qualifying pairs on saturated corpora, and the dedup only needs
+    // to see the survivors
     l.join(r, Seq("__band")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** N-gram-Jaccard near-dup pairs *within small candidate groups* (e.g.

@@ -8,6 +8,8 @@ import graft.streaming.StreamOps
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
+case class UserEv(ts: Timestamp, user_id: Long, value: Double)
+case class Promo(p_ts: Timestamp, p_user_id: Long, promo: String)
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -95,6 +97,32 @@ class StreamingSpec extends AnyFunSuite {
     val kept = spark.table("dedup_stream").select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L, 5L), s"expected first-seen docs, got $kept")
+  }
+
+  test("stream-stream interval join matches the batch join") {
+    val evs = Seq(
+      UserEv(ts(30), 1L, 10.0), UserEv(ts(90), 1L, 20.0),
+      UserEv(ts(95), 2L, 30.0), UserEv(ts(200), 1L, 40.0))
+    val promos = Seq(
+      Promo(ts(10), 1L, "a"),   // within 1h of ev@30 and ev@90? 90-10=80min > 60 → only ev@30
+      Promo(ts(60), 1L, "b"),   // within 1h of ev@90
+      Promo(ts(94), 2L, "c"),   // within 1h of ev@95
+      Promo(ts(300), 1L, "d"))  // after every user-1 event → no match
+    val es = MemoryStream[UserEv](spark); es.addData(evs: _*)
+    val ps = MemoryStream[Promo](spark); ps.addData(promos: _*)
+    val q = StreamOps.streamStreamJoin(es.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss_join")
+      .select("user_id", "value", "promo").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val batch = StreamOps.streamStreamJoin(evs.toDF(), promos.toDF())
+      .select("user_id", "value", "promo").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(batch == Set((1L, 10.0, "a"), (2L, 30.0, "c"), (1L, 20.0, "b")))
   }
 
   test("salted aggregation and join match their unsalted results") {
