@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins beyond the reference's equi-join surface (builder-mandated
+  * extension): as-of and interval joins in their 100 TB-safe shapes. The
+  * reference aligns tables only by ID (SURVEY.md §2.3); event-time alignment
+  * is what a training-data pipeline over logs actually needs.
+  */
+object Temporal {
+
+  /** As-of join (backward, exact matches allowed): for each left row, the
+    * latest right row with rts ≤ lts of the same key. Physically NOT a
+    * join: both sides union into one relation, ONE shuffle on the key, and
+    * a running last-non-null window fills each left row — the canonical
+    * distributed merge_asof (no per-row range probe, never n²).
+    *
+    * Right rows at equal (ts) order by `tieCol` and the LAST one wins —
+    * deterministic, unlike pandas' input-order tie. At equal timestamps
+    * right rows sort before left rows, so an exact-time match is visible
+    * to the left row (merge_asof's allow_exact_matches=True). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               ltsCol: String, rtsCol: String, valueCols: Seq[String],
+               tieCol: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(ltsCol))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      col(keyCol) +: col(rtsCol).as("__t") +: lit(0).as("__side") +:
+        col(tieCol).cast("long").as("__tie") +:
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(u) { (acc, c) =>
+      acc.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Interval join: all same-key (left, right) pairs with
+    * rts ∈ [lts − lag, lts]. The RIGHT side explodes into its lag-width
+    * time bucket and the next one, so the join key is (key, bucket) —
+    * every candidate pair shares exactly ONE bucket (no dedup needed) and
+    * each join group is bounded by bucket occupancy instead of the
+    * whole key history (a naive range-predicate join degenerates to
+    * per-key n² at scale). The exact range predicate filters after. */
+  def intervalJoinBinned(left: DataFrame, right: DataFrame, keyCol: String,
+                         ltsCol: String, rtsCol: String,
+                         lagSeconds: Long): DataFrame = {
+    val lb = left.withColumn("__bin",
+      floor(col(ltsCol).cast("long") / lagSeconds))
+    val rb = right.withColumn("__bin", explode(array(
+      floor(col(rtsCol).cast("long") / lagSeconds),
+      floor(col(rtsCol).cast("long") / lagSeconds) + 1)))
+    lb.join(rb, Seq(keyCol, "__bin"))
+      .filter(col(rtsCol) <= col(ltsCol) &&
+        col(rtsCol) >= col(ltsCol) - expr(s"INTERVAL $lagSeconds SECOND"))
+      .drop("__bin")
+  }
+}

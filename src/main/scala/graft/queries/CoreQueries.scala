@@ -292,6 +292,37 @@ object CoreQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // As-of join (beyond the reference's equi-joins): each click carries
+    // the latest prior purchase value of the same user — union + one
+    // shuffle + running last-non-null window, never a per-row range probe.
+    "q_j_asof" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("value").as("p_value"), col("event_id").as("p_id"))
+      graft.ops.Temporal.asofJoin(clicks, purchases, "user_id", "ts", "p_ts",
+          Seq("p_value"), tieCol = "p_id")
+        .select("event_id", "user_id", "asof_p_value")
+        .orderBy("event_id")
+    }),
+
+    // Interval (range) join, lag-binned so each join group is bounded by
+    // bucket occupancy: purchases within the hour before each click.
+    "q_j_interval" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      graft.ops.Temporal.intervalJoinBinned(clicks, purchases,
+          "user_id", "ts", "p_ts", lagSeconds = 3600)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("p_value")).as("sum_p_value"))
+        .orderBy("user_id")
+    }),
+
     // TPC-H Q6 shape — tight filter + single aggregate (pushdown showcase).
     "q_a_tpch_q6" -> ((s, d) =>
       Tables(s, d, "lineitem")
@@ -516,6 +547,27 @@ object CoreQueries {
     "q_a4_crosstab" ->
       s"""SELECT o_orderstatus, ${prioCountCells(prioAlias)}
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_j_asof" ->
+      """WITH l AS (SELECT event_id, user_id, ts AS t, 1 AS side,
+        |  NULL::BIGINT AS tie, NULL::DOUBLE AS v
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT NULL::BIGINT, user_id, ts, 0, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |f AS (SELECT *, LAST_VALUE(v IGNORE NULLS) OVER (
+        |  PARTITION BY user_id ORDER BY t, side, tie
+        |  ROWS UNBOUNDED PRECEDING) AS asof_p_value FROM u)
+        |SELECT event_id, user_id, asof_p_value FROM f
+        |WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "q_j_interval" ->
+      s"""SELECT l.user_id, COUNT(*) AS n_pairs,
+         | ${dsumSql("r.value")} AS sum_p_value
+         |FROM events l JOIN events r ON r.user_id = l.user_id
+         |  AND l.event_type = 'click' AND r.event_type = 'purchase'
+         |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_a8b_describe_cat" ->
       """WITH m AS (SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value

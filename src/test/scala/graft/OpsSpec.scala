@@ -99,4 +99,36 @@ class OpsSpec extends AnyFunSuite {
     val got = xs.toDF("v").repartition(7).agg(Num.dsum(col("v"))).head.getDouble(0)
     assert(got == expected.toDouble)
   }
+
+  def t(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("asofJoin picks the latest prior right row, exact matches included") {
+    val left = Seq((1L, 1L, t(30)), (2L, 1L, t(90)), (3L, 2L, t(50)), (4L, 3L, t(10)))
+      .toDF("event_id", "k", "lts")
+    val right = Seq(
+      (1L, t(10), 100.0, 10L), (1L, t(30), 200.0, 11L), // exact match at 30
+      (1L, t(30), 250.0, 12L),                          // tie at 30 → max id wins
+      (1L, t(80), 300.0, 13L), (2L, t(60), 400.0, 14L)) // k=2 after 50 → no match
+      .toDF("k", "rts", "rv", "rid")
+    val out = Temporal.asofJoin(left, right, "k", "lts", "rts", Seq("rv"), "rid")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out(1L) == Some(250.0)) // exact-time tie, last rid wins
+    assert(out(2L) == Some(300.0))
+    assert(out(3L).isEmpty)        // only later right rows
+    assert(out(4L).isEmpty)        // no right rows for key
+  }
+
+  test("intervalJoinBinned equals the naive range join") {
+    val left = (1 to 200).map(i => (i.toLong % 5, t(i), i.toLong)).toDF("k", "lts", "lid")
+    val right = (1 to 200).map(i => (i.toLong % 5, t(i * 2 % 240), i * 1.0)).toDF("k", "rts", "rv")
+    val binned = Temporal.intervalJoinBinned(left, right, "k", "lts", "rts", 1800)
+      .select("lid", "rv").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val naive = left.join(right, Seq("k"))
+      .filter(col("rts") <= col("lts") &&
+        col("rts") >= col("lts") - expr("INTERVAL 1800 SECOND"))
+      .select("lid", "rv").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(binned == naive && binned.nonEmpty)
+  }
 }
