@@ -78,6 +78,18 @@ object TextSimQueries {
         TextOps.shingleFingerprint(col("text")).as("fp_shingle"))
         .orderBy("doc_id")),
 
+    // Document-term matrix: top-3 terms per doc by tf (ties → token asc)
+    // with corpus document frequency — the exact-count substrate of TF-IDF.
+    "q_x_doc_terms" -> ((s, d) => {
+      val dtm = TextOps.documentTermMatrix(
+        Tables(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text")
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("token").asc)
+      dtm.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"))
+        .orderBy("doc_id", "rn")
+    }),
+
     // Exact dedup over a doubled corpus (proves duplicate rows collapse).
     "q_x_exact_dedup" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -339,6 +351,18 @@ object TextSimQueries {
          | md5(array_to_string(list_sort(list_distinct($normToksSql)), ' '))
          |   AS fp_shingle
          |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q_x_doc_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($normToksSql) AS token
+         |  FROM documents WHERE doc_id < 50),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |r AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |    ORDER BY tf.tf DESC, tf.token) AS INTEGER) AS rn
+         |  FROM tf JOIN dfq USING (token))
+         |SELECT doc_id, rn, token, tf, df FROM r
+         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
     "q_x_exact_dedup" ->
       s"""SELECT COUNT(*) AS n_unique, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM (

@@ -130,6 +130,21 @@ object TextOps {
     size(array_intersect(sa, sb)) / size(array_union(sa, sb)).cast("double")
   }
 
+  /** Document-term matrix: (doc, token, tf, df) — the bag-of-words
+    * foundation (TF-IDF is `tf * log(N/df)` on top; kept separate because
+    * log is libm-divergent across engines while the counts are exact).
+    * One explode + one (doc, token) count; df joins back from a token-level
+    * count of the SAME relation — two shuffles total, both on small keys. */
+  def documentTermMatrix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol),
+        explode(tokens(normalizeText(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    terms.join(docFreq, Seq("token"))
+      .select(col(idCol), col("token"), col("tf"), col("df"))
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup: keep the smallest doc_id per normalized-content
