@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.ops.{Cleaning, Num, Ranking}
+import graft.text.TextOps
+
+/** Property-style tests: ScalaCheck generators (fixed seeds — the suite
+  * must be deterministic) produce randomized datasets, and each engine
+  * operator is checked against an independent Scala reference
+  * implementation over every generated row. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sampled[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("dsum equals the exact BigDecimal reference on random doubles") {
+    val xs = sampled(Gen.listOfN(2000,
+      Gen.chooseNum(-1e6, 1e6)), seed = 1L)
+    val expected = xs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val got = xs.toDF("v").repartition(13).agg(Num.dsum(col("v"))).head.getDouble(0)
+    assert(got == expected)
+  }
+
+  test("cut matches pandas (lo, hi] reference binning on random values") {
+    val bins = Seq(-1e9, -10.0, 0.0, 42.5, 1e9)
+    val labels = Seq("a", "b", "c", "d")
+    def ref(x: Double): String =
+      labels.indices.reverse.collectFirst {
+        case i if x > bins(i) && x <= bins(i + 1) => labels(i)
+      }.orNull
+    val xs = sampled(Gen.listOfN(1000, Gen.oneOf(
+      Gen.chooseNum(-100.0, 100.0), Gen.oneOf(-10.0, 0.0, 42.5))), seed = 2L)
+    val rows = xs.toDF("x")
+      .select(col("x"), Cleaning.cut(col("x"), bins, labels).as("bin"))
+      .collect()
+    rows.foreach(r => assert(r.getString(1) == ref(r.getDouble(0)),
+      s"x=${r.getDouble(0)}"))
+  }
+
+  test("hammingDistance equals Long.bitCount of xor on random fingerprints") {
+    val ps = sampled(Gen.listOfN(500,
+      Gen.zip(Gen.long, Gen.long)), seed = 3L)
+    val rows = ps.toDF("a", "b")
+      .select(col("a"), col("b"),
+        TextOps.hammingDistance(col("a"), col("b")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(2) == java.lang.Long.bitCount(r.getLong(0) ^ r.getLong(1)))
+    }
+  }
+
+  test("topNPerGroup matches a sort-based reference per group") {
+    val rows = sampled(Gen.listOfN(800,
+      Gen.zip(Gen.choose(0, 9), Gen.chooseNum(-1e3, 1e3))), seed = 4L)
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) } // unique ids
+    val df = rows.toDF("g", "v", "id")
+    val got = Ranking.topNPerGroup(df, Seq("g"),
+        Seq(col("v").desc, col("id").asc), 5)
+      .select("g", "id").collect().map(r => (r.getInt(0), r.getLong(2 - 1))).toSet
+    val ref = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(5).map(r => (g, r._3))
+    }.toSet
+    assert(got == ref)
+  }
+
+  test("tagHoldout matches the md5-threshold reference row-for-row") {
+    val keys = sampled(Gen.listOfN(500, Gen.choose(0L, 1000000L)), seed = 5L).distinct
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def refTag(k: Long): String = {
+      val hex = md.digest(s"7:$k".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      if (hex < f"${math.floor(0.3 * 4294967296.0).toLong}%08x") "test" else "train"
+    }
+    val got = graft.ml.Split.tagHoldout(keys.toDF("id"), "id", 0.3, seed = 7)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    keys.foreach(k => assert(got(k) == refTag(k), s"key $k"))
+  }
+}
