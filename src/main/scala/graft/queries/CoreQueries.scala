@@ -233,6 +233,27 @@ object CoreQueries {
           "mean_rank")
     }),
 
+    // Salted two-phase aggregation must equal the plain groupBy — the
+    // skew-mitigation path is verified inside the oracle gate itself.
+    "q_a_salted_count" -> ((s, d) =>
+      graft.ops.Skew.saltedCount(Tables(s, d, "orders"),
+          "o_orderpriority", "o_orderkey", salts = 8)
+        .orderBy("o_orderpriority")),
+
+    // W7 — rolling mean over the trailing 3 events per user (event-time
+    // order, exact-decimal accumulation; pandas rolling(3, min_periods=1)).
+    "q_w7_rolling_mean" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables(s, d, "events")
+        .filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          (sum(col("value").cast(DecimalType(30, 6))).over(w).cast("double") /
+            count(lit(1)).over(w)).as("rolling_mean"))
+        .orderBy("event_id")
+    }),
+
     // W5-ish — per-row share of group total (exact-decimal window sum).
     "q_w5_window_share" -> ((s, d) =>
       Tables(s, d, "customer").select(
@@ -675,6 +696,19 @@ object CoreQueries {
     "q_w1_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_a_salted_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_w7_rolling_mean" ->
+      """SELECT event_id, user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+        |   / COUNT(*) OVER w AS rolling_mean
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_w4_mean_rank" ->
       s"""WITH st AS (SELECT c_nationkey, ${davgSql("c_acctbal")} AS avg_bal,
