@@ -73,6 +73,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join plan contains no physical join at all") {
+    // the operator is union + window — a Join node would mean the
+    // per-row-range-probe shape it exists to avoid
+    val plan = SparkEntry.queries("q_j_asof")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof plan has a join:\n${plan.take(1500)}")
+    assert(plan.contains("Window"))
+  }
+
+  test("interval join is a bucket equi-join, not a nested loop") {
+    val plan = SparkEntry.queries("q_j_interval")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to a non-equi plan:\n${plan.take(1500)}")
+  }
+
   test("ivf centroid pick is a top-N, not a global sort window") {
     val e = graft.core.Tables(spark, sfDir, "embeddings")
     val (centroids, _) = graft.sim.Similarity.ivfIndex(e, 8)
