@@ -175,19 +175,30 @@ object StatsQueries {
          |FROM grid""".stripMargin,
 
     "q_t8_spearman" ->
-      s"""WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
-         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
-         |cx AS (SELECT x, COUNT(*) AS cnt FROM base GROUP BY x),
-         |rx AS (SELECT x, CAST(COALESCE(SUM(cnt) OVER (ORDER BY x
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-         |  + (cnt + 1) / 2.0 AS rx FROM cx),
-         |cy AS (SELECT y, COUNT(*) AS cnt FROM base GROUP BY y),
-         |ry AS (SELECT y, CAST(COALESCE(SUM(cnt) OVER (ORDER BY y
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-         |  + (cnt + 1) / 2.0 AS ry FROM cy),
-         |j AS (SELECT rx.rx, ry.ry FROM base
-         |  JOIN rx ON base.x = rx.x JOIN ry ON base.y = ry.y)
-         |SELECT ${dcorrSql("rx", "ry")} AS rho FROM j""".stripMargin,
+      // doubled midranks are exact integers; every moment sums in HUGEINT
+      // (mirrors Spark's decimal(38,0)); only the final O(1) moments cast
+      // to double — correctly-rounded on both engines at any scale
+      """WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cx AS (SELECT x, COUNT(*) AS cnt FROM base GROUP BY x),
+        |rx AS (SELECT x, 2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  + cnt + 1 AS dx FROM cx),
+        |cy AS (SELECT y, COUNT(*) AS cnt FROM base GROUP BY y),
+        |ry AS (SELECT y, 2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  + cnt + 1 AS dy FROM cy),
+        |j AS (SELECT rx.dx, ry.dy FROM base
+        |  JOIN rx ON base.x = rx.x JOIN ry ON base.y = ry.y),
+        |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |  SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+        |  SUM(CAST(dx * dx AS HUGEINT)) AS sxx,
+        |  SUM(CAST(dy * dy AS HUGEINT)) AS syy,
+        |  SUM(CAST(dx * dy AS HUGEINT)) AS sxy FROM j)
+        |SELECT CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |  / (SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+        |   * SQRT(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))) AS rho
+        |FROM s""".stripMargin,
 
     "q_t11_wilcoxon" ->
       s"""WITH src AS (SELECT ABS(value - 245.0) AS v,

@@ -186,17 +186,42 @@ object Tests {
 
   /** T8 — Spearman rank correlation: Pearson over midranks. Ranks come from
     * the distinct-value relation of each variable, joined back — no
-    * single-partition row sort. */
+    * single-partition row sort.
+    *
+    * Numerics: DOUBLED midranks are exact integers (ties midrank on .5),
+    * so every moment is an exact integer sum, accumulated through
+    * decimal(38,0) (≡ int128 on the oracle side) — no fractional decimal
+    * ever reaches a double conversion, which removes the 1-ulp drift the
+    * previous decimal(30,6) path showed beyond 10⁶ rows. Only the final
+    * O(1) moments convert to double: BigInteger.doubleValue here, and a
+    * decimal-string parse on the oracle side (DuckDB 1.0's direct
+    * hugeint→double cast is NOT correctly rounded — measured — while its
+    * string parse is). Exact to ≈2.5·10⁹ rows (4n⁴ < 2¹²⁷); rho is
+    * invariant under the common ×2 rank scaling. */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-    val rx = Ranks.byValue(base, xCol).select(col(xCol), col("avg_rank").as("rx"))
-    val ry = Ranks.byValue(base, yCol).select(col(yCol), col("avg_rank").as("ry"))
-    // Note: at ≥10⁶ rows the rank-product sums exceed the range where
-    // DuckDB's decimal→double conversion is exact, so oracle comparison can
-    // drift by 1 ulp beyond the sf0.01 gate (see SCALE.md); the Spark-side
-    // result itself stays exact and plan-independent.
-    base.join(rx, Seq(xCol)).join(ry, Seq(yCol))
-      .agg(dcorr(col("rx"), col("ry")).as("rho"))
+    val d2 = (col("avg_rank") * 2).cast("long")
+    val rx = Ranks.byValue(base, xCol).select(col(xCol), d2.as("dx"))
+    val ry = Ranks.byValue(base, yCol).select(col(yCol), d2.as("dy"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = base.join(rx, Seq(xCol)).join(ry, Seq(yCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum(col("dy").cast(dec)).as("sy"),
+        sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
+        sum((col("dy") * col("dy")).cast(dec)).as("syy"),
+        sum((col("dx") * col("dy")).cast(dec)).as("sxy"))
+      .head()
+    val n = BigInt(s.getLong(0))
+    def m(i: Int): BigInt = BigInt(s.getDecimal(i).toBigInteger)
+    val num = n * m(5) - m(1) * m(2)
+    val denx = n * m(3) - m(1) * m(1)
+    val deny = n * m(4) - m(2) * m(2)
+    val rho = num.doubleValue /
+      (math.sqrt(denx.doubleValue) * math.sqrt(deny.doubleValue))
+    Seq(rho).toDF("rho")
   }
 
   /** T12 — Mann-Whitney U of `valueCol` between g1 and g2 (two-sided z with
