@@ -39,6 +39,15 @@ object Io {
       .forEach(p => Files.deleteIfExists(p))
   }
 
+  /** Partitioned parquet sink — the 100 TB table-layout primitive: writing
+    * by a low-cardinality key (source, date, lang) gives every downstream
+    * reader partition PRUNING for free (a filter on the key skips whole
+    * directories before any IO; asserted in IoSpec). */
+  def writeParquetPartitioned(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** S6/S9 — JSON results store (one object per line). */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)

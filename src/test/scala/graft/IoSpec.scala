@@ -30,6 +30,23 @@ class IoSpec extends AnyFunSuite {
     assert(math.abs(perFile("submission_a.csv") - 0.85) < 1e-12)
   }
 
+  test("partitioned parquet write gives readers partition pruning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part").toString + "/docs"
+    val df = (1L to 300L).map(i => (i, s"src${i % 3}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    Io.writeParquetPartitioned(df, dir, Seq("source"))
+    val back = spark.read.parquet(dir).filter(col("source") === "src1")
+    assert(back.count() == 100)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("src1"),
+      s"source filter should prune partitions:\n${plan.take(1200)}")
+    // the partition filter must NOT appear as a data filter (no row IO
+    // spent re-checking what the directory layout already guarantees)
+    assert(!plan.split("PushedFilters")(1).split("\n")(0).contains("source"),
+      "partition key leaked into the data-filter pushdown")
+  }
+
   test("writeSingleCsv produces one readable file (S7)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_csv").toString + "/sub.csv"
