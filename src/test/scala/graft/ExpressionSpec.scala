@@ -21,6 +21,21 @@ class ExpressionSpec extends AnyFunSuite {
     assert(diff == 0, "native and fold dot products must agree exactly")
   }
 
+  test("float_dot is callable from SQL after registration") {
+    graft.expressions.GraftExtensions.register(spark)
+    graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(20).createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      "SELECT vec_id, float_dot(embedding, embedding) AS d FROM emb_sql")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaCol = spark.table("emb_sql")
+      .select(col("vec_id"), FloatDotProduct.dot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    // the extensions class itself must construct (used via spark.sql.extensions)
+    assert(new graft.expressions.GraftExtensions() != null)
+  }
+
   test("null array yields null; mismatched type fails analysis") {
     val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]]))
       .toDF("a", "b")
