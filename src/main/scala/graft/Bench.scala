@@ -14,9 +14,13 @@ object Bench {
     // JVM/codegen/parquet-reader warmup outside the timed loop
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
-    // 3-decimal rounding keeps the whole JSON line under ~2 KB: the driver
-    // captures only the tail of the run output, and a full-precision line
-    // for ~70 queries overflows that window and defeats its JSON parse.
+    // The driver captures only the LAST 2000 chars of run output (measured:
+    // BENCH_r01/r02 tail length == 2000), and sbt appends a ~80-char
+    // "[success] Total time" line after our println. A per-query map for ~97
+    // queries is ~2.8 KB and gets its head truncated, defeating the driver's
+    // JSON parse (BENCH_r02 "parsed": null). So: the stdout line carries the
+    // total over ALL queries plus a fixed headline subset of per-query times,
+    // and the complete map goes to bench_full.json next to the repo.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -28,11 +32,34 @@ object Bench {
       // a crashed query reports -1 instead of a normal-looking duration
       name -> (if (ok) r3(dt) else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val headline = Vector(
+      "q_a1_tpch_q1", "q_a_tpch_q6", "q_j_tpch_q12", "q_j_tpch_q14",
+      "q_j1_top_revenue", "q_j_asof", "q_j_interval",
+      "q_a4_crosstab", "q_a8_describe", "q_a16_corr_prune",
+      "q_w1_topk", "q_w3_topn_per_group",
+      "q_m1_standard_scale", "q_m4_yeojohnson_lambda", "q_m5_quantile", "q_m11_kfold",
+      "q_t3_auroc", "q_t8_spearman", "q_t11_wilcoxon",
+      "q_x_exact_dedup", "q_x_minhash_neardup", "q_x_simhash_neardup", "q_x_embed_neardup",
+      "q_v_knn_brute", "q_v_lsh_ann", "q_v_ivf_ann",
+      "q_x_lang_id", "q_x_corpus_pipeline",
+      "q_s_session", "q_mm_features")
+    def toJson(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
     val total = r3(results.values.filter(_ >= 0).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"queries":${toJson(results)},"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
+    val headlineQs = headline.flatMap(k => results.get(k).map(k -> _))
+    var line =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"queries":${toJson(headlineQs)},"sf":"$sfDir"}"""
+    // belt-and-braces: never exceed the driver's 2000-char tail window
+    if (line.length > 1800)
+      line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

@@ -113,7 +113,8 @@ object Models {
                            tol: Double = 0.01, seed: Int = 42): (PipelineModel, Int) = {
     val tagged = Split.tagHoldout(train, idCol, validationFraction, seed)
       .withColumn("__isVal", col("split") === "test").drop("split")
-    val gbt = new GBTClassifier().setMaxIter(maxIter).setMaxDepth(4).setSeed(42)
+    // the holdout split and the model share the caller's seed
+    val gbt = new GBTClassifier().setMaxIter(maxIter).setMaxDepth(4).setSeed(seed)
       .setValidationIndicatorCol("__isVal")
     gbt.set(gbt.validationTol, tol)
     val fitted = pipelineFor(gbt, featureCols, labelCol).fit(tagged)

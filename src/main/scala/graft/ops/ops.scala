@@ -103,11 +103,16 @@ object Relational {
     // count(*) gives the TRUE row total even if colValues is partial
     val cells = colValues.map(v =>
       sum(when(col(colCol) === v, 1L).otherwise(0L)).as(v))
-    val aggs = cells :+ count(lit(1)).as(totalCol)
+    // grouping() (not a null-coalesce on the group key) tags the rollup
+    // grand-total row: a genuine NULL value in rowCol must NOT be conflated
+    // with the "All" margin — the SQL form distinguishes them via GROUPING()
+    val aggs = cells ++ Seq(count(lit(1)).as(totalCol),
+      grouping(col(rowCol)).cast("int").as("__is_total"))
     df.rollup(rowCol).agg(aggs.head, aggs.tail: _*)
-      // rollup's grand-total row carries a null group key → pandas' "All"
-      .withColumn(rowCol, coalesce(col(rowCol).cast("string"), lit("All")))
-      .orderBy(when(col(rowCol) === "All", 1).otherwise(0), col(rowCol))
+      .withColumn(rowCol,
+        when(col("__is_total") === 1, lit("All")).otherwise(col(rowCol).cast("string")))
+      .orderBy(col("__is_total"), col(rowCol))
+      .drop("__is_total")
   }
 
   /** A6 — pivot_table(index, columns, values, aggfunc=mean).

@@ -192,9 +192,9 @@ object StatsQueries {
         |  JOIN rx ON base.x = rx.x JOIN ry ON base.y = ry.y),
         |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
         |  SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
-        |  SUM(CAST(dx * dx AS HUGEINT)) AS sxx,
-        |  SUM(CAST(dy * dy AS HUGEINT)) AS syy,
-        |  SUM(CAST(dx * dy AS HUGEINT)) AS sxy FROM j)
+        |  SUM(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+        |  SUM(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy,
+        |  SUM(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy FROM j)
         |SELECT CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
         |  / (SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
         |   * SQRT(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))) AS rho

@@ -24,10 +24,15 @@ object TextSimQueries {
   /** normalized text + its tokens, as in TextOps.normalizeText/tokens. */
   private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
   private val normToksSql = s"""regexp_split_to_array(trim($normSql), '\\s+')"""
-  /** distinct 3-token shingles of normalized text (docs all have ≥3 tokens). */
+  /** distinct 3-token shingles of normalized text; the <3-token branch
+    * mirrors TextOps.shingles' whole-string fallback (without it, range()
+    * is empty for short docs, minhash minima go NULL, and band equality
+    * can never match — silently diverging from the engine). */
   private val shinglesSql =
-    s"""list_distinct(list_transform(range(0, len($normToksSql) - 2),
-       | i -> array_to_string(($normToksSql)[i+1:i+3], ' ')))""".stripMargin
+    s"""(CASE WHEN len($normToksSql) < 3
+       | THEN [array_to_string($normToksSql, ' ')]
+       | ELSE list_distinct(list_transform(range(0, len($normToksSql) - 2),
+       |   i -> array_to_string(($normToksSql)[i+1:i+3], ' '))) END)""".stripMargin
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -37,8 +42,10 @@ object TextSimQueries {
     * argmax CASE — mirroring TextOps.langScores/langId exactly. */
   private lazy val langProfs = TextOps.LangProfiles.toSeq.sortBy(_._1)
   private lazy val langScoreColsSql = langProfs.map { case (lang, words) =>
-    s"""len(list_filter($toksLowerSql, t -> list_contains(${sqlList(words)}, t)))
-       | / CAST(len($toksLowerSql) AS DOUBLE) AS s_$lang""".stripMargin
+    // normalized tokens, mirroring TextOps.langScores (which tokenizes via
+    // normalizeText so expression, fast-UDF, and oracle agree on any text)
+    s"""len(list_filter($normToksSql, t -> list_contains(${sqlList(words)}, t)))
+       | / CAST(len($normToksSql) AS DOUBLE) AS s_$lang""".stripMargin
   }.mkString(",\n ")
   private lazy val langBestSql =
     langProfs.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")

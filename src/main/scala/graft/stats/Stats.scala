@@ -210,9 +210,12 @@ object Tests {
       .agg(count(lit(1)).as("n"),
         sum(col("dx").cast(dec)).as("sx"),
         sum(col("dy").cast(dec)).as("sy"),
-        sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
-        sum((col("dy") * col("dy")).cast(dec)).as("syy"),
-        sum((col("dx") * col("dy")).cast(dec)).as("sxy"))
+        // cast BEFORE multiplying: doubled ranks reach 2n, so long×long
+        // products hit 4n² and would silently overflow int64 at n ≳ 1.5e9 —
+        // below the documented ≈2.5e9 exactness bound of the moment formula
+        sum(col("dx").cast(dec) * col("dx").cast(dec)).as("sxx"),
+        sum(col("dy").cast(dec) * col("dy").cast(dec)).as("syy"),
+        sum(col("dx").cast(dec) * col("dy").cast(dec)).as("sxy"))
       .head()
     val n = BigInt(s.getLong(0))
     def m(i: Int): BigInt = BigInt(s.getDecimal(i).toBigInteger)

@@ -72,7 +72,11 @@ object TextOps {
     "zh" -> Seq("de", "shi", "le", "zai", "wo", "you", "ta", "zhe", "men", "bu"))
 
   def langScores(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Seq[(String, Column)] = {
-    val toks = tokens(lower(text))
+    // normalizeText (not bare lower) so tokenization is identical across the
+    // expression form, the JVM fast path, and the SQL oracle: Spark/DuckDB
+    // trim strips only spaces, so un-normalized text with leading/trailing
+    // tabs/newlines would grow an empty token (different score denominator)
+    val toks = tokens(normalizeText(text))
     profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       lang -> (size(filter(toks, t => t.isin(words: _*))) / size(toks).cast("double"))
     }
@@ -95,13 +99,28 @@ object TextOps {
   def langIdFast(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Column = {
     val profs = profiles.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toSet) }
     val f = udf { (t: String) =>
-      val toks = t.trim.toLowerCase.split("\\s+")
+      val toks = normTokens(t)
       val n = toks.length.toDouble
       val scores = profs.map { case (_, ws) => toks.count(ws.contains).toDouble / n }
       val best = scores.max
       if (best > 0) profs(scores.indexOf(best))._1 else "und"
     }
     f(text)
+  }
+
+  /** JVM mirror of `tokens(normalizeText(text))`, step for step: collapse
+    * runs of regex whitespace to one space, strip leading/trailing SPACES
+    * only (Spark/DuckDB `trim` semantics — NOT Java `String.trim`, which
+    * also eats tabs/newlines and every control char ≤ U+0020 and would make
+    * the fast paths diverge from the expression/oracle forms), lowercase
+    * with the root locale (Spark's `lower` is locale-independent). */
+  private[text] def normTokens(t: String): Array[String] = {
+    var s = t.replaceAll("\\s+", " ")
+    var lo = 0; var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s = s.substring(lo, hi).toLowerCase(java.util.Locale.ROOT)
+    s.split("\\s+", -1)
   }
 
   /** Document fingerprints. `contentFingerprint` is order-sensitive
@@ -171,7 +190,7 @@ object TextOps {
 
   /** JVM-side shingle set of a normalized text (shared by the fast paths). */
   private def shingleSet(text: String, n: Int): Array[String] = {
-    val toks = text.trim.toLowerCase.split("\\s+")
+    val toks = normTokens(text)
     if (toks.length < n) Array(toks.mkString(" "))
     else {
       val out = new scala.collection.mutable.HashSet[String]
@@ -310,7 +329,7 @@ object TextOps {
     val f = udf { (t: String) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val counts = new Array[Int](bits)
-      t.trim.toLowerCase.split("\\s+").distinct.foreach { tok =>
+      normTokens(t).distinct.foreach { tok =>
         val d = md.digest(tok.getBytes("UTF-8"))
         val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)

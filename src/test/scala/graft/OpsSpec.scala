@@ -26,6 +26,18 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getLong(1) == 0 && r2.getLong(2) == 1)
   }
 
+  test("crosstabWithMargins keeps a genuine NULL key distinct from the All row") {
+    val df = Seq((Some("r1"), "x"), (Some("r1"), "y"), (None, "x"), (None, "x"))
+      .toDF("a", "b")
+    val ct = Relational.crosstabWithMargins(df, "a", "b", Seq("x", "y"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // NULL-key rows aggregate under a null label, NOT under "All"
+    assert(ct.contains((None, 2L, 0L, 2L)))
+    assert(ct.contains((Some("r1"), 1L, 1L, 2L)))
+    assert(ct.contains((Some("All"), 3L, 1L, 4L)))
+    assert(ct.length == 3)
+  }
+
   test("cut uses pandas (lo, hi] semantics") {
     val df = Seq(0.0, 2.5, 2.51, 5.0, 7.0).toDF("v")
       .select(Cleaning.cut(col("v"), Seq(0, 2.5, 5), Seq("lo", "hi")).as("bin"))

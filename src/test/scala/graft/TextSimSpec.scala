@@ -68,6 +68,33 @@ class TextSimSpec extends AnyFunSuite {
     li.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("fast UDFs match expression forms on hostile whitespace and short docs") {
+    // leading/trailing tabs/newlines: Java String.trim would strip these but
+    // Spark/DuckDB trim strips only spaces — both forms now tokenize through
+    // normalizeText semantics so they must agree; plus <3-token docs hit the
+    // whole-string shingle fallback
+    val hostile = Seq(
+      "\tthe cat and the dog sat on the mat\n",
+      "  el perro y el gato en la casa  ",
+      "\n\ntab\tseparated\ttokens here\t\t",
+      "two tokens",
+      "one",
+      "the and of to in is it that for was").toDF("text")
+    val rows = hostile.select(
+      TextOps.langId(col("text")).as("le"),
+      TextOps.langIdFast(col("text")).as("lf"),
+      TextOps.minhashSignature(col("text"), 8).as("me"),
+      TextOps.minhashSignatureFast(col("text"), 8).as("mf"),
+      TextOps.simhash(col("text"), 32).as("se"),
+      TextOps.simhashFast(col("text"), 32).as("sf"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"langId mismatch: $r")
+      assert(r.getSeq[String](2) == r.getSeq[String](3), s"minhash mismatch: $r")
+      assert(r.getLong(4) == r.getLong(5), s"simhash mismatch: $r")
+    }
+  }
+
   test("fast hyperplane signature is bit-identical to the expression form") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(40)
     val rows = e.select(
