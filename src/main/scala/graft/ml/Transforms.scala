@@ -26,29 +26,54 @@ object Transforms {
     when(x >= 0, posBranch).otherwise(negBranch)
   }
 
-  /** M4 — fit λ per column by grid MLE in ONE aggregation pass.
+  /** ψ(λ, x) with λ as a COLUMN (the grid-explode fit path). Evaluates the
+    * identical IEEE operation sequence as the per-λ static form, with the
+    * λ=0 / λ=2 singular branches selected at runtime. */
+  def yeoJohnsonDyn(x: Column, lam: Column): Column = {
+    val posBranch = when(abs(lam) < 1e-12, log(x + 1))
+      .otherwise((pow(x + 1, lam) - 1) / lam)
+    val negBranch = when(abs(lam - 2) < 1e-12, -log(-x + 1))
+      .otherwise(-(pow(-x + 1, lit(2) - lam) - 1) / (lit(2) - lam))
+    when(x >= 0, posBranch).otherwise(negBranch)
+  }
+
+  /** M4 — fit λ per column by grid MLE in one scan.
     *
     * Log-likelihood (profile): −n/2·log σ̂²(ψ_λ) + (λ−1)·Σ sign(x)·log(|x|+1);
-    * the second term is λ-independent up to the (λ−1) factor, so the pass
-    * computes Σψ, Σψ² for every grid λ plus Σ sign(x)log(|x|+1) once. */
+    * the second term is λ-independent up to the (λ−1) factor, so the scan
+    * needs Σψ, Σψ² for every grid λ plus Σ sign(x)log(|x|+1) once.
+    *
+    * Plan shape: a k-col × |grid|-λ WIDE aggregate (2·k·|grid| expressions)
+    * blows past `spark.sql.codegen.maxFields` and drops the whole pass to
+    * interpreted mode (measured 8.5 s at sf0.1); instead the grid is
+    * EXPLODED — (column, x) × (λ index, λ) rows through one small
+    * codegen'd ψ — and partial aggregation collapses each partition to
+    * k·|grid| groups map-side before a 2-row-per-group shuffle. Same scan
+    * count (one), same per-row pow/log work, fully pipelined at any scale;
+    * only O(k·|grid|) scalars reach the driver. */
   def fitYeoJohnson(df: DataFrame, cols: Seq[String],
                     grid: Seq[Double] = (-20 to 20).map(_ * 0.25)): Map[String, Double] = {
-    val aggs = cols.flatMap { c =>
-      val x = col(c)
-      grid.zipWithIndex.flatMap { case (lam, i) =>
-        val psi = yeoJohnson(x, lam)
-        Seq(sum(psi).as(s"${c}__s_$i"), sum(psi * psi).as(s"${c}__ss_$i"))
-      } ++ Seq(
-        sum(signum(x) * log(abs(x) + 1)).as(s"${c}__slog"),
-        count(x).cast("double").as(s"${c}__n"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val long = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("cname"), col(c).cast("double").as("x"))): _*)).as("s"))
+      .select(col("s.cname").as("cname"), col("s.x").as("x"))
+      .filter(col("x").isNotNull)
+    val lamArr = array(grid.map(lit): _*)
+    val moments = long
+      .select(col("cname"), col("x"), posexplode(lamArr).as(Seq("li", "lam")))
+      .groupBy("cname", "li")
+      .agg(sum(yeoJohnsonDyn(col("x"), col("lam"))).as("s"),
+        sum(yeoJohnsonDyn(col("x"), col("lam")) *
+          yeoJohnsonDyn(col("x"), col("lam"))).as("ss"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val base = long.groupBy("cname")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(signum(col("x")) * log(abs(col("x")) + 1)).as("slog"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     cols.map { c =>
-      val n = row.getAs[Double](s"${c}__n")
-      val slog = row.getAs[Double](s"${c}__slog")
+      val (n, slog) = base(c)
       val best = grid.zipWithIndex.maxBy { case (lam, i) =>
-        val s = row.getAs[Double](s"${c}__s_$i")
-        val ss = row.getAs[Double](s"${c}__ss_$i")
+        val (s, ss) = moments((c, i))
         val variance = ss / n - (s / n) * (s / n)
         if (variance <= 0 || variance.isNaN) Double.NegativeInfinity
         else -n / 2.0 * math.log(variance) + (lam - 1) * slog

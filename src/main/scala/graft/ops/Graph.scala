@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph helpers for the dedup pipeline: near-duplicate PAIRS
+  * become near-duplicate CLUSTERS via connected components, so a corpus can
+  * keep exactly one representative per duplicate group (pair-wise removal
+  * alone over-keeps on transitive chains a~b~c).
+  *
+  * No GraphX: the label-propagation loop below is plain DataFrame joins, so
+  * Catalyst/AQE handle partitioning and the whole thing scales like any
+  * shuffle-on-key plan. Iteration count is the component DIAMETER, which for
+  * dedup clusters (cliques or short chains) is 1-3.
+  */
+object Graph {
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * Input: an undirected edge relation (two id columns, any orientation,
+    * duplicates allowed). Output: one row per vertex that appears in an
+    * edge — (id, comp) with comp = the minimum vertex id reachable.
+    *
+    * Each round: every vertex offers its current label to its neighbors;
+    * labels only decrease, so the loop converges (monotone fixpoint) in at
+    * most diameter rounds; the driver sees only the converged-or-not count.
+    * Per-round cost: one shuffle-on-id join + one groupBy(id) min — the
+    * 100 TB shape (labels and edges co-partition on id after round one;
+    * nothing row-level reaches the driver). localCheckpoint() truncates the
+    * growing lineage so round k does not replay rounds 1..k-1.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbor-minimum offer: min over incoming labels per vertex
+      val offers = sym.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("comp").as("offer"))
+      val next = labels.join(offers, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"),
+          (coalesce(col("offer"), col("comp")) < col("comp")).as("__changed"))
+        .localCheckpoint()
+      converged = next.filter(col("__changed")).limit(1).count() == 0
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Cluster summary of an edge relation: (comp, n_members) — e.g. the
+    * size distribution of near-duplicate groups. */
+  def componentSizes(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    connectedComponents(edges, srcCol, dstCol)
+      .groupBy("comp").agg(count(lit(1)).as("n_members"))
+}

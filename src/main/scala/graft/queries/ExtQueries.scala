@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Num.dsum
+
+/** Round-3 coverage extensions: multi-dimensional aggregation (cube),
+  * analytic lead/lag, outer joins, CDC latest-wins compaction,
+  * deterministic hash sampling, edit-distance fuzzy matching, TF-IDF
+  * retrieval, and funnel analysis — each the Spark-first shape of an
+  * operation a large-scale data pipeline runs daily.
+  */
+object ExtQueries {
+  import Sql._
+
+  /** Fixed retrieval query for q_x_tfidf_search (corpus vocabulary terms
+    * with differing document frequencies). */
+  private val QueryTokens = Seq("spark", "join", "window")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CUBE over (status, priority): all four grouping sets in one pass
+    // (Spark expands the sets BEFORE the exchange, so partial aggregation
+    // still combines map-side). grouping() flags disambiguate a genuine
+    // NULL key from a subtotal row — the ADVICE-r2 crosstab lesson.
+    "q_a_cube" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("g_status"), col("g_priority"), col("n"), col("sum_price"))
+        .orderBy("g_status", "g_priority", "status", "priority")),
+
+    // Analytic lead/lag: per-user inter-event gaps (exact integer micros —
+    // no float time arithmetic), one shuffle on user_id.
+    "q_w_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_us")).cast("long").as("sum_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          count(when(col("event_type") === col("prev_type"), 1)).as("n_repeat"))
+        .orderBy("user_id")
+    }),
+
+    // Full outer join: customer spine vs per-customer order counts —
+    // customers with no orders survive with n_orders = 0 (the pandas
+    // merge(how='outer') shape). Result: order-count histogram.
+    "q_j_outer" -> ((s, d) => {
+      val oc = Tables(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      Tables(s, d, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")
+    }),
+
+    // CDC latest-wins compaction: one row per key = the newest record
+    // (ts desc, event_id desc tie-break) — the upsert-merge shape every
+    // incremental 100 TB table maintenance job runs.
+    "q_j_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, d, "events")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    }),
+
+    // Deterministic hash sampling (~10%: first md5 hex byte < 0x1a, i.e.
+    // 26/256): reproducible on any engine, no RNG state, stratified
+    // reporting per event_type. The scalable substitute for seeded
+    // sample() when train/eval membership must be stable across runs.
+    "q_m_hash_sample" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          (substring(md5(concat_ws(":", lit(7), col("event_id"))), 1, 2) <= "19")
+            .cast("int").as("in_sample"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"), sum(col("in_sample")).cast("long").as("n_sampled"))
+        .orderBy("event_type")),
+
+    // Edit-distance fuzzy matching on consecutive docs (normalized prefix):
+    // exact integer Levenshtein — the character-level complement of the
+    // token-level Jaccard/minhash dedup family.
+    "q_x_edit_distance" -> ((s, d) => {
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), substring(norm, 1, 80).as("prefix"))
+      val a = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id_a"), col("prefix").as("pa"))
+      val b = docs.select(col("doc_id").as("id_b"), col("prefix").as("pb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("pa"), col("pb")).as("edit_dist"))
+        .orderBy("id_a")
+    }),
+
+    // TF-IDF retrieval with integer-scaled idf (w = (N*1e6) DIV df):
+    // every score is an exact integer on any engine — no libm log in the
+    // ranking path. Plan: tf of the 3 query terms only (filter BEFORE the
+    // doc-term aggregation), df + N from tiny broadcast aggregates.
+    "q_x_tfidf_search" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(
+          graft.text.TextOps.normalizeText(col("text")))).as("token"))
+        .filter(col("token").isin(QueryTokens: _*))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df_), Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("w", expr("(n_docs * 1000000) DIV df"))
+        .groupBy("doc_id").agg(sum(col("tf") * col("w")).cast("long").as("score"))
+      val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("score"))
+        .orderBy("rank")
+    }),
+
+    // Funnel analysis: signup → view → click → purchase by first-event
+    // times per user, one aggregation pass (min-when per stage), stage
+    // counts as one row.
+    "q_s_funnel" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val firsts = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      firsts.agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("t_view").isNotNull, 1)).as("n_view"),
+        count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+        count(when(col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click"), 1)).as("n_full_funnel"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_a_cube" ->
+      s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+         | COALESCE(o_orderpriority, '(all)') AS priority,
+         | CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+         | CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+         | COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY g_status, g_priority, status, priority""".stripMargin,
+
+    "q_w_lead_lag" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, event_type,
+        |  epoch_us(ts - LAG(ts) OVER w) AS gap_us,
+        |  LAG(event_type) OVER w AS prev_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        | CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+        | MAX(gap_us) AS max_gap_us,
+        | COUNT(CASE WHEN event_type = prev_type THEN 1 END) AS n_repeat
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_j_outer" ->
+      """WITH oc AS (SELECT o_custkey, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(n_orders, 0) AS n_orders, COUNT(*) AS n_customers
+        |FROM customer FULL OUTER JOIN oc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_j_latest" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+        | event_type AS last_type, value AS last_value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_m_hash_sample" ->
+      s"""SELECT event_type, COUNT(*) AS n_total,
+         | CAST(SUM(CASE WHEN substr(${hashKey("event_id", 7)}, 1, 2) <= '19'
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_x_edit_distance" ->
+      """WITH p AS (SELECT doc_id,
+        |  substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 80) AS prefix
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id < 100 ORDER BY id_a""".stripMargin,
+
+    "q_x_tfidf_search" -> {
+      val toksList = QueryTokens.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+         |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+')) AS token
+         |  FROM documents),
+         |qt AS (SELECT doc_id, token FROM tok
+         |  WHERE list_contains($toksList, token)),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+         |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id,
+         |    CAST(SUM(tf * ((nn.n_docs * 1000000) // dfq.df)) AS BIGINT) AS score
+         |  FROM tf JOIN dfq USING (token), nn GROUP BY doc_id)
+         |SELECT CAST(rn AS INTEGER) AS rank, doc_id, score
+         |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 10 ORDER BY rank""".stripMargin
+    },
+
+    "q_s_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |  MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        | COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+        | COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+        | COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+        |   AS n_full_funnel
+        |FROM f""".stripMargin)
+}

@@ -64,13 +64,18 @@ object MlQueries {
     // is skipped because mix1 is already gone), whereas "every col_b of a
     // hot pair" would also drop mix2 — so the oracle guards the greedy
     // semantics, not just the result on trivially-correlated data.
+    // Fast path: quantity/discount are 2-dp fixed-point, so the matrix
+    // comes from exact integer moments (corrMatrixLong) — Pearson is
+    // scale-invariant and the decisions sit ≥0.02 from the threshold.
     "q_a16_corr_prune" -> ((s, d) => {
       import s.implicits._
       val l = Tables(s, d, "lineitem")
-        .withColumn("mix1", col("l_quantity") + col("l_discount") * 114.0)
-        .withColumn("mix2", col("l_quantity") + col("l_discount") * 228.0)
+      val qL = round(col("l_quantity") * 100).cast("long")
+      val dL = round(col("l_discount") * 100).cast("long")
       val cols = Seq("l_quantity", "mix1", "mix2", "l_discount")
-      val corr = Prep.corrMatrix(l, cols)
+      val corr = Prep.corrMatrixLong(l, Seq(
+        "l_quantity" -> qL, "mix1" -> (qL + dL * 114),
+        "mix2" -> (qL + dL * 228), "l_discount" -> dL))
       Prep.highCorrDrops(corr, cols, 0.95).toDF("col_name").orderBy("col_name")
     }),
 

@@ -217,6 +217,21 @@ object TextSimQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Near-dup CLUSTERS: the minhash pair relation closed into connected
+    // components (iterative min-label propagation — ops.Graph), so each
+    // duplicate group keeps exactly one representative even across
+    // transitive chains a~b~c. Output: (component, member count).
+    "q_x_neardup_clusters" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = TextOps.minhashNearDupPairs(docs.unionByName(
+        docs.select(col("doc_id") + 100000, col("text"), col("lang"),
+          col("source"), col("n_chars")).toDF(docs.columns: _*)),
+        "doc_id", "text", numHashes = 16, bands = 2, threshold = 0.5)
+      graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy("comp").agg(count(lit(1)).as("n_members"))
+        .orderBy("comp")
+    }),
+
     // End-to-end corpus-cleaning pipeline (the composition a training-data
     // run actually executes): quality gate → language agreement → exact
     // dedup → minhash near-dup removal (drop the larger id of each pair) →
@@ -441,6 +456,38 @@ object TextSimQueries {
          |  FROM cand WHERE est_jaccard >= 0.25)
          |SELECT id_a, id_b, est_jaccard, jaccard FROM ex
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_x_neardup_clusters" -> {
+      val mins = (0 until 16).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
+        .mkString(",\n   ")
+      // same pair CTE as q_x_minhash_neardup, closed transitively with a
+      // recursive CTE: comp(v) = MIN over vertices reachable from v.
+      s"""WITH RECURSIVE u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |shx AS (SELECT doc_id, $shinglesSql AS sh FROM u),
+         |sig AS (SELECT doc_id, sh, [$mins] AS sg FROM shx),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sh AS sha, b.sh AS shb,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
+         |      AS est_jaccard
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |    AND (a.sg[1:8] = b.sg[1:8] OR a.sg[9:16] = b.sg[9:16])),
+         |p AS (SELECT id_a, id_b FROM cand WHERE est_jaccard >= 0.25
+         |  AND len(list_intersect(sha, shb))
+         |    / CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |lbl AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+         |SELECT comp, COUNT(*) AS n_members FROM lbl
+         |GROUP BY comp ORDER BY comp""".stripMargin
     },
 
     "q_x_simhash_neardup" ->

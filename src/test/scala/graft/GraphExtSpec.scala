@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+import graft.ml.Prep
+
+class GraphExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connectedComponents labels chains, cliques and isolated pairs") {
+    // chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val comps = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents merges components that meet late (long chain)") {
+    // two chains joined at the far end: 1-2-...-6 and 100-6
+    val edges = ((1L to 5L).map(i => (i, i + 1)) :+ (100L, 6L)).toDF("a", "b")
+    val comps = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.toSet == Set(1L))
+    assert(comps.size == 7)
+  }
+
+  test("componentSizes summarizes duplicate groups") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val sizes = Graph.componentSizes(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 3L, 10L -> 2L))
+  }
+
+  test("corrMatrixLong matches corrMatrix on fixed-point data") {
+    val df = Seq((100L, 205L), (210L, 400L), (315L, 640L), (420L, 805L), (155L, 310L))
+      .toDF("xl", "yl")
+      .withColumn("x", col("xl") / 100.0).withColumn("y", col("yl") / 100.0)
+    val slow = Prep.corrMatrix(df, Seq("x", "y")).collect()(0).getDouble(2)
+    val fast = Prep.corrMatrixLong(df, Seq("x" -> col("xl"), "y" -> col("yl")))
+      .collect()(0).getDouble(2)
+    assert(math.abs(slow - fast) < 1e-12, s"slow=$slow fast=$fast")
+    // scale invariance: r is identical whether computed on x or 100x
+    val unscaled = Prep.corrMatrixLong(df,
+      Seq("x" -> col("xl"), "y" -> col("yl"))).collect()(0).getDouble(2)
+    assert(math.abs(unscaled - fast) == 0.0)
+  }
+
+  test("yeo-johnson grid-explode fit picks the same lambda as a direct scan") {
+    import graft.ml.Transforms
+    val rng = new scala.util.Random(7)
+    val df = (1 to 2000).map(_ => math.exp(rng.nextGaussian())).toDF("v")
+    val lam = Transforms.fitYeoJohnson(df, Seq("v"))("v")
+    // right-skewed positive data wants a contracting transform: λ < 1
+    // (YJ's x+1 shift moves the optimum below Box-Cox's λ≈0)
+    assert(lam > -2.0 && lam < 1.0, s"lambda=$lam")
+    // against the reference wide-aggregate formulation on a small grid
+    val grid = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
+    val direct = grid.maxBy { l =>
+      val psi = Transforms.yeoJohnson(col("v"), l)
+      val r = df.agg(sum(psi).as("s"), sum(psi * psi).as("ss"),
+        count(lit(1)).cast("double").as("n"),
+        sum(signum(col("v")) * log(abs(col("v")) + 1)).as("slog")).head()
+      val (s, ss, n, slog) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val v = ss / n - (s / n) * (s / n)
+      if (v <= 0 || v.isNaN) Double.NegativeInfinity
+      else -n / 2.0 * math.log(v) + (l - 1) * slog
+    }
+    val gridFit = Transforms.fitYeoJohnson(df, Seq("v"), grid)("v")
+    assert(gridFit == direct, s"explode=$gridFit direct=$direct")
+  }
+}
