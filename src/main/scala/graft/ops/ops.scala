@@ -246,6 +246,42 @@ object Skew {
 }
 
 /** Ranking / window operators (SURVEY.md §2.5). */
+/** Distributed prefix sums over a total row order — the building block
+  * behind scalable ranking, NTILE, and sequence packing. Range-partition
+  * the order key, compute per-partition running sums in parallel, and
+  * prefix-scan only the ~numPartitions bucket totals on the driver. No
+  * single-partition window; results are exact integer arithmetic,
+  * independent of the bucketing. */
+object Prefix {
+
+  /** Adds `outCol` = inclusive running sum of `value` over `order`
+    * (which must be a total order for deterministic output). */
+  def runningSum(df: DataFrame, order: Seq[Column], value: Column,
+                 outCol: String): DataFrame = {
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.withColumn("__v", value.cast("long"))
+      .repartitionByRange(nBuckets, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      // persist is CORRECTNESS here, not caching: repartitionByRange
+      // samples its bounds with a seed derived from the RDD id, so two
+      // independent evaluations of this subtree can place the same row in
+      // different partitions — the offsets branch and the main branch
+      // MUST see one materialization (verified by GraphExtSpec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // offsets in-plan (tiny totals relation → prefix window → broadcast);
+    // no driver action, one lazy DAG
+    val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = ranged.groupBy("__pid").agg(sum("__v").as("__tot"))
+      .withColumn("__off", coalesce(sum("__tot").over(offW), lit(0L)))
+      .drop("__tot")
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, sum("__v").over(w) + col("__off"))
+      .drop("__pid", "__off", "__v")
+  }
+}
+
 object Ranking {
 
   /** W2 — global top-k with a deterministic tiebreak. */
@@ -273,6 +309,51 @@ object Ranking {
       .cast("double") / metrics.size
     ranked.withColumn("mean_rank", meanRank)
       .orderBy(col("mean_rank"), col(keyCol))
+  }
+
+  /** Exact global NTILE without a single-partition sort: range-partition
+    * on the order key, per-partition row_number in parallel, and only the
+    * ~numPartitions bucket counts visit the driver to become row-number
+    * offsets. Bucket assignment then reproduces SQL NTILE exactly
+    * (front-loaded remainder: the first n mod k buckets get one extra
+    * row). The 100 TB shape for decile/percentile bucketing — a plain
+    * `ntile(k).over(Window.orderBy(...))` funnels every row through ONE
+    * task. Order must be total (include a tiebreak key) for deterministic
+    * output. */
+  def ntileExact(df: DataFrame, order: Seq[Column], k: Int,
+                 bucketCol: String = "bucket"): DataFrame = {
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nBuckets, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      // persist pins ONE range partitioning: the bounds sampling is
+      // seeded by RDD id, so re-evaluation could repartition differently
+      // between the offsets/total branches and the main branch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket-start offsets and the grand total IN-PLAN (no driver action:
+    // the per-bucket counts relation is ~numPartitions rows, so its
+    // prefix window is trivial and everything stays one lazy DAG)
+    val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val cnts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
+    val offDf = cnts
+      .withColumn("__off", coalesce(sum("__c").over(offW), lit(0L)))
+      .drop("__c")
+    val totDf = cnts.agg(sum("__c").as("__n"))
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    // SQL NTILE: rows 1..r*(q+1) fill the first r = n%k buckets of size
+    // q+1 = n/k+1; the rest fill buckets of size q (integer DIV — no
+    // float rounding)
+    val bucketSql =
+      s"""CAST(CASE WHEN (__n % $k) > 0
+         |   AND __rn <= (__n % $k) * ((__n DIV $k) + 1)
+         | THEN ((__rn - 1) DIV ((__n DIV $k) + 1)) + 1
+         | ELSE (__n % $k) + ((__rn - 1 - (__n % $k) * ((__n DIV $k) + 1))
+         |   DIV greatest(__n DIV $k, 1)) + 1
+         | END AS INT)""".stripMargin
+    ranged.join(broadcast(offDf), Seq("__pid"))
+      .crossJoin(broadcast(totDf))
+      .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
+      .withColumn(bucketCol, expr(bucketSql))
+      .drop("__pid", "__off", "__rn", "__n")
   }
 
   /** A12 — deterministic grouped mode: most frequent value, ties broken by

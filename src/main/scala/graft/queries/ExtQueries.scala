@@ -130,6 +130,76 @@ object ExtQueries {
         .orderBy("rank")
     }),
 
+    // Exact decile bucketing WITHOUT a global-sort window: ntileExact
+    // range-partitions the order key and turns per-partition row numbers
+    // into global ones with driver-side bucket offsets — reproduces SQL
+    // NTILE bit-for-bit at full parallelism.
+    "q_w_ntile" -> ((s, d) => {
+      val bucketed = graft.ops.Ranking.ntileExact(
+        Tables(s, d, "orders"),
+        Seq(col("o_totalprice"), col("o_orderkey")), 10, "decile")
+      bucketed.groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("decile")
+    }),
+
+    // Multiple distinct aggregates in one grouped pass (Spark's Expand-
+    // based multi-distinct rewrite — each distinct column shuffles once).
+    "q_u_multi_distinct" -> ((s, d) =>
+      Tables(s, d, "orders").groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Incremental aggregate maintenance (materialized-view shape): the
+    // pre-cutoff partial state merges with the delta's partials and must
+    // equal a from-scratch aggregate — exact because the partial sums
+    // stay DECIMAL until the final cast (decimal addition is associative;
+    // double re-summing would not be). The oracle computes from scratch.
+    "q_a_incremental" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+      val o = Tables(s, d, "orders")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderstatus").agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).as("s"))
+      val pre = partials(o.filter(col("o_orderdate") < "1997-01-01"))
+      val delta = partials(o.filter(col("o_orderdate") >= "1997-01-01"))
+      pre.unionByName(delta).groupBy("o_orderstatus")
+        .agg(sum("n").cast("long").as("n"),
+          sum("s").cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Document chunking: overlapping 200-char windows (step 150) — the
+    // splitter in front of an embedding pipeline. Pure narrow explode.
+    "q_x_chunking" -> ((s, d) =>
+      graft.text.TextOps.chunkText(
+        Tables(s, d, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", size = 200, overlap = 50)
+        .select(col("doc_id"), col("chunk_id"),
+          length(col("chunk")).cast("int").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Sequence packing: concatenate docs in doc_id order and cut every
+    // 2000 tokens — each doc's batch is where its first token lands. The
+    // running token total is a DISTRIBUTED prefix sum (ops.Prefix), not a
+    // single-partition window; exact integer arithmetic end to end.
+    "q_x_seq_pack" -> ((s, d) => {
+      val toks = Tables(s, d, "documents").select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.ops.Prefix.runningSum(toks, Seq(col("doc_id")), col("n_tok"), "cum_tok")
+        .withColumn("batch", expr("CAST((cum_tok - n_tok) DIV 2000 AS INT)"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("batch_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("batch")
+    }),
+
     // Funnel analysis: signup → view → click → purchase by first-event
     // times per user, one aggregation pass (min-when per stage), stage
     // counts as one row.
@@ -218,6 +288,45 @@ object ExtQueries {
          |  FROM scored) t
          |WHERE rn <= 10 ORDER BY rank""".stripMargin
     },
+
+    "q_w_ntile" ->
+      s"""WITH b AS (SELECT o_totalprice,
+         |  NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+         |  FROM orders)
+         |SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n,
+         | MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+         | ${dsumSql("o_totalprice")} AS sum_price
+         |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q_u_multi_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+        | COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_a_incremental" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         | ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_x_chunking" ->
+      """SELECT doc_id, CAST(start // 150 AS INTEGER) AS chunk_id,
+        | CAST(length(substr(text, start + 1, 200)) AS INTEGER) AS chunk_len,
+        | md5(substr(text, start + 1, 200)) AS chunk_md5
+        |FROM (SELECT doc_id, text,
+        |  unnest(range(0, greatest(length(text), 1), 150)) AS start
+        |  FROM documents WHERE doc_id < 50) t
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_x_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY doc_id
+        |  ROWS UNBOUNDED PRECEDING) AS cum_tok FROM t)
+        |SELECT CAST((cum_tok - n_tok) // 2000 AS INTEGER) AS batch,
+        | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS batch_tokens,
+        | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_s_funnel" ->
       """WITH f AS (SELECT user_id,

@@ -161,12 +161,16 @@ object TextSimQueries {
     // the (quadratically large) raw pair set. Oracle-checked: with
     // maxHamming < bands the pigeonhole makes banding EXACT, so the SQL
     // oracle can skip the banding and filter all pairs by hamming.
+    // 48-bit fingerprint → 12-bit band keys (4096 values): band-key
+    // cardinality is what bounds the candidate join — 8-bit keys flooded
+    // it ~quadratically on this clustered corpus (measured 3.4 s → the
+    // join emitted millions of pairs to keep 4).
     "q_x_simhash_neardup" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       TextOps.simhashNearDupPairs(docs.unionByName(
         docs.select(col("doc_id") + 100000, col("text"), col("lang"),
           col("source"), col("n_chars")).toDF(docs.columns: _*)),
-        "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
+        "doc_id", "text", bits = 48, bands = 4, maxHamming = 3)
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
         .orderBy("hamming")
     }),
@@ -286,6 +290,10 @@ object TextSimQueries {
         posexplode(zip_with(col("qv"), col("cv"),
           (x, y) => x.cast("double") * y.cast("double"))))
       .groupBy("query_id", "neighbor_id").agg(dsum12(col("col")).as("dot"))
+    // corpus-wide exact norms: independent of the candidate branch, so
+    // the two subtrees overlap instead of serializing behind a semi-join
+    // (measured: the "norms only for survivors" variant was slower here —
+    // it chained norm computation behind the pruned-candidate window)
     val n2 = e.select(col("vec_id"),
         explode(transform(col("embedding"), x => x.cast("double") * x.cast("double"))).as("p"))
       .groupBy("vec_id").agg(dsum12(col("p")).as("n2"))
@@ -417,7 +425,7 @@ object TextSimQueries {
          |  FROM documents WHERE doc_id < 50),
          |bits AS (SELECT doc_id, b,
          |  SUM(CASE WHEN ((strpos('0123456789abcdef',
-         |      substr(md5(t), 8 - b // 4, 1)) - 1)
+         |      substr(md5(t), 12 - b // 4, 1)) - 1)
          |      // CAST(power(2, b % 4) AS INTEGER)) % 2 = 1
          |    THEN 1 ELSE -1 END) AS c
          |  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb
@@ -498,10 +506,10 @@ object TextSimQueries {
         |      regexp_replace(text, '\s+', ' ', 'g')))), '\s+'))) AS t FROM u),
         |bits AS (SELECT doc_id, b,
         |  SUM(CASE WHEN ((strpos('0123456789abcdef',
-        |      substr(md5(t), 8 - b // 4, 1)) - 1)
+        |      substr(md5(t), 12 - b // 4, 1)) - 1)
         |      // CAST(power(2, b % 4) AS INTEGER)) % 2 = 1
         |    THEN 1 ELSE -1 END) AS c
-        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 48)) AS b) bb
         |  GROUP BY doc_id, b),
         |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 0
         |  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh

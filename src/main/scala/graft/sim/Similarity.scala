@@ -191,12 +191,22 @@ object Similarity {
                               nPlanes: Int = 12, nTables: Int = 4, dim: Int = 64,
                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.ops.Num.dsum12
+    // Prune candidates with the CODEGEN'D fast cosine before anything
+    // decimal: fast-vs-exact differences are sub-ulp, so a 1e-6 guard band
+    // below the threshold cannot drop a true qualifying pair; the exact
+    // path then scores only survivors (the oracle exact-scores a wider
+    // candidate set and still matches).
+    val pruned = nearDupCandidates(df, nPlanes, nTables, dim, idCol, vecCol)
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold - 1e-6)
+    // corpus-wide exact norms: independent of the candidate branch, so
+    // both subtrees overlap (a survivors-only semi-join was measured
+    // slower — it serializes norms behind the candidate prune)
     val n2 = df.select(col(idCol),
         explode(transform(col(vecCol), x => x.cast("double") * x.cast("double"))).as("p"))
       .groupBy(idCol).agg(dsum12(col("p")).as("n2"))
-    val dots = nearDupCandidates(df, nPlanes, nTables, dim, idCol, vecCol)
-      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
-      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
+    val dots = pruned
       .select(col("id_a"), col("id_b"),
         posexplode(zip_with(col("va"), col("vb"),
           (x, y) => x.cast("double") * y.cast("double"))))

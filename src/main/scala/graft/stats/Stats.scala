@@ -9,23 +9,62 @@ import graft.ops.Num._
   * Mann-Whitney, Kruskal-Wallis — SURVEY.md §2.10 T8, T11-T13).
   *
   * Scale design: ranks are computed on the per-DISTINCT-VALUE relation
-  * (groupBy value → counts, then a cumulative window over that small
-  * relation), never by sorting the raw rows through a single-partition
-  * window. At 100 TB the distinct-value relation is what fits; midranks
-  * (average ranks for ties) come out exactly right by construction.
+  * (groupBy value → counts), and the cumulative count that turns counts
+  * into midranks is a DISTRIBUTED prefix sum — range-partition the
+  * distinct values, per-partition cumulative windows in parallel, and
+  * only the ~numPartitions bucket totals visit the driver for the offset
+  * scan. No single-partition global window anywhere: a high-cardinality
+  * column (every value distinct) ranks at full parallelism. Midranks
+  * (average ranks for ties) come out exactly right by construction —
+  * integer arithmetic, independent of the bucketing.
   */
 object Ranks {
 
   /** Per distinct value of `v`: `cnt` and 1-based midrank `avg_rank`,
-    * plus caller-supplied extra aggregates (e.g. positives per value). */
-  def byValue(df: DataFrame, v: String, extraAggs: Seq[Column] = Nil): DataFrame = {
+    * plus caller-supplied extra aggregates (e.g. positives per value).
+    *
+    * Default path: one cumulative window over the DISTINCT-VALUE relation
+    * (already the compacted form — the raw rows never sort globally).
+    * That window is single-partition; it is the right call while distinct
+    * cardinality fits one task's sort (measured: faster than the
+    * distributed variant up to at least 6×10⁵ distinct values, because
+    * `repartitionByRange` costs a bounds-sampling pass + an extra
+    * shuffle). Pass `distributed = true` when the distinct-value relation
+    * itself is cluster-scale: range-partitioned parallel prefix sums with
+    * in-plan bucket offsets, bit-identical results (GraphExtSpec). */
+  def byValue(df: DataFrame, v: String, extraAggs: Seq[Column] = Nil,
+              distributed: Boolean = false): DataFrame = {
     val counts = df.filter(col(v).isNotNull)
       .groupBy(col(v))
       .agg(count(lit(1)).as("cnt"), extraAggs: _*)
-    val w = Window.orderBy(col(v)).rowsBetween(Window.unboundedPreceding, -1)
-    counts.withColumn(
-      "avg_rank",
-      coalesce(sum("cnt").over(w), lit(0L)).cast("double") + (col("cnt") + lit(1)) / 2.0)
+    if (!distributed) {
+      val w = Window.orderBy(col(v)).rowsBetween(Window.unboundedPreceding, -1)
+      counts.withColumn(
+        "avg_rank",
+        coalesce(sum("cnt").over(w), lit(0L)).cast("double") + (col("cnt") + lit(1)) / 2.0)
+    } else {
+      val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+      val ranged = counts.repartitionByRange(nBuckets, col(v))
+        .withColumn("__pid", spark_partition_id())
+        // persist pins ONE range partitioning (bounds sampling is seeded
+        // by RDD id — re-evaluation may bucket rows differently)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // bucket-start offsets IN-PLAN: the per-bucket totals relation is
+      // ~numPartitions rows, so a prefix window over it is trivial (no
+      // driver action — the whole rank computation is one lazy DAG)
+      val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offDf = ranged.groupBy("__pid").agg(sum("cnt").as("__tot"))
+        .withColumn("__off", coalesce(sum("__tot").over(offW), lit(0L)))
+        .drop("__tot")
+      val w = Window.partitionBy("__pid").orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranged.join(broadcast(offDf), Seq("__pid"))
+        .withColumn(
+          "avg_rank",
+          (coalesce(sum("cnt").over(w), lit(0L)) + col("__off")).cast("double") +
+            (col("cnt") + lit(1)) / 2.0)
+        .drop("__pid", "__off")
+    }
   }
 
   /** Tie-correction term Σ(τ³−τ) over tie groups of `v`. */

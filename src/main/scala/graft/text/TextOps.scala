@@ -164,6 +164,20 @@ object TextOps {
       .select(col(idCol), col("token"), col("tf"), col("df"))
   }
 
+  /** Overlapping fixed-size character chunks (the splitter in front of an
+    * embedding/pretraining pipeline): starts at 0, size−overlap,
+    * 2(size−overlap), …; one narrow explode, no shuffle — chunk rows
+    * stream straight into whatever consumes them. */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                size: Int, overlap: Int): DataFrame = {
+    require(overlap < size, "overlap must be smaller than chunk size")
+    val step = size - overlap
+    val starts = sequence(lit(0), greatest(length(col(textCol)) - 1, lit(0)), lit(step))
+    df.select(col(idCol), col(textCol), posexplode(starts).as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id"),
+        expr(s"substring(`$textCol`, __start + 1, $size)").as("chunk"))
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup: keep the smallest doc_id per normalized-content
@@ -240,6 +254,21 @@ object TextOps {
     f(text)
   }
 
+  /** JVM fast signature-agreement estimate (matching minhash positions /
+    * numHashes), BIT-IDENTICAL to the zip_with+aggregate expression form:
+    * integer match count, one double division. A UDF because the
+    * higher-order-function form is interpreted per candidate pair — the
+    * band join emits far more candidates than survivors. */
+  def estJaccardFast(a: Column, b: Column, numHashes: Int): Column = {
+    val f = udf { (x: Seq[String], y: Seq[String]) =>
+      var i = 0; var c = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { if (x(i) == y(i)) c += 1; i += 1 }
+      c.toDouble / numHashes
+    }
+    f(a, b)
+  }
+
   /** JVM fast path for exact shingle-Jaccard (pipeline verify step). */
   def jaccardShinglesFast(a: Column, b: Column, n: Int): Column = {
     val f = udf { (x: String, y: String) =>
@@ -283,9 +312,7 @@ object TextOps {
     val candidates = left.join(right, Seq("__band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
-          .cast("double") / numHashes).as("est_jaccard"))
+        estJaccardFast(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       // cheap signature-level prune BEFORE the dedup shuffle and before
       // touching any document text
       .filter(col("est_jaccard") >= threshold * 0.5)
@@ -299,17 +326,22 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash (64-bit, as two 32-bit halves to stay in exact Long space):
-    * per distinct token, bit b contributes +1/−1 by md5-derived bit; the
-    * fingerprint sets bit b iff the sum is positive. */
+  /** SimHash: per distinct token, bit b contributes +1/−1 by an
+    * md5-derived bit; the fingerprint sets bit b iff the sum is positive.
+    * Token hash = first 12 md5 hex chars (48 bits), so fingerprints up to
+    * 48 bits stay in exact positive-Long space on every engine (a 2⁶³ bit
+    * would go sign-negative on the JVM and overflow BIGINT in SQL). Wider
+    * fingerprints matter for banding: band-key cardinality is
+    * 2^(bits/bands), and an 8-bit band key floods the candidate join on
+    * corpora whose fingerprints cluster. */
   def simhash(text: Column, bits: Int = 32): Column = {
+    require(bits <= 48, "token hash provides 48 bits")
     val toks = array_distinct(tokens(normalizeText(text)))
-    // token hash: first 8 hex chars of md5 → 32-bit int space
     val counts = aggregate(
       toks,
       transform(sequence(lit(0), lit(bits - 1)), _ => lit(0L)),
       (acc, t) => {
-        val h = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+        val h = conv(substring(md5(t), 1, 12), 16, 10).cast("long")
         zip_with(acc, sequence(lit(0), lit(bits - 1)),
           (a, b) => a + when(
             pmod((h / pow(lit(2.0), b)).cast("long"), lit(2)) === 1, 1L).otherwise(-1L))
@@ -321,18 +353,19 @@ object TextOps {
   }
 
   /** JVM fast simhash, BIT-IDENTICAL to the [[simhash]] expression (token
-    * hash = first 4 md5 bytes big-endian = first 8 md5 hex chars), so
-    * expression-form oracles verify it too. bits ≤ 32 (the 32-bit token
+    * hash = first 6 md5 bytes big-endian = first 12 md5 hex chars), so
+    * expression-form oracles verify it too. bits ≤ 48 (the 48-bit token
     * hash bounds the usable fingerprint width, as in the expression). */
   def simhashFast(text: Column, bits: Int = 32): Column = {
-    require(bits <= 32, "token hash provides 32 bits")
+    require(bits <= 48, "token hash provides 48 bits")
     val f = udf { (t: String) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val counts = new Array[Int](bits)
       normTokens(t).distinct.foreach { tok =>
         val d = md.digest(tok.getBytes("UTF-8"))
-        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
         var b = 0
         while (b < bits) {
           if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

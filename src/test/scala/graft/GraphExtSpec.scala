@@ -49,6 +49,60 @@ class GraphExtSpec extends AnyFunSuite {
     assert(math.abs(unscaled - fast) == 0.0)
   }
 
+  test("ntileExact reproduces the SQL NTILE window bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Ranking
+    // n=1037, k=7: uneven buckets exercise the front-loaded remainder
+    val df = (1 to 1037).map(i => (i.toLong, (i * 37 % 500).toDouble)).toDF("id", "v")
+    val expected = df
+      .withColumn("b", ntile(7).over(Window.orderBy(col("v"), col("id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val got = Ranking.ntileExact(df, Seq(col("v"), col("id")), 7, "b")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == expected)
+  }
+
+  test("distributed byValue midranks match the single-window path exactly") {
+    import graft.stats.Ranks
+    // 5000 distinct values spread over every range bucket, plus ties
+    val df = ((1 to 5000).map(_.toLong) ++ Seq(17L, 17L, 42L)).toDF("v")
+    val simple = Ranks.byValue(df, "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val dist = Ranks.byValue(df, "v", distributed = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(dist == simple)
+    // midrank sum over all rows (cnt * avg_rank) must equal n(n+1)/2
+    val n = 5003L
+    val total = simple.values.map { case (c, r) => c * r }.sum
+    assert(total == n * (n + 1) / 2.0, s"total=$total")
+    // tie group of three 17s: midrank = 17+1 = 18 (ranks 17,18,19)
+    assert(simple(17L) == ((3L, 18.0)))
+  }
+
+  test("runningSum equals the single-partition window sum") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Prefix
+    val df = (1 to 3000).map(i => (i.toLong, (i % 97).toLong)).toDF("id", "v")
+    val expected = df.withColumn("cum",
+        sum("v").over(Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Prefix.runningSum(df, Seq(col("id")), col("v"), "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("chunkText produces overlapping windows that reassemble the text") {
+    import graft.text.TextOps
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz"), (2L, "xy")).toDF("id", "t")
+    val chunks = TextOps.chunkText(df, "id", "t", size = 10, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // starts at 0, 6, 12, 18, 24 — every char covered, 4-char overlaps
+    assert(doc1.toSeq == Seq("abcdefghij", "ghijklmnop", "mnopqrstuv",
+      "stuvwxyz", "yz"))
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("xy"))
+  }
+
   test("yeo-johnson grid-explode fit picks the same lambda as a direct scan") {
     import graft.ml.Transforms
     val rng = new scala.util.Random(7)
