@@ -97,7 +97,19 @@ object StatsQueries {
 
     // T13 — one-way ANOVA F.
     "q_t13_anova" -> ((s, d) =>
-      Tests.anovaF(Tables(s, d, "events"), "value", "event_type")))
+      Tests.anovaF(Tables(s, d, "events"), "value", "event_type")),
+
+    // T15 (extension) — two-sample Kolmogorov-Smirnov drift statistic:
+    // exact-integer max |F1−F2| over the distinct-value relation.
+    "q_t15_ks" -> ((s, d) =>
+      Tests.ksTest(Tables(s, d, "events"), "value", "event_type",
+        "click", "purchase")),
+
+    // T16 (extension) — calibration / reliability bins for a probability
+    // column: exact positive fraction + decimal-exact mean prediction.
+    "q_t16_calibration" -> ((s, d) =>
+      Tests.calibrationBins(
+        labeled(s, d).withColumn("p", col("value") / 500.0), "p", "label", 10)))
 
   val oracles: Map[String, String] = Map(
     "q_t1_binary_metrics" ->
@@ -255,7 +267,32 @@ object StatsQueries {
          |  CAST(COUNT(*) AS DOUBLE) AS k FROM g)
          |SELECT ((sum_gm - s * s / n) / (k - 1)) / ((ss - sum_gm) / (n - k)) AS f,
          | CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2
-         |FROM a""".stripMargin)
+         |FROM a""".stripMargin,
+
+    "q_t15_ks" ->
+      """WITH pool AS (SELECT value AS v,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL),
+        |counts AS (SELECT v, COUNT(*) AS cnt, SUM(i1) AS c1
+        |  FROM pool GROUP BY v),
+        |cum AS (SELECT SUM(c1) OVER w AS f1, SUM(cnt - c1) OVER w AS f2,
+        |  SUM(c1) OVER () AS n1, SUM(cnt - c1) OVER () AS n2
+        |  FROM counts WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING))
+        |SELECT CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DOUBLE)
+        |    / CAST(MAX(n1) * MAX(n2) AS DOUBLE) AS ks,
+        | CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_scaled,
+        | CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2
+        |FROM cum""".stripMargin,
+
+    "q_t16_calibration" ->
+      s"""WITH l AS ($labeledSql)
+         |SELECT CAST(LEAST(FLOOR((value / 500.0) * 10), 9.0) AS INTEGER) AS bin,
+         | COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS n_pos,
+         | ${dsumSql("value / 500.0")} / COUNT(*) AS mean_pred,
+         | CAST(SUM(label) AS DOUBLE) / COUNT(*) AS frac_pos
+         |FROM l WHERE value IS NOT NULL
+         |GROUP BY 1 ORDER BY bin""".stripMargin)
 
   private lazy val perClassF1Sql: String =
     s"""WITH l AS ($labeledSql),

@@ -357,6 +357,55 @@ object Tests {
       (col("k") - 1).cast("long").as("df1"),
       (col("n") - col("k")).cast("long").as("df2"))
   }
+
+  /** Two-sample Kolmogorov-Smirnov statistic (distribution drift between
+    * two groups — the train/test-shift check of
+    * experiments/train_test_comparison.py done exactly):
+    * D = max_v |F1(v) − F2(v)|. One cumulative window over the
+    * DISTINCT-VALUE relation; the max runs over |f1·n2 − f2·n1| in exact
+    * integer (decimal) space, and only the O(1) final division touches
+    * floating point — engine-independent to the last bit while
+    * n1·n2 < 2^53. */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             g1: String, g2: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pool = df.filter(col(groupCol).isin(g1, g2) && col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"),
+        when(col(groupCol) === g1, 1L).otherwise(0L).as("__i1"))
+    val counts = pool.groupBy("__v")
+      .agg(count(lit(1)).as("cnt"), sum("__i1").as("c1"))
+    val w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy() // totals over the distinct-value relation
+    val cum = counts.select(
+      sum("c1").over(w).cast(dec).as("f1"),
+      sum(col("cnt") - col("c1")).over(w).cast(dec).as("f2"),
+      sum("c1").over(wAll).cast(dec).as("n1"),
+      sum(col("cnt") - col("c1")).over(wAll).cast(dec).as("n2"))
+    cum.agg(
+      max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("__d"),
+      max("n1").as("__n1"), max("n2").as("__n2"))
+      .select(
+        (col("__d").cast("double") /
+          (col("__n1") * col("__n2")).cast("double")).as("ks"),
+        col("__d").cast("long").as("d_scaled"),
+        col("__n1").cast("long").as("n1"), col("__n2").cast("long").as("n2"))
+  }
+
+  /** Calibration bins (reliability curve): fixed-width probability bins,
+    * per bin the exact positive fraction and the decimal-exact mean
+    * predicted probability. Pure single-pass aggregation. */
+  def calibrationBins(df: DataFrame, probCol: String, labelCol: String,
+                      nBins: Int = 10): DataFrame = {
+    val p = col(probCol)
+    val bin = least(floor(p * nBins), lit((nBins - 1).toDouble)).cast("int")
+    df.filter(p.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        (dsum(p) / count(lit(1))).as("mean_pred"))
+      .withColumn("frac_pos", col("n_pos").cast("double") / col("n"))
+      .orderBy("bin")
+  }
 }
 
 /** Driver-side p-value helpers over the collected 1-row statistics — O(1)

@@ -73,6 +73,16 @@ object StreamOps {
       col("p_ts") >= col("ts") - expr(s"INTERVAL $lag"))
   }
 
+  /** Stream-static enrichment: join each event against a STATIC (batch)
+    * dimension, broadcast to every task — no streaming state at all, the
+    * standard shape for attaching reference data (user profiles, price
+    * lists) to an unbounded stream. The static side re-resolves per
+    * micro-batch, so slowly-changing dimension files pick up updates
+    * without restarting the query. */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+                         keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left")
+
   /** Streaming exact dedup — the incremental form of TextOps.exactDedup
     * for a document stream: drop rows whose normalized-content fingerprint
     * was already seen within the watermark horizon. State holds one

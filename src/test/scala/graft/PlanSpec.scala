@@ -97,4 +97,38 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"centroid pick should be TakeOrdered:\n${plan.take(1500)}")
   }
+
+  test("ntileExact never funnels the data through a single partition") {
+    import org.apache.spark.sql.functions.col
+    val o = graft.core.Tables(spark, sfDir, "orders")
+    val plan = graft.ops.Ranking
+      .ntileExact(o, Seq(col("o_totalprice"), col("o_orderkey")), 10)
+      .queryExecution.executedPlan.toString
+    // the data path is range-partitioned; SinglePartition may appear only
+    // for the ~numPartitions offsets relation, never feeding a sort of
+    // the main data (a plain ntile window would show Exchange
+    // SinglePartition directly above the orders scan)
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange:\n${plan.take(1500)}")
+    val mainSorts = plan.split("\n").count(l =>
+      l.contains("Sort ") && l.contains("o_totalprice"))
+    assert(mainSorts >= 1, "expected the per-bucket sort")
+  }
+
+  test("cube expands grouping sets before the exchange (partial agg)") {
+    val plan = SparkEntry.queries("q_a_cube")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "cube should use Expand")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "cube lost map-side combine")
+  }
+
+  test("chunking is a pure narrow pipeline (no exchange before the explode)") {
+    val df = graft.text.TextOps.chunkText(
+      graft.core.Tables(spark, sfDir, "documents"), "doc_id", "text", 200, 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), "expected a Generate (explode)")
+    assert(!plan.contains("Exchange"),
+      s"chunking should not shuffle:\n${plan.take(1500)}")
+  }
 }

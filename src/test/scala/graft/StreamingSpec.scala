@@ -78,6 +78,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(2L) == ((1L, 7.0)))
   }
 
+  test("stream-static enrichment broadcasts the dimension, no state") {
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(events: _*)
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("event_type", "label")
+    val q = StreamOps.toMemorySink(
+      StreamOps.streamStaticEnrich(stream.toDF(), dim, "event_type")
+        .select(col("event_type"), col("label"), col("value")), "enriched")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", "alpha", 1.0), ("a", "alpha", 2.0),
+      ("a", "alpha", 4.0), ("b", "beta", 8.0), ("b", "beta", 16.0)))
+  }
+
   test("streaming dedup keeps one row per content across micro-batches") {
     val stream = MemoryStream[Doc](spark)
     stream.addData(
