@@ -15,7 +15,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * then live entirely in `spark.sql` strings. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
@@ -23,13 +23,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2, "float_dot takes exactly 2 arguments")
         FloatDotProduct(args(0), args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("float_cosine"),
+      new ExpressionInfo(classOf[FloatCosine].getName, "float_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "float_cosine takes exactly 2 arguments")
+        FloatCosine(args(0), args(1))
+      }))
+  }
 }
 
 object GraftExtensions {
   /** Register the same functions on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "float_dot", { args =>
       require(args.size == 2, "float_dot takes exactly 2 arguments")
       FloatDotProduct(args(0), args(1))
     })
+    Bridge.registerFunction(spark, "float_cosine", { args =>
+      require(args.size == 2, "float_cosine takes exactly 2 arguments")
+      FloatCosine(args(0), args(1))
+    })
+  }
 }

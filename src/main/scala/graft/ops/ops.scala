@@ -246,6 +246,44 @@ object Skew {
 }
 
 /** Ranking / window operators (SURVEY.md §2.5). */
+/** Runtime Bloom-filter join reduction — the explicit form of Spark's
+  * row-level runtime filtering, under caller control. When a join is
+  * selective and the probe side is huge, shipping a Bloom filter of the
+  * build keys to the probe scan drops non-matching rows BEFORE the
+  * shuffle: the probe side never pays exchange cost for rows the join
+  * would discard. False positives only weaken the pre-filter; the exact
+  * join afterwards keeps semantics precise. */
+object Bloom {
+
+  /** Semi-join `probe` to `build`, pre-filtered by a Bloom filter over the
+    * build keys (built in one aggregation, broadcast to the probe).
+    * BloomFilterAggregate/BloomFilterMightContain are the expressions
+    * Spark's own InjectRuntimeFilter rule plants; they are not SQL-visible
+    * (internal registry), so they are constructed directly. */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame,
+                    probeKey: String, buildKey: String,
+                    expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val buildHash = new XxHash64(Seq(Bridge.expression(build(buildKey))))
+    val agg = Bridge.column(new BloomFilterAggregate(buildHash,
+      Literal(expectedItems), Literal(8L * expectedItems)).toAggregateExpression())
+    // might_contain requires a CONSTANT filter: evaluate the one-row
+    // aggregate eagerly (an O(filter-size) blob — fitted-parameter scale,
+    // not row data) and inline it; Spark ships it with the task binary.
+    val bf = build.agg(agg.as("__bf")).head().getAs[Array[Byte]](0)
+    val probeHash = new XxHash64(Seq(Bridge.expression(probe(probeKey))))
+    val contains = Bridge.column(
+      BloomFilterMightContain(Literal(bf, BinaryType), probeHash))
+    probe.filter(contains)
+      .join(build.select(col(buildKey)).distinct(),
+        col(probeKey) === col(buildKey), "left_semi")
+  }
+}
+
 /** Distributed prefix sums over a total row order — the building block
   * behind scalable ranking, NTILE, and sequence packing. Range-partition
   * the order key, compute per-partition running sums in parallel, and

@@ -200,6 +200,43 @@ object ExtQueries {
         .orderBy("batch")
     }),
 
+    // Runtime Bloom-filter join reduction: lineitem semi-joins the
+    // high-value orders through a broadcast Bloom pre-filter (rows the
+    // join would drop never reach the shuffle); the exact semi join
+    // afterwards makes false positives harmless — the result must equal
+    // the plain semi join, which is exactly what the oracle computes.
+    "q_j_bloom" -> ((s, d) => {
+      val big = Tables(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+      graft.ops.Bloom.bloomSemiJoin(
+        Tables(s, d, "lineitem"), big, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L)
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // Time-based window frame (rangeBetween): per-user trailing 30-minute
+    // event count/sum at each event — RANGE frames bound by event-time
+    // values, not row offsets.
+    "q_w8_range_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-30L * 60 * 1000000, 0)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_30m"),
+          sum(col("value").cast("decimal(30,6)")).over(w).cast("double").as("sum_30m"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // percent_rank / cume_dist over a global order (analytic rank family).
+    "q_w9_percent_rank" -> ((s, d) => {
+      val w = Window.orderBy(col("s_acctbal"), col("s_suppkey"))
+      Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("s_suppkey")
+    }),
+
     // Funnel analysis: signup → view → click → purchase by first-event
     // times per user, one aggregation pass (min-when per stage), stage
     // counts as one row.
@@ -327,6 +364,29 @@ object ExtQueries {
         | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS batch_tokens,
         | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_j_bloom" ->
+      s"""SELECT COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem WHERE l_orderkey IN
+         | (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
+
+    "q_w8_range_window" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT user_id, event_id, ts,
+        | COUNT(*) OVER w AS n_30m,
+        | CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_30m
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_w9_percent_rank" ->
+      """SELECT s_suppkey, s_acctbal,
+        | PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+        |FROM supplier
+        |WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_s_funnel" ->
       """WITH f AS (SELECT user_id,

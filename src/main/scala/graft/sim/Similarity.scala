@@ -41,7 +41,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (native expression): one loop accumulates
+    * dot, ‖a‖², ‖b‖² — 3× fewer array traversals than composing three
+    * dot products, bit-identical results (same per-accumulator IEEE sum
+    * order and the same final `dot/(√na·√nb)`). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.FloatCosine.cosine(a, b)
+
+  /** The composed three-traversal form (parity reference for tests). */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   def cosineExact(a: Column, b: Column): Column =
     dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b)))

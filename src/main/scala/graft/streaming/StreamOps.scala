@@ -97,6 +97,39 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** foreachBatch CDC-compaction sink: every micro-batch merges into a
+    * keyed parquet table with latest-wins semantics (`tsCol` desc per
+    * `keyCol`) — the incremental upsert a change-stream consumer runs
+    * against a table-format store. Here the "commit" is
+    * write-temp-then-swap; a real deployment swaps in a transactional
+    * table format, but the merge PLAN (union + window dedup) is the
+    * same. Ties on `tsCol` within a key are broken by `tieCol` desc so
+    * the merge is deterministic. */
+  def latestWinsSink(stream: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, tablePath: String): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(tablePath)
+        val existing =
+          if (dir.exists) spark.read.parquet(tablePath)
+          else batch.limit(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieCol).desc)
+        val merged = existing
+          .unionByName(batch.select(existing.columns.map(col): _*))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val tmp = new java.io.File(tablePath + ".tmp")
+        merged.write.mode("overwrite").parquet(tmp.getPath)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        if (dir.exists) rm(dir)
+        tmp.renameTo(dir): Unit
+    }
+
   /** Wire a streaming aggregation to an in-memory sink (demo/test). */
   def toMemorySink(df: DataFrame, queryName: String): DataStreamWriter[Row] =
     df.writeStream

@@ -36,6 +36,25 @@ class ExpressionSpec extends AnyFunSuite {
     assert(new graft.expressions.GraftExtensions() != null)
   }
 
+  test("fused cosine is bit-identical to the composed dot/norm form") {
+    val e = graft.core.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("b")),
+        Seq("vec_id"))
+    val diff = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("fused"),
+      Similarity.cosineComposed(col("a"), col("b")).as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(diff == 0, "fused and composed cosine must agree exactly")
+    // and from SQL
+    graft.expressions.GraftExtensions.register(spark)
+    e.limit(5).createOrReplaceTempView("emb_cos_sql")
+    val viaSql = spark.sql(
+      "SELECT float_cosine(embedding, embedding) AS c FROM emb_cos_sql")
+      .collect().map(_.getDouble(0))
+    assert(viaSql.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
   test("null array yields null; mismatched type fails analysis") {
     val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]]))
       .toDF("a", "b")

@@ -94,6 +94,24 @@ class StreamingSpec extends AnyFunSuite {
       ("a", "alpha", 4.0), ("b", "beta", 8.0), ("b", "beta", 16.0)))
   }
 
+  test("latest-wins foreachBatch sink compacts across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("lw").toFile
+    val path = new java.io.File(dir, "table").getPath
+    val stream = MemoryStream[Doc](spark)
+    val q = StreamOps.latestWinsSink(stream.toDF(), "doc_id", "ts", "text", path)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    stream.addData(Doc(ts(1), 1L, "v1"), Doc(ts(2), 2L, "v1"))
+    q.processAllAvailable()
+    stream.addData(Doc(ts(5), 1L, "v2"), Doc(ts(3), 3L, "v1"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(path)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // key 1 updated to its latest record; keys 2 and 3 kept
+    assert(rows == Map(1L -> "v2", 2L -> "v1", 3L -> "v1"))
+  }
+
   test("streaming dedup keeps one row per content across micro-batches") {
     val stream = MemoryStream[Doc](spark)
     stream.addData(
