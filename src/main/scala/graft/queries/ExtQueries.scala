@@ -237,6 +237,49 @@ object ExtQueries {
         .orderBy("s_suppkey")
     }),
 
+    // Null-safe equality join (<=>): a NULL key matches a NULL key — the
+    // pandas merge-on-nullable-column semantics SQL equality silently
+    // drops.
+    "q_j_nullsafe" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val k = when(col("event_type") =!= "error", col("event_type"))
+      val a = e.groupBy(k.as("k")).agg(count(lit(1)).as("n_a"))
+      val b = e.filter(col("value") > 100)
+        .groupBy(k.as("k")).agg(count(lit(1)).as("n_b"))
+      a.join(b, a("k") <=> b("k"), "inner")
+        .select(coalesce(a("k"), lit("(null)")).as("k"), col("n_a"), col("n_b"))
+        .orderBy("k")
+    }),
+
+    // Row-level EXCEPT / INTERSECT set semantics over order-key sets.
+    "q_u_except_intersect" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem")
+      val hi = l.filter(col("l_quantity") > 45).select("l_orderkey").distinct()
+      val disc = l.filter(col("l_discount") > 0.05).select("l_orderkey").distinct()
+      val ex = hi.except(disc)
+        .agg(lit("except").as("op"), count(lit(1)).as("n"),
+          sum("l_orderkey").cast("long").as("key_sum"))
+      val in = hi.intersect(disc)
+        .agg(lit("intersect").as("op"), count(lit(1)).as("n"),
+          sum("l_orderkey").cast("long").as("key_sum"))
+      ex.unionByName(in).orderBy("op")
+    }),
+
+    // Feature hashing (hashing trick): md5-derived bucket per token —
+    // engine-reproducible HashingTF. Output = the collision structure of
+    // the hashed feature space (buckets, loads, distinct tokens).
+    "q_x_feature_hash" -> ((s, d) => {
+      val toks = Tables(s, d, "documents").select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(
+          graft.text.TextOps.normalizeText(col("text")))).as("token"))
+      val bucket = pmod(
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"), lit(256))
+      toks.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("token")).as("n_tokens"))
+        .orderBy("bucket")
+    }),
+
     // Funnel analysis: signup → view → click → purchase by first-event
     // times per user, one aggregation pass (min-when per stage), stage
     // counts as one row.
@@ -387,6 +430,42 @@ object ExtQueries {
         |FROM supplier
         |WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_j_nullsafe" ->
+      """WITH a AS (SELECT CASE WHEN event_type != 'error' THEN event_type END AS k,
+        |  COUNT(*) AS n_a FROM events GROUP BY 1),
+        |b AS (SELECT CASE WHEN event_type != 'error' THEN event_type END AS k,
+        |  COUNT(*) AS n_b FROM events WHERE value > 100 GROUP BY 1)
+        |SELECT COALESCE(a.k, '(null)') AS k, n_a, n_b
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k""".stripMargin,
+
+    "q_u_except_intersect" ->
+      """WITH hi AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45),
+        |disc AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount > 0.05)
+        |SELECT 'except' AS op, COUNT(*) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+        |FROM (SELECT * FROM hi EXCEPT SELECT * FROM disc) t
+        |UNION ALL
+        |SELECT 'intersect', COUNT(*), CAST(SUM(l_orderkey) AS BIGINT)
+        |FROM (SELECT * FROM hi INTERSECT SELECT * FROM disc) t
+        |ORDER BY op""".stripMargin,
+
+    "q_x_feature_hash" -> {
+      // 8-hex-char md5 prefix → integer via nibble positional sum (exact:
+      // < 16^8 = 2^32 fits BIGINT), mod 256 — mirrors conv(md5[1:8],16,10)
+      val nibbleSum = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+         |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+')) AS token
+         |  FROM documents),
+         |hashed AS (SELECT token, md5(token) AS h FROM tok),
+         |bucketed AS (SELECT token, ($nibbleSum) % 256 AS bucket FROM hashed)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+         | COUNT(DISTINCT token) AS n_tokens
+         |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "q_s_funnel" ->
       """WITH f AS (SELECT user_id,
