@@ -159,6 +159,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, 10.0, "a"), (2L, 30.0, "c"), (1L, 20.0, "b")))
   }
 
+  test("stateful aggregation recovers from a checkpoint across restarts") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toFile.getPath
+    val outDir = java.nio.file.Files.createTempDirectory("ckpt_out").toFile.getPath
+    val stream = MemoryStream[Ev](spark)
+    // memory sink refuses checkpoint recovery; foreachBatch supports it
+    def start() = StreamOps.streamingTumblingAgg(stream.toDF(), "1 hour", "2 hours")
+      .select(col("window.start").as("w"), col("event_type"), col("n"), col("sum_value"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    stream.addData(Ev(ts(5), "a", 1.0), Ev(ts(20), "a", 2.0))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // simulated failure/redeploy: same checkpoint, new query
+    stream.addData(Ev(ts(30), "a", 4.0), Ev(ts(70), "b", 8.0))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // hour-0 'a' must aggregate ACROSS the restart (1+2 before, +4 after)
+    // update mode re-emits a key per batch; n grows monotonically, so the
+    // latest state per key is the max-n row
+    val rows = spark.read.parquet(outDir)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("w"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    assert(rows(ts(0) -> "a") == ((3L, 7.0)), s"state lost across restart: $rows")
+    assert(rows(ts(60) -> "b") == ((1L, 8.0)))
+  }
+
   test("salted aggregation and join match their unsalted results") {
     import graft.ops.Skew
     val df = (1 to 500).map(i => (if (i <= 400) "hot" else s"k$i", i.toLong))
