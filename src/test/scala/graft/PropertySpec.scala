@@ -81,4 +81,61 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     keys.foreach(k => assert(got(k) == refTag(k), s"key $k"))
   }
+
+  test("connectedComponents equals a union-find reference on random graphs") {
+    // reference: classic union-find with path compression
+    def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    // note: union-find roots are minimal per component here because the
+    // larger root is always attached beneath the smaller one
+    for (seed <- 11L to 13L) {
+      val edges = sampled(Gen.listOfN(120,
+        Gen.zip(Gen.chooseNum(0L, 60L), Gen.chooseNum(0L, 60L))
+          // no suchThat (listOfN aborts on retries): remap self-loops
+          .map { case (a, b) => if (a == b) (a, (b + 1) % 61) else (a, b) }),
+        seed)
+      val expected = ufComponents(edges)
+      val got = graft.ops.Graph.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("ntileExact equals the window ntile on random sizes and k") {
+    import org.apache.spark.sql.expressions.Window
+    for ((n, k, seed) <- Seq((997, 7, 21L), (64, 10, 22L), (1500, 4, 23L))) {
+      val xs = sampled(Gen.listOfN(n, Gen.chooseNum(-1000.0, 1000.0)), seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = xs.toDF("id", "v")
+      val expected = df.withColumn("b",
+          ntile(k).over(Window.orderBy(col("v"), col("id"))))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      val got = Ranking.ntileExact(df, Seq(col("v"), col("id")), k, "b")
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(got == expected, s"n=$n k=$k")
+    }
+  }
+
+  test("runningSum equals a sequential fold on random values") {
+    val xs = sampled(Gen.listOfN(1200, Gen.chooseNum(-50L, 50L)), seed = 31L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val expected = xs.sortBy(_._1).scanLeft(((-1L), 0L)) {
+      case ((_, acc), (id, v)) => (id, acc + v)
+    }.drop(1).toMap
+    val got = graft.ops.Prefix.runningSum(
+      xs.toDF("id", "v"), Seq(col("id")), col("v"), "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
 }
