@@ -91,6 +91,18 @@ object Scratch {
     time("yj.full") {
       graft.queries.MlQueries.queries("q_m4_yeojohnson_lambda")(spark, sfDir).count()
     }
+    time("ntile.full") {
+      graft.queries.ExtQueries.queries("q_w_ntile")(spark, sfDir).count()
+    }
+    time("j1.full") {
+      graft.queries.CoreQueries.queries("q_j1_top_revenue")(spark, sfDir).count()
+    }
+    time("exceptIntersect.full") {
+      graft.queries.ExtQueries.queries("q_u_except_intersect")(spark, sfDir).count()
+    }
+    time("clusters.full") {
+      graft.queries.TextSimQueries.queries("q_x_neardup_clusters")(spark, sfDir).count()
+    }
     spark.stop()
   }
 }

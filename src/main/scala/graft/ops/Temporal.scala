@@ -43,6 +43,35 @@ object Temporal {
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
   }
 
+  /** Time-series resample to dense fixed-width buckets with gap fill: per
+    * key, every `widthSeconds` bucket between the key's first and last
+    * event exists in the output — empty buckets carry n = 0 and a
+    * forward-filled `ff_last` (the last observed per-bucket aggregate at or
+    * before that bucket).
+    *
+    * Plan shape (the 100 TB path): aggregate rows to (key, bucket) FIRST
+    * (one shuffle, map-side combine), then explode each key's bucket span
+    * from a per-key min/max — the dense spine is generated IN the plan
+    * (`sequence` + explode, narrow after the agg), never on the driver —
+    * and the forward fill is a running last-non-null window per key. */
+  def resampleWithGapFill(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, widthSeconds: Long): DataFrame = {
+    val bucket = floor(unix_micros(col(tsCol)) / (widthSeconds * 1000000L))
+    val agg = df.groupBy(col(keyCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(30,6)")).as("__s"))
+    val spine = agg.groupBy(col(keyCol))
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val dense = spine.join(agg, Seq(keyCol, "bucket"), "left")
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.select(col(keyCol), col("bucket"),
+      coalesce(col("n"), lit(0L)).as("n"),
+      col("__s").cast("double").as("bucket_sum"),
+      last(col("__s"), ignoreNulls = true).over(w).cast("double").as("ff_last"))
+  }
+
   /** Interval join: all same-key (left, right) pairs with
     * rts ∈ [lts − lag, lts]. The RIGHT side explodes into its lag-width
     * time bucket and the next one, so the join key is (key, bucket) —

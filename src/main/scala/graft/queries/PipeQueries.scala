@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Num.{dsum, dsum12}
+import graft.ops.Temporal
+import graft.text.{Retrieval, TextOps}
+
+/** Round-3 training-data-pipeline pack: PII redaction, repetition
+  * filtering, eval-set decontamination, BM25 retrieval, cohort retention,
+  * time-series gap fill, and equi-width histograms — each the Spark-first
+  * shape of an operation a 100 TB corpus/analytics pipeline runs daily,
+  * each with a bit-exact DuckDB oracle.
+  */
+object PipeQueries {
+  import Sql._
+
+  /** BM25 query terms with deliberately different document frequencies. */
+  private val Bm25Terms = Seq("spark", "merge", "window")
+
+  /** Deterministic synthetic PII suffix (the corpus itself is clean, so
+    * both engines append the same fake email/IP/phone/account before
+    * redacting — the redaction path is what's under test). */
+  private def piiAugmented = concat(
+    col("text"),
+    lit(" u"), col("doc_id").cast("string"),
+    lit("@ex.com ip 10.1."), (col("doc_id") % 256).cast("string"),
+    lit(".7 tel 010-"), (col("doc_id") % 9000 + 1000).cast("string"),
+    lit("-"), ((col("doc_id") * 7) % 9000 + 1000).cast("string"),
+    lit(" acct "), (col("doc_id") + 10000000).cast("string"))
+
+  private val piiAugmentedSql =
+    """(text || ' u' || CAST(doc_id AS VARCHAR) ||
+      | '@ex.com ip 10.1.' || CAST(doc_id % 256 AS VARCHAR) ||
+      | '.7 tel 010-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ||
+      | '-' || CAST((doc_id * 7) % 9000 + 1000 AS VARCHAR) ||
+      | ' acct ' || CAST(doc_id + 10000000 AS VARCHAR))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII redaction (narrow regexp_replace chain — a pure map stage at any
+    // scale). Verified by the md5 of every redacted document plus per-tag
+    // counts.
+    "q_x_redact" -> ((s, d) => {
+      val red = TextOps.redactPii(piiAugmented)
+      def nTag(tag: String) =
+        size(regexp_extract_all(col("__red"), lit(tag), lit(0))).cast("long")
+      Tables(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), red.as("__red"))
+        .select(col("doc_id"), md5(col("__red")).as("red_md5"),
+          length(col("__red")).cast("long").as("red_len"),
+          nTag("<EMAIL>").as("n_email"), nTag("<IP>").as("n_ip"),
+          nTag("<PHONE>").as("n_phone"), nTag("<NUM>").as("n_num"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition filter: duplicate 3-gram fraction per doc,
+    // flagged over 0.5, summarized per source (exact counts + decimal-
+    // accumulated mean so the double mean is order-independent).
+    "q_x_repetition" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("source"),
+          TextOps.dupNgramFraction(col("text"), 3).as("dup_frac"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup_frac") > 0.5, 1L).otherwise(0L)).as("n_flagged"),
+          (dsum12(col("dup_frac")) / count(lit(1))).as("mean_dup_frac"))
+        .orderBy("source")),
+
+    // Eval-set decontamination: distinct 5-gram overlap of every train doc
+    // (doc_id % 97 != 0) against the eval docs (doc_id % 97 == 0); top-10
+    // most contaminated train docs by exact integer overlap count.
+    "q_x_decontam" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val contam = Retrieval.ngramContamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+      val w = Window.orderBy(col("n_contaminated").desc, col("doc_id").asc)
+      contam.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("n_ngrams"),
+          col("n_contaminated"), col("contamination"))
+        .orderBy("rank")
+    }),
+
+    // BM25 retrieval (rational idf — log-free, bit-exact across engines):
+    // top-10 docs for a fixed 3-term query.
+    "q_x_bm25" -> ((s, d) => {
+      val scored = Retrieval.bm25(Tables(s, d, "documents"),
+        "doc_id", "text", Bm25Terms)
+      val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("score"))
+        .orderBy("rank")
+    }),
+
+    // Weekly cohort retention: users grouped by first-event week, distinct
+    // active users per (cohort_week, week_offset) — exact integer date
+    // math (days since 2024-01-01, integer-divided into weeks).
+    "q_s_retention" -> ((s, d) => {
+      val day = datediff(to_date(col("ts")), lit("2024-01-01"))
+      val e = Tables(s, d, "events")
+        .select(col("user_id"), floor(day / 7).cast("long").as("week"))
+      val cohorts = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+      e.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Time-series resample + gap fill: hourly buckets per event type with
+    // empty hours present (n = 0) and a forward-filled last bucket sum.
+    "q_s_gapfill" -> ((s, d) =>
+      Temporal.resampleWithGapFill(
+        Tables(s, d, "events").filter(col("event_type").isin("signup", "purchase")),
+        "event_type", "ts", "value", widthSeconds = 3600L)
+        .orderBy("event_type", "bucket")),
+
+    // Equi-width histogram of order prices: bucket arithmetic in exact
+    // integer cents (no float division at bin edges), bounds from one tiny
+    // broadcast aggregate — two passes, no driver round-trip.
+    "q_a_histogram" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val bounds = o.agg(min(cents).as("lo"), max(cents).as("hi"))
+      val nb = 16
+      o.select(cents.as("c")).crossJoin(broadcast(bounds))
+        .select(least(lit(nb.toLong - 1),
+          expr(s"((c - lo) * $nb) DIV (hi - lo + 1)")).as("bucket"),
+          col("c"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          (min(col("c")).cast("double") / 100).as("bucket_min"),
+          (max(col("c")).cast("double") / 100).as("bucket_max"))
+        .orderBy("bucket")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_x_redact" -> {
+      val red = TextOps.PiiPatterns.foldLeft(piiAugmentedSql) {
+        case (acc, (pat, tag)) => s"regexp_replace($acc, '$pat', '$tag', 'g')"
+      }
+      s"""WITH r AS (SELECT doc_id, $red AS red FROM documents WHERE doc_id < 200)
+         |SELECT doc_id, md5(red) AS red_md5,
+         | CAST(length(red) AS BIGINT) AS red_len,
+         | CAST(len(regexp_extract_all(red, '<EMAIL>')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(red, '<IP>')) AS BIGINT) AS n_ip,
+         | CAST(len(regexp_extract_all(red, '<PHONE>')) AS BIGINT) AS n_phone,
+         | CAST(len(regexp_extract_all(red, '<NUM>')) AS BIGINT) AS n_num
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q_x_repetition" -> {
+      val normToks =
+        """regexp_split_to_array(trim(lower(trim(
+          |  regexp_replace(text, '\s+', ' ', 'g')))), '\s+')""".stripMargin
+      s"""WITH sh AS (SELECT source,
+         |  CASE WHEN len($normToks) < 3
+         |    THEN [array_to_string($normToks, ' ')]
+         |    ELSE list_transform(range(0, len($normToks) - 2),
+         |      i -> array_to_string(($normToks)[i+1:i+3], ' ')) END AS grams
+         |  FROM documents),
+         |f AS (SELECT source,
+         |  1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE) AS dup_frac
+         |  FROM sh)
+         |SELECT source, COUNT(*) AS n_docs,
+         | CAST(SUM(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         | CAST(SUM(CAST(dup_frac AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+         |   AS mean_dup_frac
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q_x_decontam" -> {
+      val normToks =
+        """regexp_split_to_array(trim(lower(trim(
+          |  regexp_replace(text, '\s+', ' ', 'g')))), '\s+')""".stripMargin
+      val grams5 =
+        s"""(CASE WHEN len($normToks) < 5
+           | THEN [array_to_string($normToks, ' ')]
+           | ELSE list_distinct(list_transform(range(0, len($normToks) - 4),
+           |   i -> array_to_string(($normToks)[i+1:i+5], ' '))) END)""".stripMargin
+      s"""WITH tg AS (SELECT doc_id, unnest($grams5) AS gram
+         |  FROM documents WHERE doc_id % 97 != 0),
+         |eg AS (SELECT DISTINCT md5(gram) AS gh FROM
+         |  (SELECT unnest($grams5) AS gram FROM documents WHERE doc_id % 97 = 0) t),
+         |tr AS (SELECT doc_id, md5(gram) AS gh FROM tg),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM tr GROUP BY doc_id),
+         |hit AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM tr
+         |  WHERE gh IN (SELECT gh FROM eg) GROUP BY doc_id),
+         |j AS (SELECT tot.doc_id, tot.n_ngrams,
+         |    COALESCE(hit.n_contaminated, 0) AS n_contaminated,
+         |    COALESCE(hit.n_contaminated, 0) / CAST(tot.n_ngrams AS DOUBLE)
+         |      AS contamination
+         |  FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id)
+         |SELECT CAST(rn AS INTEGER) AS rank, doc_id, n_ngrams, n_contaminated,
+         |  contamination
+         |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_contaminated DESC, doc_id)
+         |  AS rn FROM j) t
+         |WHERE rn <= 10 ORDER BY rank""".stripMargin
+    },
+
+    "q_x_bm25" -> {
+      val normToks =
+        """regexp_split_to_array(trim(lower(trim(
+          |  regexp_replace(text, '\s+', ' ', 'g')))), '\s+')""".stripMargin
+      val terms = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+      // constants interpolated from the SAME Scala doubles the engine uses
+      // (shortest-round-trip formatting → DuckDB parses the identical bits)
+      val k1 = 1.2; val b = 0.75
+      s"""WITH base AS (SELECT doc_id, len($normToks) AS dl, unnest($normToks) AS token
+         |  FROM documents),
+         |hits AS (SELECT * FROM base WHERE list_contains($terms, token)),
+         |tf AS (SELECT doc_id, token, dl, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3),
+         |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |corpus AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(len($normToks)) AS BIGINT) AS sum_dl FROM documents),
+         |scored AS (SELECT doc_id,
+         |    (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5)
+         |      * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
+         |      / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b
+         |         * (CAST(dl AS DOUBLE)
+         |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |      AS score_t
+         |  FROM tf JOIN dfq USING (token), corpus),
+         |agg AS (SELECT doc_id,
+         |    CAST(SUM(CAST(score_t AS DECIMAL(30,12))) AS DOUBLE) AS score
+         |  FROM scored GROUP BY doc_id)
+         |SELECT CAST(rn AS INTEGER) AS rank, doc_id, score
+         |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  FROM agg) t
+         |WHERE rn <= 10 ORDER BY rank""".stripMargin
+    },
+
+    "q_s_retention" ->
+      """WITH e AS (SELECT user_id,
+        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        | CAST(e.week - c.cohort_week AS BIGINT) AS week_offset,
+        | COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_s_gapfill" ->
+      """WITH e AS (SELECT event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket, value
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |agg AS (SELECT event_type, bucket, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(30,6))) AS s
+        |  FROM e GROUP BY 1, 2),
+        |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket
+        |  FROM (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        |    FROM agg GROUP BY event_type) t),
+        |dense AS (SELECT spine.event_type, spine.bucket,
+        |  COALESCE(agg.n, 0) AS n, agg.s
+        |  FROM spine LEFT JOIN agg
+        |    ON agg.event_type = spine.event_type AND agg.bucket = spine.bucket)
+        |SELECT event_type, bucket, n,
+        | CAST(s AS DOUBLE) AS bucket_sum,
+        | CAST(LAST_VALUE(s IGNORE NULLS) OVER (PARTITION BY event_type
+        |   ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ff_last
+        |FROM dense ORDER BY event_type, bucket""".stripMargin,
+
+    "q_a_histogram" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |b AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM c)
+        |SELECT LEAST(15, ((c.c - b.lo) * 16) // (b.hi - b.lo + 1)) AS bucket,
+        | COUNT(*) AS n,
+        | CAST(MIN(c.c) AS DOUBLE) / 100 AS bucket_min,
+        | CAST(MAX(c.c) AS DOUBLE) / 100 AS bucket_max
+        |FROM c, b GROUP BY 1 ORDER BY 1""".stripMargin)
+}

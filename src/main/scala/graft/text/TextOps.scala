@@ -410,6 +410,35 @@ object TextOps {
       .distinct()
   }
 
+  // ------------------------------------------------------- quality filters
+
+  /** PII redaction patterns (RE2-compatible — no lookarounds — so the
+    * DuckDB oracle applies the IDENTICAL regex text). Order matters:
+    * emails first (their local parts can contain digits), then IPv4, then
+    * phone-shaped digit groups, then any remaining long digit run. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "[0-9]{2,4}-[0-9]{3,4}-[0-9]{4}" -> "<PHONE>",
+    "[0-9]{8,}" -> "<NUM>")
+
+  /** Scrub PII from a text column (the pre-training privacy pass):
+    * sequential regexp_replace chain, one narrow codegen'd projection —
+    * at 100 TB this is a pure map stage with no shuffle. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
+  /** Duplicate n-gram fraction (the Gopher-style repetition filter):
+    * 1 − |distinct n-grams| / |n-grams|, exactly 0.0 for docs shorter than
+    * n tokens (single whole-string shingle — same fallback as [[shingles]]).
+    * Exact integer counts + one double division — oracle-reproducible. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    lit(1.0) - size(array_distinct(sh)) / size(sh).cast("double")
+  }
+
   /** N-gram-Jaccard near-dup pairs *within small candidate groups* (e.g.
     * same lang+source): token-sorted-prefix blocking keeps the join from
     * going n². For unblocked corpora use [[minhashNearDupPairs]]. */
