@@ -117,6 +117,65 @@ object PipeQueries {
         "event_type", "ts", "value", widthSeconds = 3600L)
         .orderBy("event_type", "bucket")),
 
+    // Debounce / throttle dedup: keep an event iff ≥300 s passed since the
+    // previous event of the same (user, type) — the log-compaction shape
+    // (lag window; one shuffle on the key).
+    "q_s_debounce" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .withColumn("__gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("__keep",
+          (col("__gap_us").isNull || col("__gap_us") >= 300L * 1000000).cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("__keep")).cast("long").as("n_kept"))
+        .orderBy("event_type")
+    }),
+
+    // Session path analysis: event-type transition matrix per user stream
+    // (Markov bigram counts) — lag + group count, one shuffle on user.
+    "q_s_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // TPC-H Q3 shape (shipping-priority): selective dim filter broadcast
+    // into a fact-fact join, grouped revenue, top-10 — the canonical
+    // star-join + top-k plan.
+    "q_j_tpch_q3" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables(s, d, "orders")
+        .filter(col("o_orderdate") < "1998-01-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") > "1998-01-01")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // HLL approximate distinct users per event type (DataSketches):
+    // deliberately rows-only at the gate — cross-engine sketch estimates
+    // differ by construction; SketchSpec bounds the relative error and
+    // asserts merge consistency instead.
+    "q_u_hll_distinct" -> ((s, d) =>
+      graft.ops.Sketches.approxDistinctPerGroup(
+        Tables(s, d, "events"), "event_type", "user_id")
+        .orderBy("event_type")),
+
     // Equi-width histogram of order prices: bucket arithmetic in exact
     // integer cents (no float division at bin edges), bounds from one tiny
     // broadcast aggregate — two passes, no driver round-trip.
@@ -232,6 +291,41 @@ object PipeQueries {
          |  FROM agg) t
          |WHERE rn <= 10 ORDER BY rank""".stripMargin
     },
+
+    "q_s_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT event_type,
+        |  epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id)) AS gap_us
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_total,
+        | CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 300000000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_s_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT event_type AS to_type,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS from_type
+        |  FROM e)
+        |SELECT from_type, to_type, COUNT(*) AS n FROM g
+        |WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_j_tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         | ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+         |  AND CAST(l_shipdate AS TIMESTAMP) > TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q_s_retention" ->
       """WITH e AS (SELECT user_id,

@@ -67,7 +67,7 @@ object Retrieval {
                          textCol: String, n: Int): DataFrame = {
     def grams(df: DataFrame, extra: Column*) =
       df.select(extra :+
-        explode(array_distinct(TextOps.shingles(col(textCol), n))).as("gram"): _*)
+        explode(TextOps.distinctShinglesFast(col(textCol), n)).as("gram"): _*)
         .withColumn("gh", md5(col("gram"))).drop("gram")
     val evalGrams = grams(eval_).distinct()
     val trainGrams = grams(train, col(idCol))

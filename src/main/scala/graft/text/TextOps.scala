@@ -216,6 +216,16 @@ object TextOps {
     }
   }
 
+  /** JVM fast path for the DISTINCT shingle set (SAME elements as
+    * `array_distinct(shingles(text, n))` — set order differs, so use only
+    * where order is irrelevant: explode-then-aggregate/join pipelines).
+    * The expression form is an interpreted HOF chain (no codegen) and
+    * dominates wide scans; this is one tight tokenizer pass per row. */
+  def distinctShinglesFast(text: Column, n: Int): Column = {
+    val f = udf { (t: String) => shingleSet(t, n) }
+    f(text)
+  }
+
   /** MD5 hex digest in a tight JVM loop (MessageDigest is per-call state;
     * the caller reuses one instance per row). */
   private def md5Hex(md: java.security.MessageDigest, s: String): String = {

@@ -123,6 +123,53 @@ class PlanSpec extends AnyFunSuite {
       "cube lost map-side combine")
   }
 
+  test("PII redaction is a pure narrow map stage (no exchange at all)") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.core.Tables(spark, sfDir, "documents")
+      .select(graft.text.TextOps.redactPii(col("text")).as("red"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"redaction should not shuffle:\n${plan.take(1200)}")
+  }
+
+  test("decontamination joins on the gram hash via semi join, never text") {
+    val plan = SparkEntry.queries("q_x_decontam")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "expected a semi join on gram hashes")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "decontamination must stay an equi-join")
+  }
+
+  test("bm25 filters to query terms BEFORE the doc-term aggregation") {
+    val plan = SparkEntry.queries("q_x_bm25")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // plans print root-first, so "below the Aggregate" = later in the
+    // string: the IN-list term filter must appear after the first
+    // Aggregate node — the grouped relation is |terms|-bounded per doc
+    val aggIdx = plan.indexOf("Aggregate")
+    val inIdx = math.max(plan.indexOf(" IN ("), plan.indexOf("INSET"))
+    assert(aggIdx >= 0 && inIdx > aggIdx,
+      s"term filter not below the aggregate:\n${plan.take(1500)}")
+  }
+
+  test("TPC-H Q3 broadcasts the filtered dim and ends in a top-k") {
+    val plan = SparkEntry.queries("q_j_tpch_q3")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "customer dim should broadcast")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "revenue top-10 should be a top-k, not a global sort")
+  }
+
+  test("gap fill aggregates before densifying (partial agg + explode after)") {
+    val df = graft.ops.Temporal.resampleWithGapFill(
+      graft.core.Tables(spark, sfDir, "events"), "event_type", "ts", "value", 3600L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "resample lost map-side combine")
+    assert(plan.contains("Generate"), "expected the in-plan dense spine explode")
+  }
+
   test("chunking is a pure narrow pipeline (no exchange before the explode)") {
     val df = graft.text.TextOps.chunkText(
       graft.core.Tables(spark, sfDir, "documents"), "doc_id", "text", 200, 50)

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+
+/** Property bounds for the approximate sketch operators (no cross-engine
+  * oracle exists by construction — estimates are sketch-library-specific).
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("HLL per-group distinct is within 5% of exact") {
+    val e = graft.core.Tables(spark, sfDir, "events")
+    val approx = Sketches.approxDistinctPerGroup(e, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1.0, 0.05 * n),
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("HLL sketches merge consistently (union == whole-relation estimate)") {
+    val e = graft.core.Tables(spark, sfDir, "events")
+    val merged = Sketches.mergedDistinct(e, "event_type", "user_id")
+      .collect()(0).getLong(0)
+    val whole = e.agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("n"))
+      .collect()(0).getLong(0)
+    assert(merged == whole, s"merged=$merged whole=$whole")
+  }
+
+  test("approx_top_k finds the true heavy hitters in order") {
+    val e = graft.core.Tables(spark, sfDir, "events")
+    val top = Sketches.approxTopK(e, "event_type", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // five distinct types, no capacity pressure: estimates are exact here
+    assert(top.toSeq == exact.toSeq)
+  }
+}
