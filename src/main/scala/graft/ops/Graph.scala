@@ -63,4 +63,24 @@ object Graph {
   def componentSizes(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     connectedComponents(edges, srcCol, dstCol)
       .groupBy("comp").agg(count(lit(1)).as("n_members"))
+
+  /** Exact triangle count of an undirected graph (any edge orientation /
+    * duplicates in the input). Canonicalizes to a < b, then counts via two
+    * equi-joins: wedges (a,b)+(b,c) with a<b<c close into triangles iff
+    * (a,c) is an edge. Every join is on a vertex key — at scale the edge
+    * relation co-partitions across the three roles and the wedge fan-out
+    * is bounded by max canonical out-degree (the standard node-iterator
+    * bound; feed pre-thresholded edges for power-law graphs). */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = e.toDF("a", "b")
+      .join(e.toDF("b", "c"), Seq("b"))
+    val tri = wedges.join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    tri
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.Num.{dsum, dsum12}
+import graft.ops.Num.{davg, dstddevSamp, dsum, dsum12}
 import graft.ops.Temporal
 import graft.text.{Retrieval, TextOps}
 
@@ -174,6 +174,103 @@ object PipeQueries {
     "q_u_hll_distinct" -> ((s, d) =>
       graft.ops.Sketches.approxDistinctPerGroup(
         Tables(s, d, "events"), "event_type", "user_id")
+        .orderBy("event_type")),
+
+    // Per-class embedding centroids (the classwise mean vector a nearest-
+    // centroid classifier / IVF coarse quantizer fits): one posexplode +
+    // one (label, dim) aggregation — decimal-exact means, first 8 dims.
+    "q_v_centroids" -> ((s, d) =>
+      Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .filter(col("dim") < 8)
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          (dsum12(col("v").cast("double")) / count(lit(1))).as("centroid"))
+        .orderBy("label", "dim")),
+
+    // Pivot with MULTIPLE aggregates per cell (count + exact sum) — the
+    // pandas pivot_table(aggfunc=[...]) shape; explicit pivot domain so no
+    // hidden distinct pass.
+    "q_a6b_pivot_multi" -> ((s, d) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val alias = Seq("p1", "p2", "p3", "p4", "p5")
+      val piv = Tables(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum"))
+      // empty pivot cells: Spark yields NULL, a conditional COUNT yields 0 —
+      // coalesce the counts so both engines agree (sums stay NULL/NULL)
+      val cells = prios.zip(alias).flatMap { case (p, a) =>
+        Seq(coalesce(col(s"`${p}_n`"), lit(0L)).as(s"${a}_n"),
+          col(s"`${p}_sum`").as(s"${a}_sum"))
+      }
+      piv.select(col("o_orderstatus") +: cells: _*).orderBy("o_orderstatus")
+    }),
+
+    // Rolling median (trailing 5-row exact percentile per user) — order
+    // statistics inside a moving window frame.
+    "q_w_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("percentile(value, 0.5)").over(w).as("med5"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Z-score anomaly counts per group: exact-decimal moments → double
+    // mean/std, flag |v − mean| > 3σ — two passes, stats broadcast back.
+    "q_a_anomaly" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val stats = e.groupBy("event_type").agg(
+        count(col("value")).as("n"),
+        davg(col("value")).as("mean"),
+        dstddevSamp(col("value")).as("std"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(first(col("n")).as("n"), first(col("mean")).as("mean"),
+          first(col("std")).as("std"),
+          sum(when(abs(col("value") - col("mean")) > lit(3.0) * col("std"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // Market-basket co-occurrence: part pairs bought in the same order,
+    // top-10 by exact pair count — a self equi-join on the order key whose
+    // group sizes bound the pair blowup (never corpus-quadratic).
+    "q_j_basket" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val a = l.toDF("ok", "part_a")
+      val b = l.toDF("ok", "part_b")
+      val pairs = a.join(b, Seq("ok")).filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("part_a").asc, col("part_b").asc)
+      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("rank", "part_a", "part_b", "n")
+        .orderBy("rank")
+    }),
+
+    // Exact triangle count of the co-purchase graph (parts linked when
+    // bought together in ≥2 orders): canonicalized wedge join closed by a
+    // semi join — every step an equi-join on a vertex key.
+    "q_g_triangles" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val a = l.toDF("ok", "pa")
+      val b = l.toDF("ok", "pb")
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      graft.ops.Graph.triangleCount(edges, "pa", "pb")
+    }),
+
+    // Grouped multi-quantile summary (exact 25/50/75th percentiles per
+    // group — the describe() quartile block, distributed).
+    "q_a_quantiles" -> ((s, d) =>
+      Tables(s, d, "events").groupBy("event_type")
+        .agg(expr("percentile(value, 0.25)").as("q25"),
+          expr("percentile(value, 0.5)").as("q50"),
+          expr("percentile(value, 0.75)").as("q75"),
+          count(col("value")).as("n"))
         .orderBy("event_type")),
 
     // Equi-width histogram of order prices: bucket arithmetic in exact
@@ -357,6 +454,76 @@ object PipeQueries {
         | CAST(LAST_VALUE(s IGNORE NULLS) OVER (PARTITION BY event_type
         |   ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ff_last
         |FROM dense ORDER BY event_type, bucket""".stripMargin,
+
+    "q_v_centroids" ->
+      """WITH idx AS (SELECT unnest(range(1, 9)) AS i)
+        |SELECT label, CAST(i - 1 AS INTEGER) AS dim, COUNT(*) AS n,
+        | CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12)))
+        |   AS DOUBLE) / COUNT(*) AS centroid
+        |FROM embeddings, idx GROUP BY label, i ORDER BY label, dim""".stripMargin,
+
+    "q_a6b_pivot_multi" -> {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val alias = Seq("p1", "p2", "p3", "p4", "p5")
+      val cells = prios.zip(alias).map { case (p, a) =>
+        s"""CAST(COUNT(CASE WHEN o_orderpriority = '$p' THEN 1 END) AS BIGINT)
+           |   AS ${a}_n,
+           | CAST(SUM(CASE WHEN o_orderpriority = '$p'
+           |   THEN CAST(o_totalprice AS DECIMAL(30,6)) END) AS DOUBLE) AS ${a}_sum"""
+          .stripMargin
+      }.mkString(",\n ")
+      s"""SELECT o_orderstatus, $cells
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+
+    "q_w_rolling_median" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id,
+        | quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q_a_anomaly" ->
+      s"""WITH s AS (SELECT event_type, COUNT(value) AS n,
+         |  ${davgSql("value")} AS mean, ${dstddevSql("value")} AS std
+         |  FROM events GROUP BY event_type)
+         |SELECT events.event_type, s.n, s.mean, s.std,
+         | CAST(SUM(CASE WHEN ABS(value - s.mean) > 3.0 * s.std
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM events JOIN s USING (event_type)
+         |GROUP BY events.event_type, s.n, s.mean, s.std
+         |ORDER BY event_type""".stripMargin,
+
+    "q_j_basket" ->
+      """WITH p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  COUNT(*) AS n
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT CAST(rn AS INTEGER) AS rank, part_a, part_b, n
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, part_a, part_b)
+        |  AS rn FROM p) t
+        |WHERE rn <= 10 ORDER BY rank""".stripMargin,
+
+    "q_g_triangles" ->
+      """WITH p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT pa AS a, pb AS b FROM p WHERE n >= 2)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)"""
+        .stripMargin,
+
+    "q_a_quantiles" ->
+      """SELECT event_type,
+        | quantile_cont(value, 0.25) AS q25,
+        | quantile_cont(value, 0.5) AS q50,
+        | quantile_cont(value, 0.75) AS q75,
+        | COUNT(value) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_a_histogram" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),

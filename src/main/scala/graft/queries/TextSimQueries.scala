@@ -254,8 +254,10 @@ object TextSimQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = TextOps.minhashNearDupPairs(deduped, "doc_id", "text",
         numHashes = 16, bands = 2, threshold = 0.5)
+      // no distinct on the removal list: left_anti ignores duplicate keys
+      // on its right side, so the dedup shuffle would be pure overhead
       val kept = deduped.join(
-        pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        pairs.select(col("id_b").as("doc_id")), Seq("doc_id"), "left_anti")
       // per-SOURCE stats (the lang labels are metadata noise on this
       // synthetic corpus — nearly all text scores as English)
       kept.groupBy("source").agg(count(lit(1)).as("n_docs"),

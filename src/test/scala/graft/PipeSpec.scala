@@ -68,6 +68,18 @@ class PipeSpec extends AnyFunSuite {
     assert(m(11L)._2 == 0L && m(11L)._3 == 0.0)
   }
 
+  test("triangleCount is exact on a known graph, any orientation") {
+    // K4 on {1,2,3,4} (4 triangles) + pendant edge (4,5) + dup/reversed edges
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (2L, 1L), // reversed duplicates
+      (4L, 5L)
+    ).toDF("s", "t")
+    val n = graft.ops.Graph.triangleCount(edges, "s", "t")
+      .collect()(0).getLong(0)
+    assert(n == 4L)
+  }
+
   test("resampleWithGapFill emits empty buckets and forward-fills") {
     val df = Seq(
       ("k", "2024-01-01 00:10:00", 10.0),
