@@ -48,6 +48,14 @@ object Io {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** ORC source/sink (the second columnar interchange format Spark ships;
+    * same pushdown/pruning machinery as parquet — asserted in IoSpec). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S6/S9 — JSON results store (one object per line). */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)

@@ -273,6 +273,31 @@ object PipeQueries {
           count(col("value")).as("n"))
         .orderBy("event_type")),
 
+    // Precision/recall curve points (top-50 thresholds): cumulative
+    // confusion counts over the per-DISTINCT-SCORE relation, descending —
+    // the threshold sweep behind average-precision / PR-AUC, computed on
+    // compacted counts (never a window over raw rows).
+    "q_t_pr_curve" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .select(col("value").as("score"),
+          (col("event_type") === "purchase").cast("long").as("label"))
+      val byScore = e.groupBy("score")
+        .agg(count(lit(1)).as("n"), sum("label").as("pos"))
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totals = e.agg(sum("label").as("p_total"))
+      byScore
+        .withColumn("cum_tp", sum("pos").over(w))
+        .withColumn("cum_n", sum("n").over(w))
+        .withColumn("rank", row_number().over(Window.orderBy(col("score").desc)))
+        .filter(col("rank") <= 50)
+        .crossJoin(broadcast(totals))
+        .select(col("rank"), col("score"),
+          (col("cum_tp").cast("double") / col("cum_n").cast("double")).as("precision"),
+          (col("cum_tp").cast("double") / col("p_total").cast("double")).as("recall"))
+        .orderBy("rank")
+    }),
+
     // Equi-width histogram of order prices: bucket arithmetic in exact
     // integer cents (no float division at bin edges), bounds from one tiny
     // broadcast aggregate — two passes, no driver round-trip.
@@ -524,6 +549,23 @@ object PipeQueries {
         | quantile_cont(value, 0.75) AS q75,
         | COUNT(value) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_t_pr_curve" ->
+      """WITH e AS (SELECT value AS score,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |b AS (SELECT score, COUNT(*) AS n, SUM(label) AS pos
+        |  FROM e GROUP BY score),
+        |c AS (SELECT score,
+        |  SUM(pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cum_tp,
+        |  SUM(n) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cum_n,
+        |  ROW_NUMBER() OVER (ORDER BY score DESC) AS rank
+        |  FROM b),
+        |t AS (SELECT SUM(label) AS p_total FROM e)
+        |SELECT CAST(rank AS INTEGER) AS rank, score,
+        | CAST(cum_tp AS DOUBLE) / CAST(cum_n AS DOUBLE) AS precision,
+        | CAST(cum_tp AS DOUBLE) / CAST(p_total AS DOUBLE) AS recall
+        |FROM c, t WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     "q_a_histogram" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),

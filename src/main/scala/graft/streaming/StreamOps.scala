@@ -48,6 +48,21 @@ object StreamOps {
   def withPropsField(events: DataFrame, field: String, as: String): DataFrame =
     events.withColumn(as, get_json_object(col("props"), s"$$.$field").cast("long"))
 
+  /** Streaming approximate distinct users per window (HLL sketch inside
+    * a watermarked aggregation): per-window state is one KB-scale sketch
+    * buffer instead of the full user-id set — the only way a distinct
+    * count stays bounded on an unbounded stream. Works identically in
+    * batch (spec-checked against the batch estimate). */
+  def streamingApproxDistinct(stream: DataFrame, width: String = "1 hour",
+                              watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("approx_users"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("approx_users"))
+
   /** Streaming variant: watermarked tumbling aggregation ready for
     * `writeStream`. Late data beyond the watermark is dropped — state stays
     * bounded, the requirement for an unbounded 100 TB/day stream. */

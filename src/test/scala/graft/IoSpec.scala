@@ -47,6 +47,20 @@ class IoSpec extends AnyFunSuite {
       "partition key leaked into the data-filter pushdown")
   }
 
+  test("ORC sink/source round-trips with pushdown intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    val df = (1L to 500L).map(i => (i, i * 1.5, s"name$i")).toDF("id", "v", "name")
+    Io.writeOrc(df, dir)
+    val back = Io.readOrc(spark, dir)
+    assert(back.schema.map(_.name) == Seq("id", "v", "name"))
+    assert(back.count() == 500)
+    assert(back.agg(sum("id")).head.getLong(0) == 500L * 501 / 2)
+    val plan = back.filter(col("id") > 400).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,400)"),
+      s"ORC scan lost filter pushdown:\n${plan.take(800)}")
+  }
+
   test("writeSingleCsv produces one readable file (S7)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_csv").toString + "/sub.csv"

@@ -138,4 +138,62 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got == expected)
   }
+
+  test("triangleCount equals a brute-force reference on random graphs") {
+    def bruteTriangles(edges: Seq[(Long, Long)]): Long = {
+      val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).toSet
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      nodes.combinations(3).count { case Seq(x, y, z) =>
+        es((x, y)) && es((y, z)) && es((x, z))
+      }
+    }
+    for (seed <- 41L to 43L) {
+      val edges = sampled(Gen.listOfN(80,
+        Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 25L))
+          .map { case (a, b) => if (a == b) (a, (b + 1) % 26) else (a, b) }),
+        seed)
+      val expected = bruteTriangles(edges)
+      val got = graft.ops.Graph.triangleCount(edges.toDF("a", "b"), "a", "b")
+        .collect()(0).getLong(0)
+      assert(got == expected, s"seed=$seed expected=$expected got=$got")
+    }
+  }
+
+  test("redactPii is idempotent and digit-run boundaries are exact") {
+    val gen = Gen.listOfN(60, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.chooseNum(0, 14).map(n => "9" * n),          // digit runs 0..14
+      Gen.const("a@b.co"), Gen.const("1.2.3.4"), Gen.const("010-123-4567")))
+    for (seed <- 51L to 52L) {
+      val texts = sampled(gen, seed).map(_.mkString(" "))
+      val df = Seq(texts.mkString(" ")).toDF("t")
+      val once = df.select(TextOps.redactPii(col("t"))).head.getString(0)
+      val twice = Seq(once).toDF("t")
+        .select(TextOps.redactPii(col("t"))).head.getString(0)
+      assert(once == twice, "redaction must be a fixpoint")
+      // digit runs of ≥8 never survive redaction
+      assert("[0-9]{8,}".r.findFirstIn(once).isEmpty)
+    }
+  }
+
+  test("resampleWithGapFill spine is dense and complete per key") {
+    val gen = Gen.listOfN(200, Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 500000L)))
+    for (seed <- 61L to 62L) {
+      val rows = sampled(gen, seed).map { case (k, s) =>
+        (k, new java.sql.Timestamp(1700000000000L + s * 1000), 1.0)
+      }
+      val out = graft.ops.Temporal.resampleWithGapFill(
+        rows.toDF("k", "ts", "v"), "k", "ts", "v", 3600L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // per key: buckets are exactly [min..max] with no holes or dups
+      out.groupBy(_._1).foreach { case (k, bs) =>
+        val buckets = bs.map(_._2).sorted
+        assert(buckets.distinct == buckets, s"$k has duplicate buckets")
+        assert(buckets == (buckets.head to buckets.last),
+          s"$k spine has holes")
+      }
+    }
+  }
 }

@@ -7,6 +7,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamOps
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class EvU(ts: Timestamp, event_type: String, user_id: Long)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class UserEv(ts: Timestamp, user_id: Long, value: Double)
 case class Promo(p_ts: Timestamp, p_user_id: Long, promo: String)
@@ -38,6 +39,28 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(streamed == batch)
     assert(batch.size == 4) // (h0: a×2, b×1), (h1: a×1), (h2: b×1)
+  }
+
+  test("streaming HLL distinct equals the batch sketch estimate") {
+    val evs = (0 until 200).map(i =>
+      EvU(ts(i % 110), if (i % 2 == 0) "a" else "b", (i % 37).toLong))
+    val stream = MemoryStream[EvU](spark)
+    stream.addData(evs: _*)
+    val q = StreamOps.toMemorySink(
+      StreamOps.streamingApproxDistinct(stream.toDF(), "1 hour", "2 hours"),
+      "t_hll").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_hll")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = evs.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("approx_users"))
+      .select(col("window.start"), col("event_type"), col("approx_users"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
   }
 
   test("session windows merge within gap and split beyond it") {
