@@ -33,7 +33,7 @@ object Bench {
       name -> (if (ok) r3(dt) else -1.0)
     }
     val headline = Vector(
-      "q_a1_tpch_q1", "q_a_tpch_q6", "q_j_tpch_q12", "q_j_tpch_q14",
+      "q_a1_tpch_q1", "q_a_tpch_q6", "q_j_tpch_q3", "q_j_tpch_q12", "q_j_tpch_q14",
       "q_j1_top_revenue", "q_j_asof", "q_j_interval",
       "q_a4_crosstab", "q_a8_describe", "q_a16_corr_prune",
       "q_w1_topk", "q_w3_topn_per_group",
@@ -41,7 +41,7 @@ object Bench {
       "q_t3_auroc", "q_t8_spearman", "q_t11_wilcoxon",
       "q_x_exact_dedup", "q_x_minhash_neardup", "q_x_simhash_neardup", "q_x_embed_neardup",
       "q_v_knn_brute", "q_v_lsh_ann", "q_v_ivf_ann",
-      "q_x_lang_id", "q_x_corpus_pipeline",
+      "q_x_lang_id", "q_x_corpus_pipeline", "q_x_bm25", "q_x_decontam",
       "q_s_session", "q_mm_features")
     def toJson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -36,9 +36,12 @@ object Graph {
       .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // lazy localCheckpoints (eager = false): the convergence count is the
+    // action that materializes each round, so a round costs ONE job, not
+    // two — while lineage still truncates (round k never replays 1..k-1)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -49,8 +52,11 @@ object Graph {
         .select(col("id"),
           least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"),
           (coalesce(col("offer"), col("comp")) < col("comp")).as("__changed"))
-        .localCheckpoint()
-      converged = next.filter(col("__changed")).limit(1).count() == 0
+        .localCheckpoint(false)
+      // FULL count (no limit-early-exit): a partial action would leave the
+      // lazy checkpoint partially materialized with its lineage already
+      // truncated — unrecomputable. The full pass is the materializer.
+      converged = next.filter(col("__changed")).count() == 0
       labels = next.drop("__changed")
       iter += 1
     }

@@ -273,6 +273,20 @@ object PipeQueries {
           count(col("value")).as("n"))
         .orderBy("event_type")),
 
+    // Custom GROUPING SETS (neither cube nor rollup): two disjoint
+    // single-dimension groupings in ONE pass over the fact table — Spark
+    // expands the sets map-side, so partial aggregation survives.
+    "q_a_grouping_sets" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")),
+
     // Precision/recall curve points (top-50 thresholds): cumulative
     // confusion counts over the per-DISTINCT-SCORE relation, descending —
     // the threshold sweep behind average-precision / PR-AUC, computed on
@@ -549,6 +563,14 @@ object PipeQueries {
         | quantile_cont(value, 0.75) AS q75,
         | COUNT(value) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_a_grouping_sets" ->
+      s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+         | COALESCE(o_orderpriority, '(all)') AS priority,
+         | COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         |ORDER BY status, priority""".stripMargin,
 
     "q_t_pr_curve" ->
       """WITH e AS (SELECT value AS score,

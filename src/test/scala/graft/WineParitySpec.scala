@@ -73,4 +73,34 @@ class WineParitySpec extends AnyFunSuite {
     assert(math.abs(means("naive_bayes") - 0.4515) < 0.08,
       s"nb ${means("naive_bayes")} too far from reference 0.4515")
   }
+
+  test("wine repeated shuffle-split reproduces the reference's RF level") {
+    // BASELINE.md: StratifiedShuffleSplit n_splits=40, test_size=0.5 →
+    // RandomForest 0.6312 ± 0.0077. 8 seeded 50% holdouts estimate the
+    // same mean (smaller n_splits; band widened accordingly).
+    assume(new java.io.File(winePath).exists(), "reference checkout not present")
+    val raw = Io.readCsv(spark, winePath, wineSchema)
+    val vocab = Prep.fitLabelEncoder(raw, "type")
+    val df = Prep.labelEncode(raw, vocab, "type")
+      .withColumn("y", (col("quality") - 3).cast("double"))
+      .withColumn("type_idx", col("type_idx").cast("double"))
+      .cache()
+    val feats = featureNames :+ "type_idx"
+    import org.apache.spark.ml.classification.RandomForestClassifier
+    val accs = for (seed <- 0 until 8) yield {
+      val tagged = graft.ml.Split.tagStratifiedHoldout(
+        df, "index", "y", testFraction = 0.5, seed = seed)
+      val fitted = Models.pipelineFor(
+        new RandomForestClassifier().setNumTrees(100).setMaxDepth(20).setSeed(42),
+        feats, "y").fit(tagged.filter(col("split") === "train"))
+      Models.evaluate(fitted.transform(tagged.filter(col("split") === "test")), "y")
+    }
+    val mean = accs.sum / accs.size
+    info(f"wine shuffle-split RF mean over 8 seeds: $mean%.4f (reference: 0.6312)")
+    assert(math.abs(mean - 0.6312) < 0.05,
+      s"shuffle-split rf $mean too far from reference 0.6312")
+    // half-data fits must underperform the 5-fold (80% train) level, as in
+    // the reference (0.6312 < 0.6664)
+    assert(mean < 0.6664)
+  }
 }
