@@ -178,14 +178,22 @@ object PipeQueries {
 
     // Per-class embedding centroids (the classwise mean vector a nearest-
     // centroid classifier / IVF coarse quantizer fits): one posexplode +
-    // one (label, dim) aggregation — decimal-exact means, first 8 dims.
+    // one (label, dim) aggregation, first 8 dims. Values quantize to
+    // integer 1e-12 units via floor(v*1e12 + 0.5), which is EXACT double
+    // arithmetic for float inputs (24-bit mantissa × 5^12 < 2^53), so the
+    // half-tie rounding mode is pinned by the expression itself — an
+    // engine's decimal-cast tie-breaking (HALF_UP vs round()) never enters.
+    // (A direct decimal(30,12) cast diverged on 3 of 128k floats at sf0.1:
+    // v*1e12 landing exactly on .5 rounds differently across engines.)
     "q_v_centroids" -> ((s, d) =>
       Tables(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .filter(col("dim") < 8)
         .groupBy("label", "dim")
         .agg(count(lit(1)).as("n"),
-          (dsum12(col("v").cast("double")) / count(lit(1))).as("centroid"))
+          ((sum(floor(col("v").cast("double") * 1e12 + 0.5)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / 1e12) / count(lit(1))).as("centroid"))
         .orderBy("label", "dim")),
 
     // Pivot with MULTIPLE aggregates per cell (count + exact sum) — the
@@ -272,6 +280,42 @@ object PipeQueries {
           expr("percentile(value, 0.75)").as("q75"),
           count(col("value")).as("n"))
         .orderBy("event_type")),
+
+    // Sessionization with ASSIGNED ids: each event gets its user-session
+    // index (cumulative count of >30-min gaps) — the event-level
+    // complement of session_window aggregation. Two windows, one shuffle
+    // (same partitioning). Output: per-session summaries.
+    "q_s_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables(s, d, "events")
+        .withColumn("__gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+        .withColumn("session_id",
+          sum(when(col("__gap_us") > 30L * 60 * 1000000, 1L).otherwise(0L))
+            .over(run))
+      e.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("first_event"), max("event_id").as("last_event"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Ranked dedup keeping the BEST duplicate (longest text, then min id)
+    // instead of exactDedup's min-id — the quality-aware representative
+    // choice a corpus pipeline actually wants.
+    "q_x_dedup_best" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val doubled = docs.unionByName(
+        docs.select(col("doc_id") + 100000, col("text"), col("lang"),
+          col("source"), col("n_chars")).toDF(docs.columns: _*))
+      val fp = TextOps.contentFingerprint(col("text"))
+      val w = Window.partitionBy("__fp")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      doubled.withColumn("__fp", fp)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+          sum("n_chars").cast("long").as("chars_kept"))
+    }),
 
     // Custom GROUPING SETS (neither cube nor rollup): two disjoint
     // single-dimension groupings in ONE pass over the fact table — Spark
@@ -495,10 +539,13 @@ object PipeQueries {
         |FROM dense ORDER BY event_type, bucket""".stripMargin,
 
     "q_v_centroids" ->
+      // integer 1e-12 quantization mirrored from the engine expression:
+      // floor(v*1e12 + 0.5) is exact double arithmetic for floats, so both
+      // engines compute the identical integer — no decimal tie-breaking
       """WITH idx AS (SELECT unnest(range(1, 9)) AS i)
         |SELECT label, CAST(i - 1 AS INTEGER) AS dim, COUNT(*) AS n,
-        | CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12)))
-        |   AS DOUBLE) / COUNT(*) AS centroid
+        | (CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5)
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 1e12) / COUNT(*) AS centroid
         |FROM embeddings, idx GROUP BY label, i ORDER BY label, dim""".stripMargin,
 
     "q_a6b_pivot_multi" -> {
@@ -563,6 +610,33 @@ object PipeQueries {
         | quantile_cont(value, 0.75) AS q75,
         | COUNT(value) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_s_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |  epoch_us(ts - LAG(ts) OVER w) AS gap_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id,
+        |  SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | COUNT(*) AS n_events,
+        | MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_x_dedup_best" ->
+      """WITH u AS (SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text, n_chars FROM documents),
+        |k AS (SELECT doc_id, n_chars, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM u)
+        |SELECT COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        | CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        |FROM k WHERE rn = 1""".stripMargin,
 
     "q_a_grouping_sets" ->
       s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
