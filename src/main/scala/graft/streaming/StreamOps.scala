@@ -48,6 +48,19 @@ object StreamOps {
   def withPropsField(events: DataFrame, field: String, as: String): DataFrame =
     events.withColumn(as, get_json_object(col("props"), s"$$.$field").cast("long"))
 
+  /** Streaming session windows: the same `session_window` operator as the
+    * batch [[sessionAgg]], watermarked so closed sessions finalize and
+    * their state evicts — per-key state is the OPEN session only. */
+  def streamingSessionAgg(stream: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Streaming approximate distinct users per window (HLL sketch inside
     * a watermarked aggregation): per-window state is one KB-scale sketch
     * buffer instead of the full user-id set — the only way a distinct

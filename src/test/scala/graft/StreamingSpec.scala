@@ -63,6 +63,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming session windows equal the batch session aggregation") {
+    val evs = Seq(
+      UserEv(ts(0), 7L, 1.0), UserEv(ts(10), 7L, 2.0),  // one session
+      UserEv(ts(50), 7L, 4.0),                           // next session (40m gap)
+      UserEv(ts(5), 9L, 8.0))
+    val stream = MemoryStream[UserEv](spark)
+    stream.addData(evs: _*)
+    // session-window streaming rejects update mode; complete fits the test
+    val q = StreamOps.streamingSessionAgg(stream.toDF(), "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("t_sess")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val streamed = spark.table("t_sess").collect().map(key).toSet
+    val batch = StreamOps.sessionAgg(evs.toDF(), "30 minutes")
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch.size == 3)
+  }
+
   test("session windows merge within gap and split beyond it") {
     val sess = StreamOps.sessionAgg(
       Seq(Ev(ts(0), "u", 1), Ev(ts(10), "u", 1), Ev(ts(50), "u", 1)).toDF()
