@@ -66,9 +66,10 @@ object Extras {
       .drop(models.indices.map(i => s"__p_$i"): _*)
   }
 
-  /** Global 1..n rank by a hash key WITHOUT a single-partition window: rank
-    * inside 256 hash-prefix buckets in parallel, then add per-bucket offsets
-    * (the only global window runs over the 256 bucket-count rows). The
+  /** Global 1..n rank by a hash key WITHOUT any single-partition window:
+    * rank inside 256 hash-prefix buckets in parallel, then add per-bucket
+    * offsets computed by a broadcast self-join over the 256 bucket-count
+    * rows (graft.ops.Prefix.bucketOffsets — bounded by construction). The
     * bucket is a PREFIX of the order key, so bucket order is consistent
     * with the global order. Adds `rankCol`; `__h` is the order key. */
   private def hashRank(df: DataFrame, keyCol: String, seed: Int,
@@ -78,11 +79,8 @@ object Extras {
       .withColumn("__b", substring(col("__h"), 1, 2))
     val wLocal = Window.partitionBy(col("__b"))
       .orderBy(col("__h"), col(keyCol))
-    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(
-        sum("__n").over(Window.orderBy(col("__b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__b", "__off")
+    val cnts = bucketed.groupBy("__b").agg(count(lit(1)).as("__n"))
+    val offsets = graft.ops.Prefix.bucketOffsets(cnts, "__b", Seq("__n" -> "__off"))
     bucketed.withColumn("__lr", row_number().over(wLocal))
       .join(broadcast(offsets), Seq("__b"))
       .withColumn(rankCol, col("__off") + col("__lr"))

@@ -179,11 +179,16 @@ object Prep {
 
   /** M7 — ordinal/label encode: sorted-distinct → 0..k-1 dictionary, fitted
     * on train, applied by broadcast join (unseen → null, sklearn raises —
-    * we surface null instead). Ref: wine nb 03 cell 10. */
+    * we surface null instead). The 0-based index is a distributed prefix
+    * count over the distinct-value relation — a million-category vocabulary
+    * fits this plan, where a global row_number window would not.
+    * Ref: wine nb 03 cell 10. */
   def fitLabelEncoder(train: DataFrame, c: String): DataFrame = {
-    val w = Window.orderBy(col(c))
-    train.select(col(c)).filter(col(c).isNotNull).distinct()
-      .withColumn(s"${c}_idx", row_number().over(w) - 1)
+    val distinctVals = train.select(col(c)).filter(col(c).isNotNull).distinct()
+      .withColumn("__one", lit(1L))
+    graft.ops.Prefix.runningSum(distinctVals, Seq(col(c)), col("__one"), "__rk")
+      .withColumn(s"${c}_idx", (col("__rk") - 1).cast("int"))
+      .drop("__one", "__rk")
   }
 
   def labelEncode(df: DataFrame, vocab: DataFrame, c: String): DataFrame =

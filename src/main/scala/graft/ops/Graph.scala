@@ -85,8 +85,15 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val wedges = e.toDF("a", "b")
       .join(e.toDF("b", "c"), Seq("b"))
-    val tri = wedges.join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    tri
+    // materialize the single-row aggregate NOW so the canonical edge cache
+    // can be released before returning — otherwise repeated calls in a
+    // long-lived session accumulate cached blocks (the count is O(1) data;
+    // eagerness costs nothing a caller could have deferred)
+    val n = wedges.join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles")).head().getLong(0)
+    e.unpersist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq(n).toDF("n_triangles")
   }
 }

@@ -55,15 +55,17 @@ object Relational {
   import Num._
 
   /** A2/A3 — `value_counts([normalize=True])`: group count + optional share.
-    * Share uses an empty-frame window; safe because the grouped result has
-    * one row per distinct value (small by construction).
+    * The share denominator is a broadcast 1-row total (no empty-frame
+    * window — an empty partition spec funnels the grouped relation through
+    * one task and is the plan shape this library bans).
     * Ref: final-assignment/experiments/target_eda.py:29-30. */
   def valueCounts(df: DataFrame, c: String, normalize: Boolean = false): DataFrame = {
     val counts = df.groupBy(c).agg(count(lit(1)).as("count"))
     val out =
       if (normalize)
-        counts.withColumn(
-          "pct", col("count") / sum("count").over(Window.partitionBy()) * 100.0)
+        counts.crossJoin(broadcast(df.agg(count(lit(1)).as("__tot"))))
+          .withColumn("pct", col("count") / col("__tot") * 100.0)
+          .drop("__tot")
       else counts
     out.orderBy(col(c))
   }
@@ -285,19 +287,45 @@ object Bloom {
 }
 
 /** Distributed prefix sums over a total row order — the building block
-  * behind scalable ranking, NTILE, and sequence packing. Range-partition
-  * the order key, compute per-partition running sums in parallel, and
-  * prefix-scan only the ~numPartitions bucket totals on the driver. No
-  * single-partition window; results are exact integer arithmetic,
-  * independent of the bucketing. */
+  * behind scalable ranking, NTILE, rank statistics, CDFs, and sequence
+  * packing. Range-partition the order key, compute per-partition running
+  * sums in parallel, and turn them global with per-bucket offsets. NO
+  * window anywhere runs without a partition — the offsets come from a
+  * broadcast self-join over the ~numPartitions bucket totals (bounded by
+  * construction, never by the data), so plans stay free of the
+  * single-partition WindowExec that serializes at scale. Results are
+  * exact integer arithmetic, independent of the bucketing. */
 object Prefix {
 
-  /** Adds `outCol` = inclusive running sum of `value` over `order`
-    * (which must be a total order for deterministic output). */
-  def runningSum(df: DataFrame, order: Seq[Column], value: Column,
-                 outCol: String): DataFrame = {
+  /** EXCLUSIVE prefix sums over a tiny keyed totals relation (one row per
+    * bucket): for each row, the sum of every `sumCols` input over buckets
+    * strictly before it in `pidCol` order. A broadcast inequality
+    * self-join — O(buckets²) on a buckets-sized relation — instead of a
+    * global-sort window, so the plan carries no partition-less WindowExec.
+    * Returns (pidCol, outCol…). */
+  def bucketOffsets(totals: DataFrame, pidCol: String,
+                    sumCols: Seq[(String, String)]): DataFrame = {
+    val b = totals.select(col(pidCol).as("__p2") +:
+      sumCols.map { case (in, _) => col(in).as(s"__b_$in") }: _*)
+    val aggs = sumCols.map { case (in, out) =>
+      coalesce(sum(s"__b_$in"), lit(0L)).as(out)
+    }
+    totals.join(broadcast(b), col("__p2") < col(pidCol), "left")
+      .groupBy(col(pidCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Adds one inclusive running sum per `(value, outCol)` pair over
+    * `order` (which must be a total order for deterministic output).
+    * Values are accumulated as longs (counts/ranks/token totals). */
+  def runningSums(df: DataFrame, order: Seq[Column],
+                  values: Seq[(Column, String)]): DataFrame = {
     val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.withColumn("__v", value.cast("long"))
+    val named = values.zipWithIndex.map { case ((v, out), i) => (s"__v_$i", out, v) }
+    val withVals = named.foldLeft(df) { case (acc, (vc, _, v)) =>
+      acc.withColumn(vc, v.cast("long"))
+    }
+    val ranged = withVals
       .repartitionByRange(nBuckets, order: _*)
       .withColumn("__pid", spark_partition_id())
       // persist is CORRECTNESS here, not caching: repartitionByRange
@@ -306,18 +334,24 @@ object Prefix {
       // different partitions — the offsets branch and the main branch
       // MUST see one materialization (verified by GraphExtSpec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // offsets in-plan (tiny totals relation → prefix window → broadcast);
-    // no driver action, one lazy DAG
-    val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offDf = ranged.groupBy("__pid").agg(sum("__v").as("__tot"))
-      .withColumn("__off", coalesce(sum("__tot").over(offW), lit(0L)))
-      .drop("__tot")
+    val totAggs = named.map { case (vc, _, _) => sum(vc).as(s"__t_$vc") }
+    val totals = ranged.groupBy("__pid").agg(totAggs.head, totAggs.tail: _*)
+    val offDf = bucketOffsets(totals, "__pid",
+      named.map { case (vc, _, _) => s"__t_$vc" -> s"__off_$vc" })
     val w = Window.partitionBy("__pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    ranged.join(broadcast(offDf), Seq("__pid"))
-      .withColumn(outCol, sum("__v").over(w) + col("__off"))
-      .drop("__pid", "__off", "__v")
+    val joined = ranged.join(broadcast(offDf), Seq("__pid"))
+    val summed = named.foldLeft(joined) { case (acc, (vc, out, _)) =>
+      acc.withColumn(out, sum(vc).over(w) + col(s"__off_$vc"))
+    }
+    summed.drop("__pid" +: named.flatMap { case (vc, _, _) =>
+      Seq(vc, s"__off_$vc") }: _*)
   }
+
+  /** Adds `outCol` = inclusive running sum of `value` over `order`. */
+  def runningSum(df: DataFrame, order: Seq[Column], value: Column,
+                 outCol: String): DataFrame =
+    runningSums(df, order, Seq(value -> outCol))
 }
 
 object Ranking {
@@ -325,6 +359,31 @@ object Ranking {
   /** W2 — global top-k with a deterministic tiebreak. */
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** Global top-k with a 1-based rank column, WITHOUT a global-sort
+    * window: the k rows come from orderBy+limit (TakeOrderedAndProject —
+    * per-partition top-k merged on the driver), and the rank of each
+    * survivor is 1 + |rows strictly before it| counted by a broadcast
+    * self-join over the k-row result. `keys` = (column, descending) pairs
+    * forming a TOTAL order (include a tiebreak key), so ranks are unique
+    * and reproduce `row_number() OVER (ORDER BY …)` exactly at any scale. */
+  def topKRanked(df: DataFrame, keys: Seq[(String, Boolean)], k: Int,
+                 rankCol: String = "rank"): DataFrame = {
+    val sortCols = keys.map { case (c, desc) => if (desc) col(c).desc else col(c).asc }
+    val top = df.orderBy(sortCols: _*).limit(k)
+    val b = top.select(keys.map { case (c, _) => col(c).as(s"__b_$c") }: _*)
+    // lexicographic "b sorts strictly before a" over the (mixed-direction)
+    // key list
+    def before(i: Int): Column = {
+      val (c, desc) = keys(i)
+      val lt = if (desc) col(s"__b_$c") > col(c) else col(s"__b_$c") < col(c)
+      if (i == keys.size - 1) lt
+      else lt || (col(s"__b_$c") === col(c) && before(i + 1))
+    }
+    top.join(broadcast(b), before(0), "left")
+      .groupBy(top.columns.map(col): _*)
+      .agg((count(col(s"__b_${keys.head._1}")) + 1).cast("int").as(rankCol))
+  }
 
   /** W6/W8 — top-n rows per group (row_number window, no global sort). */
   def topNPerGroup(df: DataFrame, partCols: Seq[String], order: Seq[Column],
@@ -335,13 +394,18 @@ object Ranking {
 
   /** W4 — rank rows per metric column (pandas rank(method='min') ≡ SQL
     * RANK, descending), then the mean rank across metrics, sorted best-
-    * first. The input is an already-aggregated relation (models, features,
-    * nations — driver-scale cardinality), so the global rank windows are
-    * cheap; don't feed this raw fact tables.
+    * first. Ranks come from a broadcast self-join (rank = 1 + |rows with a
+    * strictly better metric|), not a global-sort window — the input is an
+    * already-aggregated relation (models, features, nations — bounded
+    * cardinality), so the quadratic count is trivial while the plan stays
+    * free of single-partition WindowExec; don't feed this raw fact tables.
     * Ref: wine-classification-dacon nb 11 cell 48. */
   def meanRankAcross(df: DataFrame, keyCol: String, metrics: Seq[String]): DataFrame = {
     val ranked = metrics.foldLeft(df) { (acc, m) =>
-      acc.withColumn(s"${m}_rank", rank().over(Window.orderBy(col(m).desc)))
+      acc.join(broadcast(df.select(col(m).as(s"__b_$m"))),
+          col(s"__b_$m") > col(m), "left")
+        .groupBy(acc.columns.map(col): _*)
+        .agg((count(col(s"__b_$m")) + 1).cast("int").as(s"${m}_rank"))
     }
     val meanRank = metrics.map(m => col(s"${m}_rank")).reduce(_ + _)
       .cast("double") / metrics.size
@@ -367,14 +431,11 @@ object Ranking {
       // seeded by RDD id, so re-evaluation could repartition differently
       // between the offsets/total branches and the main branch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bucket-start offsets and the grand total IN-PLAN (no driver action:
-    // the per-bucket counts relation is ~numPartitions rows, so its
-    // prefix window is trivial and everything stays one lazy DAG)
-    val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    // bucket-start offsets and the grand total IN-PLAN (no driver action,
+    // no global window: the per-bucket counts relation is ~numPartitions
+    // rows, so its exclusive prefix comes from Prefix.bucketOffsets)
     val cnts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
-    val offDf = cnts
-      .withColumn("__off", coalesce(sum("__c").over(offW), lit(0L)))
-      .drop("__c")
+    val offDf = Prefix.bucketOffsets(cnts, "__pid", Seq("__c" -> "__off"))
     val totDf = cnts.agg(sum("__c").as("__n"))
     val w = Window.partitionBy("__pid").orderBy(order: _*)
     // SQL NTILE: rows 1..r*(q+1) fill the first r = n%k buckets of size

@@ -124,8 +124,8 @@ object ExtQueries {
         .crossJoin(broadcast(n))
         .withColumn("w", expr("(n_docs * 1000000) DIV df"))
         .groupBy("doc_id").agg(sum(col("tf") * col("w")).cast("long").as("score"))
-      val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      graft.ops.Ranking.topKRanked(scored,
+          Seq("score" -> true, "doc_id" -> false), 10)
         .select(col("rank"), col("doc_id"), col("score"))
         .orderBy("rank")
     }),
@@ -228,12 +228,18 @@ object ExtQueries {
     }),
 
     // percent_rank / cume_dist over a global order (analytic rank family).
+    // The (s_acctbal, s_suppkey) order is total (no ties), so
+    // rank = row_number = a distributed prefix count and
+    // percent_rank = (rank−1)/(n−1), cume_dist = rank/n — full parallelism
+    // where a bare Window.orderBy would single-partition the table.
     "q_w9_percent_rank" -> ((s, d) => {
-      val w = Window.orderBy(col("s_acctbal"), col("s_suppkey"))
-      Tables(s, d, "supplier")
+      val sup = Tables(s, d, "supplier").select("s_suppkey", "s_acctbal")
+      val ranked = graft.ops.Prefix.runningSum(sup,
+        Seq(col("s_acctbal"), col("s_suppkey")), lit(1L), "__rk")
+      ranked.crossJoin(broadcast(sup.agg(count(lit(1)).as("__n"))))
         .select(col("s_suppkey"), col("s_acctbal"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+          ((col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double")).as("pr"),
+          (col("__rk").cast("double") / col("__n").cast("double")).as("cd"))
         .orderBy("s_suppkey")
     }),
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.Num.{davg, dstddevSamp, dsum, dsum12}
+import graft.ops.Num.{davg, dstddevSamp, dsum}
 import graft.ops.Temporal
 import graft.text.{Retrieval, TextOps}
 
@@ -21,14 +21,21 @@ object PipeQueries {
   private val Bm25Terms = Seq("spark", "merge", "window")
 
   /** Deterministic synthetic PII suffix (the corpus itself is clean, so
-    * both engines append the same fake email/IP/phone/account before
-    * redacting — the redaction path is what's under test). */
+    * both engines append the same fake email/IP/phones/account before
+    * redacting — the redaction path is what's under test). Covers every
+    * phone shape in TextOps.PiiPatterns: dashed, parenthesized area code,
+    * and +country-prefixed. */
   private def piiAugmented = concat(
     col("text"),
     lit(" u"), col("doc_id").cast("string"),
     lit("@ex.com ip 10.1."), (col("doc_id") % 256).cast("string"),
     lit(".7 tel 010-"), (col("doc_id") % 9000 + 1000).cast("string"),
     lit("-"), ((col("doc_id") * 7) % 9000 + 1000).cast("string"),
+    lit(" ofc (0"), (col("doc_id") % 90 + 10).cast("string"),
+    lit(") "), (col("doc_id") % 9000 + 1000).cast("string"),
+    lit("-"), ((col("doc_id") * 3) % 9000 + 1000).cast("string"),
+    lit(" intl +82 10-"), ((col("doc_id") * 11) % 9000 + 1000).cast("string"),
+    lit("-"), ((col("doc_id") * 13) % 9000 + 1000).cast("string"),
     lit(" acct "), (col("doc_id") + 10000000).cast("string"))
 
   private val piiAugmentedSql =
@@ -36,6 +43,11 @@ object PipeQueries {
       | '@ex.com ip 10.1.' || CAST(doc_id % 256 AS VARCHAR) ||
       | '.7 tel 010-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ||
       | '-' || CAST((doc_id * 7) % 9000 + 1000 AS VARCHAR) ||
+      | ' ofc (0' || CAST(doc_id % 90 + 10 AS VARCHAR) ||
+      | ') ' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ||
+      | '-' || CAST((doc_id * 3) % 9000 + 1000 AS VARCHAR) ||
+      | ' intl +82 10-' || CAST((doc_id * 11) % 9000 + 1000 AS VARCHAR) ||
+      | '-' || CAST((doc_id * 13) % 9000 + 1000 AS VARCHAR) ||
       | ' acct ' || CAST(doc_id + 10000000 AS VARCHAR))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -56,8 +68,12 @@ object PipeQueries {
     }),
 
     // Gopher-style repetition filter: duplicate 3-gram fraction per doc,
-    // flagged over 0.5, summarized per source (exact counts + decimal-
-    // accumulated mean so the double mean is order-independent).
+    // flagged over 0.5, summarized per source. The mean accumulates
+    // PRE-QUANTIZED integers — floor(dup_frac·1e12 + 0.5) is the same IEEE
+    // ops on both engines, so no fractional decimal ever reaches a
+    // double→decimal cast (dyadic fractions like 1/8192 scale to an exact
+    // .5 at 1e-12 and would re-enter the cross-engine decimal tie-break
+    // divergence the q_v_centroids fix documents).
     "q_x_repetition" -> ((s, d) =>
       Tables(s, d, "documents")
         .select(col("source"),
@@ -65,7 +81,9 @@ object PipeQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("dup_frac") > 0.5, 1L).otherwise(0L)).as("n_flagged"),
-          (dsum12(col("dup_frac")) / count(lit(1))).as("mean_dup_frac"))
+          ((sum(floor(col("dup_frac") * 1e12 + 0.5)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / 1e12) / count(lit(1))).as("mean_dup_frac"))
         .orderBy("source")),
 
     // Eval-set decontamination: distinct 5-gram overlap of every train doc
@@ -77,8 +95,9 @@ object PipeQueries {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 5)
-      val w = Window.orderBy(col("n_contaminated").desc, col("doc_id").asc)
-      contam.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      // TakeOrdered top-10 + self-join rank — never a global-sort window
+      graft.ops.Ranking.topKRanked(contam,
+          Seq("n_contaminated" -> true, "doc_id" -> false), 10)
         .select(col("rank"), col("doc_id"), col("n_ngrams"),
           col("n_contaminated"), col("contamination"))
         .orderBy("rank")
@@ -89,8 +108,8 @@ object PipeQueries {
     "q_x_bm25" -> ((s, d) => {
       val scored = Retrieval.bm25(Tables(s, d, "documents"),
         "doc_id", "text", Bm25Terms)
-      val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      graft.ops.Ranking.topKRanked(scored,
+          Seq("score" -> true, "doc_id" -> false), 10)
         .select(col("rank"), col("doc_id"), col("score"))
         .orderBy("rank")
     }),
@@ -252,8 +271,11 @@ object PipeQueries {
       val b = l.toDF("ok", "part_b")
       val pairs = a.join(b, Seq("ok")).filter(col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b").agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(col("n").desc, col("part_a").asc, col("part_b").asc)
-      pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      // top-10 of the full pair relation via TakeOrdered (per-partition
+      // top-k + driver merge), NOT a row_number window that would funnel
+      // every pair through one task
+      graft.ops.Ranking.topKRanked(pairs,
+          Seq("n" -> true, "part_a" -> false, "part_b" -> false), 10)
         .select("rank", "part_a", "part_b", "n")
         .orderBy("rank")
     }),
@@ -333,22 +355,25 @@ object PipeQueries {
 
     // Precision/recall curve points (top-50 thresholds): cumulative
     // confusion counts over the per-DISTINCT-SCORE relation, descending —
-    // the threshold sweep behind average-precision / PR-AUC, computed on
-    // compacted counts (never a window over raw rows).
+    // the threshold sweep behind average-precision / PR-AUC. The top-50
+    // distinct scores come from TakeOrdered; their cumulative counts and
+    // ranks come from a broadcast self-join over those 50 rows (every
+    // score above a top-50 score is itself in the top 50, so the join sees
+    // the full cumulative history) — no global-sort window anywhere.
     "q_t_pr_curve" -> ((s, d) => {
       val e = Tables(s, d, "events")
         .select(col("value").as("score"),
           (col("event_type") === "purchase").cast("long").as("label"))
       val byScore = e.groupBy("score")
         .agg(count(lit(1)).as("n"), sum("label").as("pos"))
-      val w = Window.orderBy(col("score").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val totals = e.agg(sum("label").as("p_total"))
-      byScore
-        .withColumn("cum_tp", sum("pos").over(w))
-        .withColumn("cum_n", sum("n").over(w))
-        .withColumn("rank", row_number().over(Window.orderBy(col("score").desc)))
-        .filter(col("rank") <= 50)
+      val top = byScore.orderBy(col("score").desc).limit(50)
+      val b = top.select(col("score").as("__s2"), col("n").as("__n2"),
+        col("pos").as("__p2"))
+      top.join(broadcast(b), col("__s2") >= col("score"))
+        .groupBy("score")
+        .agg(sum("__p2").as("cum_tp"), sum("__n2").as("cum_n"),
+          (count(when(col("__s2") > col("score"), 1)) + 1).cast("int").as("rank"))
         .crossJoin(broadcast(totals))
         .select(col("rank"), col("score"),
           (col("cum_tp").cast("double") / col("cum_n").cast("double")).as("precision"),
@@ -405,8 +430,8 @@ object PipeQueries {
          |  FROM sh)
          |SELECT source, COUNT(*) AS n_docs,
          | CAST(SUM(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-         | CAST(SUM(CAST(dup_frac AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
-         |   AS mean_dup_frac
+         | (CAST(SUM(CAST(floor(dup_frac * 1e12 + 0.5) AS DECIMAL(38,0)))
+         |    AS DOUBLE) / 1e12) / COUNT(*) AS mean_dup_frac
          |FROM f GROUP BY source ORDER BY source""".stripMargin
     },
 
@@ -508,8 +533,13 @@ object PipeQueries {
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q_s_retention" ->
+      // floor(x / 7.0), NOT integer '//': DuckDB's integer division
+      // truncates toward zero while the engine's floor(day/7) floors, so
+      // the two diverge on any pre-2024 timestamp (-3 // 7 = 0 vs -1);
+      // the double division is exact-parity at these magnitudes
       """WITH e AS (SELECT user_id,
-        |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+        |  CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |    / 7.0) AS BIGINT) AS week
         |  FROM events),
         |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id)
         |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
@@ -519,8 +549,12 @@ object PipeQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_s_gapfill" ->
+      // floor(x / w), NOT integer '//' (truncates toward zero): matches the
+      // engine's floor(unix_micros/width) for pre-1970 timestamps too.
+      // Exact: epoch micros < 2^53, so the double division is bit-parity.
       """WITH e AS (SELECT event_type,
-        |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket, value
+        |  CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)
+        |    AS bucket, value
         |  FROM events WHERE event_type IN ('signup', 'purchase')),
         |agg AS (SELECT event_type, bucket, COUNT(*) AS n,
         |  SUM(CAST(value AS DECIMAL(30,6))) AS s

@@ -236,13 +236,18 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     // Deterministic "sample": smallest nCentroids md5(vec_id) values, via
     // orderBy+limit (executes as TakeOrdered — per-partition top-N + driver
-    // merge, never a single-partition sort of the corpus). The row_number
-    // window then runs over nCentroids rows only.
+    // merge, never a single-partition sort of the corpus). Centroid ids
+    // come from a broadcast self-join rank over the nCentroids-row result
+    // (md5 keys are unique), keeping even this tiny step window-free.
     val picked = corpus
       .select(md5(col(idCol).cast("string")).as("__h"), col(vecCol).as("centroid"))
       .orderBy(col("__h")).limit(nCentroids)
     val centroids = picked
-      .withColumn("centroid_id", row_number().over(Window.orderBy(col("__h"))))
+      .join(broadcast(picked.select(col("__h").as("__h2"))),
+        col("__h2") < col("__h"), "left")
+      .groupBy("__h")
+      .agg(first("centroid").as("centroid"),
+        (count(col("__h2")) + 1).cast("int").as("centroid_id"))
       .select(col("centroid_id"), col("centroid"))
     val assigned = corpus.crossJoin(broadcast(centroids))
       .withColumn("__d", cosine(col(vecCol), col("centroid")))

@@ -1,7 +1,6 @@
 package graft.stats
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Num._
 
@@ -10,61 +9,36 @@ import graft.ops.Num._
   *
   * Scale design: ranks are computed on the per-DISTINCT-VALUE relation
   * (groupBy value → counts), and the cumulative count that turns counts
-  * into midranks is a DISTRIBUTED prefix sum — range-partition the
-  * distinct values, per-partition cumulative windows in parallel, and
-  * only the ~numPartitions bucket totals visit the driver for the offset
-  * scan. No single-partition global window anywhere: a high-cardinality
-  * column (every value distinct) ranks at full parallelism. Midranks
-  * (average ranks for ties) come out exactly right by construction —
-  * integer arithmetic, independent of the bucketing.
+  * into midranks is a DISTRIBUTED prefix sum (ops.Prefix) — range-
+  * partition the distinct values, per-partition cumulative windows in
+  * parallel, bucket offsets from a broadcast self-join over the
+  * ~numPartitions totals. No single-partition global window anywhere: a
+  * high-cardinality column (every value distinct) ranks at full
+  * parallelism. Midranks (average ranks for ties) come out exactly right
+  * by construction — integer arithmetic, independent of the bucketing.
   */
 object Ranks {
 
   /** Per distinct value of `v`: `cnt` and 1-based midrank `avg_rank`,
     * plus caller-supplied extra aggregates (e.g. positives per value).
     *
-    * Default path: one cumulative window over the DISTINCT-VALUE relation
-    * (already the compacted form — the raw rows never sort globally).
-    * That window is single-partition; it is the right call while distinct
-    * cardinality fits one task's sort (measured: faster than the
-    * distributed variant up to at least 6×10⁵ distinct values, because
-    * `repartitionByRange` costs a bounds-sampling pass + an extra
-    * shuffle). Pass `distributed = true` when the distinct-value relation
-    * itself is cluster-scale: range-partitioned parallel prefix sums with
-    * in-plan bucket offsets, bit-identical results (GraphExtSpec). */
-  def byValue(df: DataFrame, v: String, extraAggs: Seq[Column] = Nil,
-              distributed: Boolean = false): DataFrame = {
+    * The cumulative count that turns per-value counts into midranks is a
+    * distributed prefix sum ([[graft.ops.Prefix.runningSums]]): range-
+    * partitioned parallel windows plus broadcast bucket offsets — there is
+    * no single-partition path anymore, because a high-cardinality column
+    * (every value distinct) must rank at full parallelism, and a default
+    * anyone can forget to flip is exactly how a 6×10⁵-distinct rank ends
+    * up sorting in one task (round-3 lesson: q_t8_spearman). Midranks
+    * (average ranks for ties) are exact integer arithmetic, independent of
+    * the bucketing; StatsSpec pins single-window parity. */
+  def byValue(df: DataFrame, v: String, extraAggs: Seq[Column] = Nil): DataFrame = {
     val counts = df.filter(col(v).isNotNull)
       .groupBy(col(v))
       .agg(count(lit(1)).as("cnt"), extraAggs: _*)
-    if (!distributed) {
-      val w = Window.orderBy(col(v)).rowsBetween(Window.unboundedPreceding, -1)
-      counts.withColumn(
-        "avg_rank",
-        coalesce(sum("cnt").over(w), lit(0L)).cast("double") + (col("cnt") + lit(1)) / 2.0)
-    } else {
-      val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
-      val ranged = counts.repartitionByRange(nBuckets, col(v))
-        .withColumn("__pid", spark_partition_id())
-        // persist pins ONE range partitioning (bounds sampling is seeded
-        // by RDD id — re-evaluation may bucket rows differently)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // bucket-start offsets IN-PLAN: the per-bucket totals relation is
-      // ~numPartitions rows, so a prefix window over it is trivial (no
-      // driver action — the whole rank computation is one lazy DAG)
-      val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-      val offDf = ranged.groupBy("__pid").agg(sum("cnt").as("__tot"))
-        .withColumn("__off", coalesce(sum("__tot").over(offW), lit(0L)))
-        .drop("__tot")
-      val w = Window.partitionBy("__pid").orderBy(col(v))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ranged.join(broadcast(offDf), Seq("__pid"))
-        .withColumn(
-          "avg_rank",
-          (coalesce(sum("cnt").over(w), lit(0L)) + col("__off")).cast("double") +
-            (col("cnt") + lit(1)) / 2.0)
-        .drop("__pid", "__off")
-    }
+    graft.ops.Prefix.runningSums(counts, Seq(col(v)), Seq(col("cnt") -> "__cum"))
+      .withColumn("avg_rank",
+        (col("__cum") - col("cnt")).cast("double") + (col("cnt") + lit(1)) / 2.0)
+      .drop("__cum")
   }
 
   /** Tie-correction term Σ(τ³−τ) over tie groups of `v`. */
@@ -361,11 +335,11 @@ object Tests {
   /** Two-sample Kolmogorov-Smirnov statistic (distribution drift between
     * two groups — the train/test-shift check of
     * experiments/train_test_comparison.py done exactly):
-    * D = max_v |F1(v) − F2(v)|. One cumulative window over the
-    * DISTINCT-VALUE relation; the max runs over |f1·n2 − f2·n1| in exact
-    * integer (decimal) space, and only the O(1) final division touches
-    * floating point — engine-independent to the last bit while
-    * n1·n2 < 2^53. */
+    * D = max_v |F1(v) − F2(v)|. The two cumulative counts are distributed
+    * prefix sums over the DISTINCT-VALUE relation (no global-sort window);
+    * the max runs over |f1·n2 − f2·n1| in exact integer (decimal) space,
+    * and only the O(1) final division touches floating point —
+    * engine-independent to the last bit while n1·n2 < 2^53. */
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
              g1: String, g2: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -374,13 +348,15 @@ object Tests {
         when(col(groupCol) === g1, 1L).otherwise(0L).as("__i1"))
     val counts = pool.groupBy("__v")
       .agg(count(lit(1)).as("cnt"), sum("__i1").as("c1"))
-    val w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy() // totals over the distinct-value relation
-    val cum = counts.select(
-      sum("c1").over(w).cast(dec).as("f1"),
-      sum(col("cnt") - col("c1")).over(w).cast(dec).as("f2"),
-      sum("c1").over(wAll).cast(dec).as("n1"),
-      sum(col("cnt") - col("c1")).over(wAll).cast(dec).as("n2"))
+      .withColumn("c2", col("cnt") - col("c1"))
+    val totals = counts.agg(
+      sum("c1").cast(dec).as("n1"), sum("c2").cast(dec).as("n2"))
+    val cum = graft.ops.Prefix
+      .runningSums(counts, Seq(col("__v")),
+        Seq(col("c1") -> "__f1", col("c2") -> "__f2"))
+      .crossJoin(broadcast(totals))
+      .select(col("__f1").cast(dec).as("f1"), col("__f2").cast(dec).as("f2"),
+        col("n1"), col("n2"))
     cum.agg(
       max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("__d"),
       max("n1").as("__n1"), max("n2").as("__n2"))

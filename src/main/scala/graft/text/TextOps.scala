@@ -424,12 +424,19 @@ object TextOps {
 
   /** PII redaction patterns (RE2-compatible — no lookarounds — so the
     * DuckDB oracle applies the IDENTICAL regex text). Order matters:
-    * emails first (their local parts can contain digits), then IPv4, then
-    * phone-shaped digit groups, then any remaining long digit run. */
+    * emails first (their local parts can contain digits), then IPv4
+    * (before the dot-separated phone shapes, so address octets never read
+    * as phone groups), then the phone family — +country-prefixed,
+    * parenthesized area code, and plain 3-group numbers with dash/dot/
+    * space separators — then any remaining long digit run. A heuristic
+    * corpus scrub, not a certified PII pass: formats outside these shapes
+    * (letter-encoded numbers, spelled-out digits) pass through. */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
-    "[0-9]{2,4}-[0-9]{3,4}-[0-9]{4}" -> "<PHONE>",
+    "\\+[0-9]{1,3}[ .-][0-9]{1,4}[ .-]?[0-9]{3,4}[ .-]?[0-9]{3,4}" -> "<PHONE>",
+    "\\([0-9]{2,4}\\)[ .-]?[0-9]{3,4}[ .-]?[0-9]{4}" -> "<PHONE>",
+    "[0-9]{2,4}[ .-][0-9]{3,4}[ .-][0-9]{4}" -> "<PHONE>",
     "[0-9]{8,}" -> "<NUM>")
 
   /** Scrub PII from a text column (the pre-training privacy pass):

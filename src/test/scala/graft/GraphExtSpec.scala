@@ -62,13 +62,20 @@ class GraphExtSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("distributed byValue midranks match the single-window path exactly") {
+  test("distributed byValue midranks match a single-window oracle exactly") {
     import graft.stats.Ranks
+    import org.apache.spark.sql.expressions.Window
     // 5000 distinct values spread over every range bucket, plus ties
     val df = ((1 to 5000).map(_.toLong) ++ Seq(17L, 17L, 42L)).toDF("v")
-    val simple = Ranks.byValue(df, "v")
+    // oracle: the classic one-window midrank over the distinct-value
+    // relation (test-only — the engine path must never single-partition)
+    val counts = df.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val simple = counts.withColumn("avg_rank",
+        coalesce(sum("cnt").over(w), lit(0L)).cast("double") +
+          (col("cnt") + lit(1)) / 2.0)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val dist = Ranks.byValue(df, "v", distributed = true)
+    val dist = Ranks.byValue(df, "v")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(dist == simple)
     // midrank sum over all rows (cnt * avg_rank) must equal n(n+1)/2

