@@ -36,6 +36,25 @@ object Ensemble {
   def geometricMean(ps: Seq[Column], eps: Double = 1e-10): Column =
     exp(ps.map(p => log(Cleaning.clip(p, eps, 1 - eps))).reduce(_ + _) / ps.size)
 
+  /** E4, engine-exact form — the geometric-mean statistic with NO libm in
+    * the path: each clipped probability quantizes to the 1e-6 integer grid
+    * (floor(p·1e6 + 0.5) is the same IEEE multiply/add/floor on any
+    * engine), and the result is the exact integer product Π aᵢ. That
+    * product is a strictly monotone transform of the geometric mean
+    * (gmean = (Πaᵢ)^(1/k) / 1e6), so every ranking / argmax / threshold
+    * decision built on it is identical to [[geometricMean]]'s up to the
+    * 1e-6 quantization — while the value is bit-reproducible across
+    * engines, which log/exp (libm-dependent, measured 1-ulp divergence on
+    * 11% of rows vs DuckDB) is not. k ≤ 3 keeps the product < 1e18 in
+    * long range. Edge: probabilities below 0.5e-6 quantize to a ZERO
+    * factor (the grid's resolution floor) — clip with a larger eps if
+    * sub-grid probabilities must stay ranked. */
+  def geometricMeanScaled(ps: Seq[Column], eps: Double = 1e-10): Column = {
+    require(ps.size <= 3, "product of 1e6-scaled values exceeds long range")
+    ps.map(p => floor(Cleaning.clip(p, eps, 1 - eps) * 1e6 + 0.5).cast("long"))
+      .reduce(_ * _)
+  }
+
   /** E5 — harmonic mean. Ref: alternative.py:215-220. */
   def harmonicMean(ps: Seq[Column], eps: Double = 1e-10): Column =
     lit(ps.size.toDouble) /

@@ -125,10 +125,15 @@ object MlQueries {
         Ensemble.sequentialBlend(Seq(col("p1"), col("p2"), col("p3")), 0.3).as("seq_blend"))
         .orderBy("event_id")),
 
-    // E4 — geometric mean (log/exp are libm-dependent → rows-only check).
+    // E4 — geometric mean in its integer-scaled log-free form (the BM25/
+    // TF-IDF trick): the exact 1e-6-grid product is a strictly monotone
+    // transform of the geometric mean, bit-reproducible on any engine —
+    // unlike exp(mean(log)) whose libm drift forced a rows-only check in
+    // round 3. EnsembleSpec ties this form back to the log/exp operator.
     "q_e_geometric" -> ((s, d) =>
       preds(s, d).select(col("event_id"),
-        Ensemble.geometricMean(Seq(col("p1"), col("p2"), col("p3"))).as("gmean"))
+        Ensemble.geometricMeanScaled(Seq(col("p1"), col("p2"), col("p3")))
+          .as("gmean_prod_e6"))
         .orderBy("event_id")),
 
     // E11 — hard majority vote (ties → smallest label).
@@ -292,6 +297,15 @@ object MlQueries {
          | list_sort([p1, p2, p3])[2] AS med3,
          | LEAST(GREATEST(LEAST(GREATEST(p1 * (1 - 0.3) + p2 * 0.3, 1e-10), 1 - 1e-10)
          |   * (1 - 0.3) + p3 * 0.3, 1e-10), 1 - 1e-10) AS seq_blend
+         |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_e_geometric" ->
+      s"""WITH p AS ($predsSql)
+         |SELECT event_id,
+         | CAST(floor(LEAST(GREATEST(p1, 1e-10), 1 - 1e-10) * 1e6 + 0.5) AS BIGINT)
+         | * CAST(floor(LEAST(GREATEST(p2, 1e-10), 1 - 1e-10) * 1e6 + 0.5) AS BIGINT)
+         | * CAST(floor(LEAST(GREATEST(p3, 1e-10), 1 - 1e-10) * 1e6 + 0.5) AS BIGINT)
+         |   AS gmean_prod_e6
          |FROM p ORDER BY event_id""".stripMargin,
 
     "q_e_hard_vote" ->

@@ -121,4 +121,28 @@ class SplitPrepSpec extends AnyFunSuite {
     val gm = df.select(Ensemble.geometricMean(Seq(col("p2"), col("p2")))).head.getDouble(0)
     assert(math.abs(gm - 0.5) < 1e-9)
   }
+
+  test("geometricMeanScaled is the 1e-6-grid monotone form of geometricMean") {
+    val df = Seq((0.2, 0.5, 0.4), (0.9, 0.125, 0.7), (0.011, 0.3, 0.999))
+      .toDF("p1", "p2", "p3")
+    val ps = Seq(col("p1"), col("p2"), col("p3"))
+    val rows = df.select(
+      Ensemble.geometricMean(ps).as("g"),
+      Ensemble.geometricMeanScaled(ps).as("s")).collect()
+    for (r <- rows) {
+      // (prod/1e18)^(1/3) recovers the geometric mean up to the per-factor
+      // 0.5e-6 quantization (relative ≤ ~5e-5 for probabilities ≥ 0.01)
+      val back = math.cbrt(r.getLong(1) / 1e18)
+      assert(math.abs(back - r.getDouble(0)) / r.getDouble(0) < 1e-3,
+        s"scaled form drifted: $back vs ${r.getDouble(0)}")
+    }
+    // monotone: ordering by the product matches ordering by the mean
+    val byG = rows.sortBy(_.getDouble(0)).map(_.getLong(1)).toSeq
+    assert(byG == byG.sorted)
+    // probabilities below the grid resolution quantize to a zero factor —
+    // the documented edge of the 1e-6 fixed-point form
+    val tiny = Seq((1e-12, 0.3, 0.999)).toDF("p1", "p2", "p3")
+      .select(Ensemble.geometricMeanScaled(ps)).head.getLong(0)
+    assert(tiny == 0L)
+  }
 }
