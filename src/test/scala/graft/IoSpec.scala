@@ -70,4 +70,50 @@ class IoSpec extends AnyFunSuite {
     assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(back.map(_.getDouble(1)).toSeq == Seq(0.25, 0.75))
   }
+
+  test("xlsx round-trip: write → read preserves cells incl. markup + 한글 (S3/S8)") {
+    import spark.implicits._
+    import graft.io.Xlsx
+    val out = Files.createTempDirectory("graft_xlsx").toString + "/codebook.xlsx"
+    val src = Seq(
+      ("age", "numeric", "", "0"),
+      ("smokes", "category", "1:yes | 8:비해당 | 9:모름", "0"),
+      ("note", "object", "a<b & \"c\">d", "1"),
+      ("gap", "numeric", null, "0")).toDF(
+      "variable", "data_type", "option_description", "drop_col")
+    Xlsx.write(src, out)
+    val back = Xlsx.read(spark, out)
+    assert(back.columns.toSeq ==
+      Seq("variable", "data_type", "option_description", "drop_col"))
+    val rows = back.orderBy("variable").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("age", ""), ("gap", null), ("note", "a<b & \"c\">d"),
+      ("smokes", "1:yes | 8:비해당 | 9:모름")))
+    assert(Xlsx.colIndex("A1") == 0 && Xlsx.colIndex("Z9") == 25 &&
+      Xlsx.colIndex("AA3") == 26 && Xlsx.colRef(27) == "AB")
+  }
+
+  test("the EP1 codebook path runs off a real xlsx artifact (S3 → M8/P10)") {
+    import spark.implicits._
+    import graft.io.Xlsx
+    import graft.meta.Codebook
+    val out = Files.createTempDirectory("graft_xlsx2").toString + "/meta.xlsx"
+    Xlsx.write(Seq(
+      ("age", "numeric", "", "0"),
+      ("smokes", "category", "1:yes | 2:no | 8:비해당 | 9:모름", "0"),
+      ("weight_var", "numeric", "", "1")).toDF(
+      "variable", "data_type", "option_description", "drop_col"), out)
+    val vars = Codebook.fromDataFrame(Xlsx.read(spark, out))
+    val smokes = vars.find(_.name == "smokes").get
+    assert(smokes.naCodes == Seq(8.0) && smokes.dkCodes == Seq(9.0))
+    assert(vars.find(_.name == "weight_var").get.drop)
+    val data = Seq((30.0, 1.0, 7.0), (40.0, 8.0, 7.0), (50.0, 9.0, 7.0))
+      .toDF("age", "smokes", "weight_var")
+    val cleaned = Codebook.applyCleaning(data, vars)
+    assert(!cleaned.columns.contains("weight_var"))
+    val smokesVals = cleaned.select("smokes").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(smokesVals.toSeq == Seq(Some(1.0), Some(-1.0), None))
+  }
 }
