@@ -139,6 +139,38 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("runningSums computes every column in one pass, equal to folds") {
+    val xs = sampled(Gen.listOfN(800, Gen.zip(
+      Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 9L))), seed = 41L)
+      .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+    def fold(sel: ((Long, Long, Long)) => Long): Map[Long, Long] =
+      xs.sortBy(_._1).scanLeft((-1L, 0L)) {
+        case ((_, acc), t) => (t._1, acc + sel(t))
+      }.drop(1).toMap
+    val got = graft.ops.Prefix.runningSums(
+      xs.toDF("id", "a", "b"), Seq(col("id")),
+      Seq(col("a") -> "ca", col("b") -> "cb"))
+      .collect().map(r => (r.getLong(0), (r.getLong(3), r.getLong(4)))).toMap
+    assert(got.view.mapValues(_._1).toMap == fold(_._2))
+    assert(got.view.mapValues(_._2).toMap == fold(_._3))
+  }
+
+  test("topKRanked equals the global row_number window on random relations") {
+    import org.apache.spark.sql.expressions.Window
+    val xs = sampled(Gen.listOfN(500, Gen.chooseNum(0L, 120L)), seed = 43L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = xs.toDF("id", "v").repartition(7)
+    for (k <- Seq(1, 10, 600)) { // k > n exercises the short-relation edge
+      val got = Ranking.topKRanked(df, Seq("v" -> true, "id" -> false), k)
+        .collect().map(r => (r.getInt(2), r.getLong(0), r.getLong(1))).sorted
+      val w = Window.orderBy(col("v").desc, col("id").asc)
+      val expected = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .collect().map(r => (r.getInt(2), r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == expected.toSeq, s"k=$k")
+    }
+  }
+
   test("triangleCount equals a brute-force reference on random graphs") {
     def bruteTriangles(edges: Seq[(Long, Long)]): Long = {
       val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
