@@ -71,9 +71,11 @@ object Extras {
     * offsets computed by a broadcast self-join over the 256 bucket-count
     * rows (graft.ops.Prefix.bucketOffsets — bounded by construction). The
     * bucket is a PREFIX of the order key, so bucket order is consistent
-    * with the global order. Adds `rankCol`; `__h` is the order key. */
-  private def hashRank(df: DataFrame, keyCol: String, seed: Int,
-                       rankCol: String): DataFrame = {
+    * with the global order. Adds `rankCol`; `__h` is the order key.
+    * Public surface: the deterministic epoch-shuffle position every
+    * training-data pipeline needs (oracle: row_number over md5(seed:key)). */
+  def hashRank(df: DataFrame, keyCol: String, seed: Int,
+               rankCol: String): DataFrame = {
     val bucketed = df
       .withColumn("__h", Split.hashKey(col(keyCol), seed))
       .withColumn("__b", substring(col("__h"), 1, 2))

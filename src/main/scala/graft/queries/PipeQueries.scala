@@ -20,6 +20,10 @@ object PipeQueries {
   /** BM25 query terms with deliberately different document frequencies. */
   private val Bm25Terms = Seq("spark", "merge", "window")
 
+  /** Target language mixture for the domain-reweighting plan. */
+  private val MixtureTargets = Seq(
+    ("de", 0.15), ("en", 0.5), ("es", 0.15), ("fr", 0.1), ("zh", 0.1))
+
   /** Deterministic synthetic PII suffix (the corpus itself is clean, so
     * both engines append the same fake email/IP/phones/account before
     * redacting — the redaction path is what's under test). Covers every
@@ -381,6 +385,67 @@ object PipeQueries {
         .orderBy("rank")
     }),
 
+    // Quality-weighted deterministic sampling: keep a doc with probability
+    // ∝ its alpha-ratio quality weight, decided by comparing a 32-bit
+    // md5-derived uniform against floor(w·2³²) — no RNG state, identical
+    // keep-set on any engine/cluster size, stratified report per source.
+    // The shape of every "sample the corpus down, biased toward quality"
+    // stage in a pretraining data pipeline.
+    "q_x_weighted_sample" -> ((s, d) => {
+      val uInt = conv(substring(
+        graft.ml.Split.hashKey(col("doc_id"), 17), 1, 8), 16, 10).cast("long")
+      val w = TextOps.alphaRatio(col("text"))
+      Tables(s, d, "documents")
+        .select(col("source"), col("text"),
+          (uInt < floor(w * 4294967296.0).cast("long")).cast("int").as("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("keep")).cast("long").as("n_kept"),
+          sum(when(col("keep") === 1,
+            TextOps.tokenCount(col("text")).cast("long")).otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy("source")
+    }),
+
+    // Data-mixture plan (domain reweighting): per-language token counts
+    // vs a target mixture → per-language sampling rate
+    // min(1, target·T_total/T_lang) and the planned token budget. The
+    // static DoReMi-style rebalancing computation; exact integer token
+    // sums, one double division at the end (bit-identical cross-engine).
+    "q_x_mixture_plan" -> ((s, d) => {
+      import s.implicits._
+      val perLang = Tables(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
+      val total = perLang.agg(sum("tokens").as("total_tokens"))
+      val targets = MixtureTargets.toDF("lang", "target_share")
+      val rate = least(lit(1.0), col("target_share")
+        * col("total_tokens").cast("double") / col("tokens").cast("double"))
+      perLang.join(broadcast(targets), Seq("lang"))
+        .crossJoin(broadcast(total))
+        .withColumn("rate", rate)
+        .withColumn("planned_tokens",
+          floor(col("rate") * col("tokens").cast("double")).cast("long"))
+        .select("lang", "n_docs", "tokens", "target_share", "rate",
+          "planned_tokens")
+        .orderBy("lang")
+    }),
+
+    // Deterministic epoch shuffle: every doc's global permutation position
+    // (row_number over md5(seed:id)) via the 256-bucket distributed rank —
+    // shard assignment and per-shard balance summarized. The reproducible
+    // global shuffle a training run needs WITHOUT a single-partition sort.
+    "q_x_epoch_shuffle" -> ((s, d) => {
+      val ranked = graft.ml.Extras.hashRank(
+        Tables(s, d, "documents").select("doc_id"), "doc_id", seed = 5, "pos")
+      ranked.withColumn("shard", ((col("pos") - 1) % 8).cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"), sum("doc_id").cast("long").as("id_sum"),
+          min("pos").cast("long").as("first_pos"),
+          max("pos").cast("long").as("last_pos"))
+        .orderBy("shard")
+    }),
+
     // Equi-width histogram of order prices: bucket arithmetic in exact
     // integer cents (no float division at bin edges), bounds from one tiny
     // broadcast aggregate — two passes, no driver round-trip.
@@ -696,6 +761,58 @@ object PipeQueries {
         | CAST(cum_tp AS DOUBLE) / CAST(cum_n AS DOUBLE) AS precision,
         | CAST(cum_tp AS DOUBLE) / CAST(p_total AS DOUBLE) AS recall
         |FROM c, t WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_x_weighted_sample" -> {
+      // 8-hex md5 prefix → integer via nibble positional sum (exact:
+      // < 16^8 = 2^32 fits BIGINT), mirroring conv(md5[1:8], 16, 10)
+      val nibbleSum = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT source, text,
+         |  ${hashKey("doc_id", 17)} AS h,
+         |  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |    / CAST(length(text) AS DOUBLE) AS w
+         |  FROM documents),
+         |k AS (SELECT source, text,
+         |  CASE WHEN ($nibbleSum) < CAST(floor(w * 4294967296.0) AS BIGINT)
+         |    THEN 1 ELSE 0 END AS keep
+         |  FROM t)
+         |SELECT source, COUNT(*) AS n_total,
+         | CAST(SUM(keep) AS BIGINT) AS n_kept,
+         | CAST(SUM(CASE WHEN keep = 1
+         |   THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END)
+         |   AS BIGINT) AS kept_tokens
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q_x_mixture_plan" -> {
+      val vals = MixtureTargets
+        .map { case (l, s) => s"('$l', $s)" }.mkString(", ")
+      s"""WITH pl AS (SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         |    AS tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM pl),
+         |tg AS (SELECT lang, CAST(target_share AS DOUBLE) AS target_share
+         |  FROM (VALUES $vals) v(lang, target_share))
+         |SELECT pl.lang, n_docs, tokens, target_share,
+         | LEAST(1.0, target_share * CAST(total_tokens AS DOUBLE)
+         |   / CAST(tokens AS DOUBLE)) AS rate,
+         | CAST(floor(LEAST(1.0, target_share * CAST(total_tokens AS DOUBLE)
+         |   / CAST(tokens AS DOUBLE)) * CAST(tokens AS DOUBLE)) AS BIGINT)
+         |   AS planned_tokens
+         |FROM pl JOIN tg USING (lang), tot ORDER BY lang""".stripMargin
+    },
+
+    "q_x_epoch_shuffle" ->
+      s"""WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (
+         |    ORDER BY ${hashKey("doc_id", 5)}, doc_id) AS pos
+         |  FROM documents)
+         |SELECT CAST((pos - 1) % 8 AS INTEGER) AS shard, COUNT(*) AS n,
+         | CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+         | CAST(MIN(pos) AS BIGINT) AS first_pos,
+         | CAST(MAX(pos) AS BIGINT) AS last_pos
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_a_histogram" ->
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
