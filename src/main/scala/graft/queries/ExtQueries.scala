@@ -286,6 +286,74 @@ object ExtQueries {
         .orderBy("bucket")
     }),
 
+    // TPC-H Q5 shape (local supplier volume): a 6-table star with the
+    // region→nation dim chain broadcast into supplier, a composite-key
+    // customer join (custkey AND nationkey — "customer and supplier share
+    // a nation"), and grouped exact-decimal revenue.
+    "q_j_tpch_q5" -> ((s, d) => {
+      val asia = Tables(s, d, "region").filter(col("r_name") === "ASIA")
+      val nat = Tables(s, d, "nation")
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = Tables(s, d, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = Tables(s, d, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_custkey")
+      Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q10 shape (returned-item top customers): selective quarter +
+    // returnflag filter, broadcast nation dim, revenue per customer,
+    // top-20 via TakeOrdered.
+    "q_j_tpch_q10" -> ((s, d) => {
+      val ord = Tables(s, d, "orders")
+        .filter(col("o_orderdate") >= "1996-10-01" && col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_custkey")
+      val li = Tables(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val cust = Tables(s, d, "customer")
+        .join(broadcast(Tables(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): self-aggregated HAVING
+    // filter on the fact table, then the surviving order keys join back —
+    // the grouped-semi-join pattern; quantity sums exact-decimal so the
+    // HAVING threshold cuts identically on any engine.
+    "q_a_tpch_q18" -> ((s, d) => {
+      val big = Tables(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150.0)
+      Tables(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, d, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+          "o_totalprice", "sum_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Funnel analysis: signup → view → click → purchase by first-event
     // times per user, one aggregation pass (min-when per stage), stage
     // counts as one row.
@@ -472,6 +540,46 @@ object ExtQueries {
          | COUNT(DISTINCT token) AS n_tokens
          |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+
+    "q_j_tpch_q5" ->
+      s"""SELECT n_name,
+         | ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+         |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_j_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-10-01'
+         |  AND CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_a_tpch_q18" ->
+      s"""WITH big AS (SELECT l_orderkey,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${dsumSql("l_quantity")} > 150.0)
+         |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         | sum_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q_s_funnel" ->
       """WITH f AS (SELECT user_id,
