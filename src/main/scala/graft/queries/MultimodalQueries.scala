@@ -30,6 +30,19 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // REAL WAV round trip: synthesize an integer-exact PCM16 waveform per
+    // doc, encode it as genuine RIFF/WAVE bytes, decode with the chunk-
+    // walking parser, extract features. The oracle recomputes the same
+    // waveform in closed form — a header/byte-order/chunk bug anywhere in
+    // the codec corrupts samples and breaks the hash match.
+    "q_mm_wav_roundtrip" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").filter(col("doc_id") < 200)
+        .select("doc_id")
+      Multimodal.extractWavFeatures(
+        Multimodal.withSyntheticWav(docs, "doc_id"), "doc_id", "wav")
+        .toDF().orderBy("id")
+    }),
+
     // Stub decode → features (mapPartitions batch path). Oracle-checked:
     // the stub codec's hash is a 31-multiplier byte fold reproduced in SQL
     // via list_reduce, and resize/mean are plain integer arithmetic.
@@ -44,6 +57,31 @@ object MultimodalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_mm_wav_roundtrip" ->
+      // closed-form recomputation of the synthetic sawtooth
+      // s(i) = (((i·k + b) mod p)·2 − (p−1))·300 — verifying the engine's
+      // WAV encode→decode round trip without parsing any bytes here
+      """WITH par AS (SELECT doc_id AS id,
+        |  CAST(800 + (doc_id % 5) * 160 AS INTEGER) AS n,
+        |  CAST(doc_id % 7 + 2 AS INTEGER) AS k,
+        |  CAST(doc_id % 13 AS INTEGER) AS b,
+        |  CAST(20 + (doc_id % 30) AS INTEGER) AS p
+        |  FROM documents WHERE doc_id < 200),
+        |w AS (SELECT id, n,
+        |  list_transform(range(0, n),
+        |    i -> (((i * k + b) % p) * 2 - (p - 1)) * 300) AS s
+        |  FROM par)
+        |SELECT id, CAST(8000 AS INTEGER) AS sample_rate,
+        | CAST(n AS BIGINT) AS n_samples,
+        | CAST(n AS DOUBLE) / 8000 AS duration_s,
+        | CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+        | CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy,
+        | CAST(list_sum(list_transform(range(1, n),
+        |   i -> CASE WHEN (s[i] < 0 AND s[i + 1] >= 0)
+        |          OR (s[i] >= 0 AND s[i + 1] < 0) THEN 1 ELSE 0 END))
+        |   AS BIGINT) AS zero_crossings
+        |FROM w ORDER BY id""".stripMargin,
+
     "q_mm_frame_sample" ->
       // the fake media bytes are UTF-8 of ASCII text, so a VARCHAR
       // substring is byte-identical to the binary slice decoded back

@@ -63,4 +63,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.filterDecodable(feats, minSize = 2L).collect()
       .map(_.id).sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("WAV codec round-trips PCM16 exactly and tolerates extra chunks") {
+    import Multimodal.WavCodec
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val bytes = WavCodec.encode(samples, sampleRate = 8000)
+    // RIFF magic + declared lengths
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(bytes.length == 44 + samples.length * 2)
+    val wav = WavCodec.decode(bytes)
+    assert(wav.sampleRate == 8000 && wav.channels == 1 && wav.bitsPerSample == 16)
+    assert(wav.samples.toSeq == samples.toSeq)
+    // a LIST chunk between fmt and data must be skipped, not parsed
+    val bb = java.nio.ByteBuffer.allocate(bytes.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(bytes, 0, 36) // up to end of fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    bb.put(bytes, 36, bytes.length - 36)
+    val withList = bb.array()
+    // fix the RIFF size field for the inserted 12 bytes
+    java.nio.ByteBuffer.wrap(withList).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withList.length - 8)
+    assert(WavCodec.decode(withList).samples.toSeq == samples.toSeq)
+    // garbage is rejected, not misparsed
+    intercept[IllegalArgumentException] {
+      WavCodec.decode("not a wav at all".getBytes)
+    }
+  }
+
+  test("synthetic WAV features match a direct computation of the waveform") {
+    import spark.implicits._
+    val df = Seq(3L, 7L).toDF("doc_id")
+    val got = Multimodal.extractWavFeatures(
+      Multimodal.withSyntheticWav(df, "doc_id"), "doc_id", "wav")
+      .collect().map(f => f.id -> f).toMap
+    for (id <- Seq(3L, 7L)) {
+      val s = Multimodal.synthSamples(id)
+      val f = got(id)
+      assert(f.n_samples == s.length)
+      assert(f.peak == s.map(v => math.abs(v.toLong)).max)
+      assert(f.energy == s.map(v => v.toLong * v).sum)
+      val zc = (1 until s.length).count(i =>
+        (s(i - 1) < 0 && s(i) >= 0) || (s(i - 1) >= 0 && s(i) < 0))
+      assert(f.zero_crossings == zc)
+    }
+  }
 }
