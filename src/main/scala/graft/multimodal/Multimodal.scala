@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * (the JVM analog of pandas-UDF batching — one decoder instantiation per
   * partition, not per row).
   *
-  * The IMAGE codec step is STUBBED (this environment ships no image
-  * libraries): [[StubCodec.decode]] derives deterministic fake metadata +
-  * pixels from the bytes. The AUDIO codec is REAL: [[WavCodec]] is a
-  * pure-JVM RIFF/WAVE PCM16 encoder + chunk-walking decoder, verified
-  * end-to-end by a closed-form oracle (q_mm_wav_roundtrip). Everything
-  * around both — schemas, partitioning, batch shape, feature extraction,
-  * resize, frame sampling — is real Spark code and is tested.
+  * Codec status: UNCOMPRESSED formats are REAL — [[WavCodec]]
+  * (RIFF/WAVE PCM16) and [[BmpCodec]] (BMP BGR24) encode/decode genuine
+  * file bytes in pure JVM code, each verified end-to-end by a
+  * closed-form oracle (q_mm_wav_roundtrip / q_mm_bmp_roundtrip).
+  * COMPRESSED formats (JPEG/MP3/H.264) stay behind [[StubCodec]], which
+  * derives deterministic fake metadata from the bytes (this environment
+  * ships no compression libraries). Everything around both — schemas,
+  * partitioning, batch shape, feature extraction, resize, frame
+  * sampling — is real Spark code and is tested.
   */
 object Multimodal {
 
@@ -208,6 +210,126 @@ object Multimodal {
       WavCodec.encode(synthSamples(id), sampleRate)
     }
     df.withColumn(out, enc(col(idCol).cast("long")))
+  }
+
+  // ---------------------------------------------------------------- BMP
+
+  /** REAL image codec — uncompressed 24-bit BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, BGR pixel order, rows bottom-up and padded to
+    * 4-byte boundaries), pure JVM. Together with [[WavCodec]] this makes
+    * both media families round-trip through genuine file bytes; only
+    * compressed formats (JPEG/MP3/H.264) remain behind the stub. */
+  object BmpCodec {
+    case class Bmp(width: Int, height: Int, pixels: Array[Byte]) // BGR rows, top-down
+
+    def encode(img: Bmp): Array[Byte] = {
+      require(img.pixels.length == img.width * img.height * 3, "BGR24 size mismatch")
+      val rowBytes = img.width * 3
+      val pad = (4 - rowBytes % 4) % 4
+      val dataLen = (rowBytes + pad) * img.height
+      val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+        .putInt(0).putInt(54) // reserved, pixel-data offset
+      bb.putInt(40).putInt(img.width).putInt(img.height)
+        .putShort(1).putShort(24) // planes, bpp
+        .putInt(0).putInt(dataLen).putInt(2835).putInt(2835) // BI_RGB, 72 dpi
+        .putInt(0).putInt(0)      // palette sizes
+      var row = img.height - 1   // BMP stores rows bottom-up
+      while (row >= 0) {
+        bb.put(img.pixels, row * rowBytes, rowBytes)
+        var i = 0
+        while (i < pad) { bb.put(0.toByte); i += 1 }
+        row -= 1
+      }
+      bb.array()
+    }
+
+    def decode(bytes: Array[Byte]): Bmp = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "not a BMP")
+      bb.getInt(); bb.getInt()
+      val dataOffset = bb.getInt()
+      val headerSize = bb.getInt()
+      require(headerSize >= 40, "unsupported DIB header")
+      val w = bb.getInt(); val h = bb.getInt()
+      require(bb.getShort() == 1, "bad plane count")
+      require(bb.getShort() == 24, "only 24-bit BMP supported")
+      require(bb.getInt() == 0, "only uncompressed BI_RGB supported")
+      require(h > 0 && w > 0, "top-down/degenerate BMP unsupported")
+      val rowBytes = w * 3
+      val pad = (4 - rowBytes % 4) % 4
+      val out = new Array[Byte](rowBytes * h)
+      var row = h - 1
+      var pos = dataOffset
+      while (row >= 0) {
+        System.arraycopy(bytes, pos, out, row * rowBytes, rowBytes)
+        pos += rowBytes + pad
+        row -= 1
+      }
+      Bmp(w, h, out)
+    }
+  }
+
+  /** Deterministic synthetic image per id — INTEGER-exact pixel function
+    * (no float), so a closed-form oracle can verify the BMP round trip:
+    * at (x, y): b = (x·3 + y·7 + id) mod 256, g = (x + y·11 + id·5) mod
+    * 256, r = (x·13 + y + id·9) mod 256. Odd widths exercise row padding. */
+  private[graft] def synthPixels(id: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        out(o) = (((x * 3 + y * 7 + id) % 256).toInt & 0xff).toByte
+        out(o + 1) = (((x + y * 11 + id * 5) % 256).toInt & 0xff).toByte
+        out(o + 2) = (((x * 13 + y + id * 9) % 256).toInt & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Attach a REAL BMP binary column (synthetic BGR24 image per id; odd
+    * widths 17..31 force nonzero row padding through the codec). */
+  def withSyntheticBmp(df: DataFrame, idCol: String, out: String = "bmp"): DataFrame = {
+    val enc = udf { (id: Long) =>
+      val w = (17 + (id % 15)).toInt; val h = (9 + (id % 7)).toInt
+      BmpCodec.encode(BmpCodec.Bmp(w, h, synthPixels(id, w, h)))
+    }
+    df.withColumn(out, enc(col(idCol).cast("long")))
+  }
+
+  case class BmpFeatures(id: Long, width: Int, height: Int, size_bytes: Long,
+                         sum_b: Long, sum_g: Long, sum_r: Long)
+
+  /** Decode BMP binaries → per-channel pixel sums, batched per partition.
+    * Exact integer output, so the closed-form oracle hash-matches — which
+    * proves the encode→decode round trip including bottom-up row order
+    * and 4-byte row padding. */
+  def extractBmpFeatures(df: DataFrame, idCol: String,
+                         binCol: String): Dataset[BmpFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = BmpCodec.decode(bytes)
+          var sb = 0L; var sg = 0L; var sr = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            sb += java.lang.Byte.toUnsignedInt(img.pixels(i))
+            sg += java.lang.Byte.toUnsignedInt(img.pixels(i + 1))
+            sr += java.lang.Byte.toUnsignedInt(img.pixels(i + 2))
+            i += 3
+          }
+          BmpFeatures(id, img.width, img.height, bytes.length.toLong, sb, sg, sr)
+        }
+      }
   }
 
   case class WavFeatures(id: Long, sample_rate: Int, n_samples: Long,

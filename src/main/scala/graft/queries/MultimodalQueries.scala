@@ -43,6 +43,18 @@ object MultimodalQueries {
         .toDF().orderBy("id")
     }),
 
+    // REAL BMP round trip: synthetic BGR24 image per doc (odd widths force
+    // row padding), encoded as genuine BMP bytes, decoded by the header
+    // parser; per-channel pixel sums are exact integers the closed-form
+    // oracle recomputes — bottom-up row order or padding bugs break it.
+    "q_mm_bmp_roundtrip" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").filter(col("doc_id") < 200)
+        .select("doc_id")
+      Multimodal.extractBmpFeatures(
+        Multimodal.withSyntheticBmp(docs, "doc_id"), "doc_id", "bmp")
+        .toDF().orderBy("id")
+    }),
+
     // Stub decode → features (mapPartitions batch path). Oracle-checked:
     // the stub codec's hash is a 31-multiplier byte fold reproduced in SQL
     // via list_reduce, and resize/mean are plain integer arithmetic.
@@ -81,6 +93,28 @@ object MultimodalQueries {
         |          OR (s[i] >= 0 AND s[i + 1] < 0) THEN 1 ELSE 0 END))
         |   AS BIGINT) AS zero_crossings
         |FROM w ORDER BY id""".stripMargin,
+
+    "q_mm_bmp_roundtrip" ->
+      """WITH par AS (SELECT doc_id AS id,
+        |  CAST(17 + doc_id % 15 AS INTEGER) AS w,
+        |  CAST(9 + doc_id % 7 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (SELECT id, w, h,
+        |  list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x -> (x * 3 + y * 7 + id) % 256))))
+        |    AS sum_b,
+        |  list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x -> (x + y * 11 + id * 5) % 256))))
+        |    AS sum_g,
+        |  list_sum(flatten(list_transform(range(0, h), y ->
+        |    list_transform(range(0, w), x -> (x * 13 + y + id * 9) % 256))))
+        |    AS sum_r
+        |  FROM par)
+        |SELECT id, w AS width, h AS height,
+        | CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS size_bytes,
+        | CAST(sum_b AS BIGINT) AS sum_b, CAST(sum_g AS BIGINT) AS sum_g,
+        | CAST(sum_r AS BIGINT) AS sum_r
+        |FROM px ORDER BY id""".stripMargin,
 
     "q_mm_frame_sample" ->
       // the fake media bytes are UTF-8 of ASCII text, so a VARCHAR

@@ -92,6 +92,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP codec round-trips BGR24 exactly, incl. odd-width row padding") {
+    import Multimodal.BmpCodec
+    for ((w, h) <- Seq((17, 9), (4, 4), (1, 3))) { // 17*3=51 → 1 pad byte
+      val px = Multimodal.synthPixels(5L, w, h)
+      val bytes = BmpCodec.encode(BmpCodec.Bmp(w, h, px))
+      assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      val rowBytes = w * 3; val pad = (4 - rowBytes % 4) % 4
+      assert(bytes.length == 54 + (rowBytes + pad) * h)
+      val back = BmpCodec.decode(bytes)
+      assert(back.width == w && back.height == h)
+      assert(back.pixels.toSeq == px.toSeq)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpCodec.decode("PNG?definitely-not-bmp".getBytes)
+    }
+  }
+
   test("synthetic WAV features match a direct computation of the waveform") {
     import spark.implicits._
     val df = Seq(3L, 7L).toDF("doc_id")
