@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ StatsQueries.queries ++
       TextSimQueries.queries ++ StreamQueries.queries ++ MlQueries.queries ++
-      MultimodalQueries.queries ++ ExtQueries.queries ++ PipeQueries.queries
+      MultimodalQueries.queries ++ ExtQueries.queries ++ PipeQueries.queries ++
+      R4Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ StatsQueries.oracles ++
       TextSimQueries.oracles ++ StreamQueries.oracles ++ MlQueries.oracles ++
-      MultimodalQueries.oracles ++ ExtQueries.oracles ++ PipeQueries.oracles
+      MultimodalQueries.oracles ++ ExtQueries.oracles ++ PipeQueries.oracles ++
+      R4Queries.oracles
 }

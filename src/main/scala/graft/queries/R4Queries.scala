@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Num.dsum
+
+/** Round-4 analytics additions: per-group regression trends, the
+  * first/last/nth analytic-value family, and exact weighted means — each
+  * a single-pass aggregation (or partitioned window) with a bit-exact
+  * DuckDB oracle.
+  */
+object R4Queries {
+  import Sql._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-group OLS trend (closed-form simple linear regression of value
+    // over event day): all four moments in ONE exact-decimal aggregation
+    // pass — the distributed form of a groupby-apply regression, with no
+    // per-group iteration anywhere.
+    "q_a_group_ols" -> ((s, d) => {
+      val x = datediff(to_date(col("ts")), lit("2024-01-01")).cast("double")
+      val y = col("value")
+      val agg = Tables(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum(x * x).as("sxx"), dsum(x * y).as("sxy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      agg.select(col("event_type"), col("n").cast("long").as("n"),
+          slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+        .orderBy("event_type")
+    }),
+
+    // first_value / last_value / nth_value over a full partitioned frame:
+    // each user's first and last purchase value and second event type —
+    // the analytic-value family q_w_lead_lag's offsets don't cover.
+    "q_w_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "events")
+        .select(col("user_id"),
+          first(col("value")).over(w).as("first_value"),
+          last(col("value")).over(w).as("last_value"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+        .distinct()
+        .orderBy("user_id")
+    }),
+
+    // Exact weighted mean per group: Σ(w·v)/Σw with decimal accumulation
+    // on both sides — order-independent where a plain double weighted sum
+    // would drift with partitioning.
+    "q_a_weighted_avg" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (dsum(col("l_extendedprice") * col("l_quantity")) /
+            dsum(col("l_quantity"))).as("qty_weighted_price"),
+          (dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) /
+            dsum(lit(1.0) - col("l_discount"))).as("disc_weighted_price"))
+        .orderBy("l_returnflag")))
+
+  val oracles: Map[String, String] = Map(
+    "q_a_group_ols" -> {
+      val x = "CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE)"
+      s"""WITH a AS (SELECT event_type,
+         |  CAST(COUNT(*) AS DOUBLE) AS n,
+         |  ${dsumSql(x)} AS sx, ${dsumSql("value")} AS sy,
+         |  ${dsumSql(s"($x) * ($x)")} AS sxx,
+         |  ${dsumSql(s"($x) * value")} AS sxy
+         |  FROM events GROUP BY event_type),
+         |sl AS (SELECT *,
+         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM a)
+         |SELECT event_type, CAST(n AS BIGINT) AS n, slope,
+         | (sy - slope * sx) / n AS intercept
+         |FROM sl ORDER BY event_type""".stripMargin
+    },
+
+    "q_w_first_last" ->
+      """SELECT DISTINCT user_id,
+        | FIRST_VALUE(value) OVER w AS first_value,
+        | LAST_VALUE(value) OVER w AS last_value,
+        | NTH_VALUE(event_type, 2) OVER w AS second_type
+        |FROM (SELECT user_id, value, event_type, event_id,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_a_weighted_avg" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         | ${dsumSql("l_extendedprice * l_quantity")} / ${dsumSql("l_quantity")}
+         |   AS qty_weighted_price,
+         | ${dsumSql("l_extendedprice * (1.0 - l_discount)")}
+         |   / ${dsumSql("1.0 - l_discount")} AS disc_weighted_price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}
