@@ -101,6 +101,23 @@ object StreamOps {
       col("p_ts") >= col("ts") - expr(s"INTERVAL $lag"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[streamStreamJoin]],
+    * but events with no promo in their window survive with nulls. The
+    * subtle semantic: an unmatched event CANNOT be emitted on arrival (a
+    * matching promo may still come), so Spark holds it in join state and
+    * emits the null-padded row only once the watermark passes the end of
+    * its join window — tests must advance event time on BOTH inputs to
+    * flush outer results (global watermark = min over sources). */
+  def streamStreamLeftOuterJoin(events: DataFrame, promos: DataFrame,
+                                watermark: String = "2 hours",
+                                lag: String = "1 hour"): DataFrame = {
+    val e = events.withWatermark("ts", watermark)
+    val p = promos.withWatermark("p_ts", watermark)
+    e.join(p, col("user_id") === col("p_user_id") &&
+      col("p_ts") <= col("ts") &&
+      col("p_ts") >= col("ts") - expr(s"INTERVAL $lag"), "left_outer")
+  }
+
   /** Stream-static enrichment: join each event against a STATIC (batch)
     * dimension, broadcast to every task — no streaming state at all, the
     * standard shape for attaching reference data (user profiles, price

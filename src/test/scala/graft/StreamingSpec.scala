@@ -204,6 +204,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, 10.0, "a"), (2L, 30.0, "c"), (1L, 20.0, "b")))
   }
 
+  test("left-outer stream-stream join emits null rows only after watermark") {
+    val evs = Seq(
+      UserEv(ts(30), 1L, 10.0), UserEv(ts(90), 1L, 20.0),
+      UserEv(ts(95), 2L, 30.0), UserEv(ts(200), 1L, 40.0),
+      UserEv(ts(50), 3L, 35.0)) // user 3 has no promos at all
+    val promos = Seq(
+      Promo(ts(10), 1L, "a"), Promo(ts(60), 1L, "b"),
+      Promo(ts(94), 2L, "c"), Promo(ts(300), 1L, "d"))
+    val es = MemoryStream[UserEv](spark); es.addData(evs: _*)
+    val ps = MemoryStream[Promo](spark); ps.addData(promos: _*)
+    val q = StreamOps.streamStreamLeftOuterJoin(es.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("ss_louter")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    def rows() = spark.table("ss_louter")
+      .filter(col("user_id") =!= 99L)
+      .select("user_id", "value", "promo").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    // After the first drain the watermark sits at min(max ts, max p_ts) −
+    // 2 h = 80 min: user 3's unmatched row (ts = 50) is already flushed,
+    // but the unmatched event at ts = 200 must still be HELD in state —
+    // a matching promo could yet arrive inside its window.
+    assert(rows() == Set(
+      (1L, 10.0, Some("a")), (1L, 20.0, Some("b")), (2L, 30.0, Some("c")),
+      (3L, 35.0, None)),
+      s"unexpected pre-watermark emission: ${rows()}")
+    // advance event time on BOTH inputs (global watermark = min of them)
+    es.addData(UserEv(ts(600), 99L, 0.0))
+    ps.addData(Promo(ts(600), 99L, "z"))
+    q.processAllAvailable()
+    q.stop()
+    val expected = Set(
+      (1L, 10.0, Some("a")), (1L, 20.0, Some("b")), (2L, 30.0, Some("c")),
+      (1L, 40.0, None),  // promo d arrives after the event → no match
+      (3L, 35.0, None))  // user with no promos
+    assert(rows() == expected)
+  }
+
   test("stateful aggregation recovers from a checkpoint across restarts") {
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toFile.getPath
     val outDir = java.nio.file.Files.createTempDirectory("ckpt_out").toFile.getPath
