@@ -51,6 +51,26 @@ object R4Queries {
         .orderBy("user_id")
     }),
 
+    // Time-weighted average (TWAP): each observation holds until the next
+    // one, so its weight is the holding duration — the telemetry/finance
+    // aggregate a plain AVG silently gets wrong on irregular samples.
+    // Durations in exact integer micros → hours (one rounded division,
+    // identical on both engines); weighted sums decimal-accumulated.
+    "q_s_twap" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val durH = (unix_micros(lead(col("ts"), 1).over(w)) -
+        unix_micros(col("ts"))) / lit(3600000000.0)
+      Tables(s, d, "events")
+        .withColumn("__dur_h", durH)
+        .filter(col("__dur_h").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          (dsum(col("value") * col("__dur_h")) / dsum(col("__dur_h")))
+            .as("twap"),
+          dsum(col("__dur_h")).as("total_h"))
+        .orderBy("user_id")
+    }),
+
     // Exact weighted mean per group: Σ(w·v)/Σw with decimal accumulation
     // on both sides — order-independent where a plain double weighted sum
     // would drift with partitioning.
@@ -90,6 +110,19 @@ object R4Queries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id""".stripMargin,
+
+    "q_s_twap" ->
+      s"""WITH e AS (SELECT user_id, value, event_id,
+         |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |g AS (SELECT user_id, value,
+         |  epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |    - ts) / 3600000000.0 AS dur_h
+         |  FROM e)
+         |SELECT user_id, COUNT(*) AS n_intervals,
+         | ${dsumSql("value * dur_h")} / ${dsumSql("dur_h")} AS twap,
+         | ${dsumSql("dur_h")} AS total_h
+         |FROM g WHERE dur_h IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_a_weighted_avg" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
