@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Num.dsum
+import graft.text.TextOps
+
+/** Warehouse-maintenance and corpus-statistics operators: SCD2 dimension
+  * history construction, PMI bigram collocations (log-free integer-ratio
+  * scoring), and a calendar-hierarchy ROLLUP — each one or two shuffles,
+  * each with a bit-exact DuckDB oracle.
+  */
+object WarehouseQueries {
+  import Sql._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD2 (type-2 slowly-changing dimension) build: each event is a state
+    // change of the user's `value`; validity = [ts, next ts), open-ended
+    // for the current row. One shuffle on the dimension key; the window is
+    // partitioned, so the build parallelizes per key at any scale.
+    "q_j_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ts").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          Window.partitionBy("user_id")
+            .orderBy(col("valid_from"), col("event_id"))))
+        .withColumn("is_current",
+          col("valid_to").isNull.cast("int"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
+    // PMI bigram collocations over the document corpus, log-free: PMI =
+    // log2(n_ab·N / (n_a·n_b)) is monotone in the integer ratio, so the
+    // ranking uses the exact ratio and never calls libm. Unigram counts
+    // join the bigram relation on the token key (shuffle joins — the
+    // vocabulary is fact-sized at corpus scale); min-support prunes before
+    // the joins; final top-30 via TakeOrdered + broadcast rank.
+    "q_x_pmi_bigrams" -> ((s, d) => {
+      val toks = Tables(s, d, "documents")
+        .select(TextOps.tokens(TextOps.normalizeText(col("text"))).as("toks"))
+      val uni = toks.select(explode(col("toks")).as("tok"))
+      val n = uni.agg(count(lit(1)).cast("double").as("__n"))
+      val uc = uni.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      // size >= 2 guard: Spark's sequence(0, -1) counts DOWN (unlike
+      // DuckDB's empty range), so a 1-token doc would emit null bigrams
+      val ab = toks.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+            | i -> struct(toks[i] AS a, toks[i + 1] AS b))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val scored = ab
+        .join(uc.withColumnRenamed("tok", "a").withColumnRenamed("n_tok", "n_a"),
+          Seq("a"))
+        .join(uc.withColumnRenamed("tok", "b").withColumnRenamed("n_tok", "n_b"),
+          Seq("b"))
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab").cast("double") * col("__n")) /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .as("pmi_ratio"))
+      graft.ops.Ranking.topKRanked(scored,
+          Seq(("pmi_ratio", true), ("a", false), ("b", false)), 30)
+        .orderBy("rank")
+    }),
+
+    // Calendar-hierarchy ROLLUP (year → month → grand total) — the
+    // complement of q_a_cube/q_a_grouping_sets: one Expand-based pass,
+    // grouping() flags disambiguating genuine NULLs from subtotal rows.
+    "q_a_rollup_time" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .withColumn("y", year(col("o_orderdate")).cast("long"))
+        .withColumn("m", month(col("o_orderdate")).cast("long"))
+        .rollup(col("y"), col("m"))
+        .agg(grouping(col("y")).cast("int").as("g_y"),
+          grouping(col("m")).cast("int").as("g_m"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("y"), lit(-1L)).as("y"),
+          coalesce(col("m"), lit(-1L)).as("m"),
+          col("g_y"), col("g_m"), col("n"), col("sum_price"))
+        .orderBy("g_y", "g_m", "y", "m")))
+
+  // normalized-token fragments identical to TextSimQueries' (TextOps
+  // normalizeText → whitespace split)
+  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  private val normToksSql = s"""regexp_split_to_array(trim($normSql), '\\s+')"""
+
+  val oracles: Map[String, String] = Map(
+    "q_j_scd2" ->
+      """SELECT user_id, event_id, value,
+        | CAST(ts AS TIMESTAMP) AS valid_from,
+        | LEAD(CAST(ts AS TIMESTAMP)) OVER
+        |   (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |   AS valid_to,
+        | CAST(LEAD(CAST(ts AS TIMESTAMP)) OVER
+        |   (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |   IS NULL AS INT) AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_x_pmi_bigrams" ->
+      s"""WITH t AS (SELECT $normToksSql AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS tok FROM t),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM u),
+         |uc AS (SELECT tok, COUNT(*) AS n_tok FROM u GROUP BY tok),
+         |pairs AS (SELECT unnest(list_transform(range(0, len(toks) - 1),
+         |    i -> {'a': toks[i + 1], 'b': toks[i + 2]})) AS p FROM t),
+         |ab AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS n_ab
+         |  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |scored AS (SELECT a, b, n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+         |  (CAST(n_ab AS DOUBLE) * n_total) /
+         |    (CAST(ua.n_tok AS DOUBLE) * CAST(ub.n_tok AS DOUBLE))
+         |    AS pmi_ratio
+         |  FROM ab
+         |  JOIN uc ua ON ab.a = ua.tok
+         |  JOIN uc ub ON ab.b = ub.tok
+         |  CROSS JOIN n)
+         |SELECT a, b, n_ab, n_a, n_b, pmi_ratio,
+         | CAST(rn AS INT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER
+         |    (ORDER BY pmi_ratio DESC, a, b) AS rn
+         |  FROM scored) r
+         |WHERE rn <= 30 ORDER BY rank""".stripMargin,
+
+    "q_a_rollup_time" ->
+      s"""WITH o AS (SELECT
+         |  CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS y,
+         |  CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS m,
+         |  o_totalprice FROM orders)
+         |SELECT COALESCE(y, -1) AS y, COALESCE(m, -1) AS m,
+         | CAST(GROUPING(y) AS INTEGER) AS g_y,
+         | CAST(GROUPING(m) AS INTEGER) AS g_m,
+         | COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM o GROUP BY ROLLUP(y, m)
+         |ORDER BY g_y, g_m, y, m""".stripMargin)
+}
