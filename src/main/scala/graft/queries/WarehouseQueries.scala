@@ -70,6 +70,51 @@ object WarehouseQueries {
         .orderBy("rank")
     }),
 
+    // Robust outlier detection per group: median/MAD z-scores (the
+    // outlier rule that survives the skew that wrecks mean/stddev
+    // fences). Exact `percentile` both passes (≡ DuckDB QUANTILE_CONT),
+    // fitted statistics broadcast back — never a global sort.
+    "q_a_mad_outliers" -> ((s, d) => {
+      val e = Tables(s, d, "events").select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .withColumn("z",
+          lit(0.6745) * (col("value") - col("med")) / col("mad"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(abs(col("z")) > 3.5, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // Stratified class-rebalancing sample: a fixed per-class keep rate
+    // (downsampling the majority classes), decided by the same md5-uniform
+    // trick as q_x_weighted_sample — no RNG state, identical keep-set on
+    // any cluster size. The class-rebalance stage of a training pipeline.
+    "q_m_stratified_sample" -> ((s, d) => {
+      val uInt = conv(substring(
+        graft.ml.Split.hashKey(col("event_id"), 23), 1, 8), 16, 10).cast("long")
+      val frac = when(col("event_type") === "purchase", 1.0)
+        .when(col("event_type") === "signup", 0.5)
+        .when(col("event_type") === "click", 0.25)
+        .when(col("event_type") === "view", 0.125)
+        .otherwise(0.0625)
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          (uInt < floor(frac * 4294967296.0).cast("long")).cast("int").as("keep"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("keep")).cast("long").as("n_kept"),
+          (sum(col("keep")).cast("double") / count(lit(1)).cast("double"))
+            .as("realized_rate"))
+        .orderBy("event_type")
+    }),
+
     // Calendar-hierarchy ROLLUP (year → month → grand total) — the
     // complement of q_a_cube/q_a_grouping_sets: one Expand-based pass,
     // grouping() flags disambiguating genuine NULLs from subtotal rows.
@@ -127,6 +172,43 @@ object WarehouseQueries {
          |    (ORDER BY pmi_ratio DESC, a, b) AS rn
          |  FROM scored) r
          |WHERE rn <= 30 ORDER BY rank""".stripMargin,
+
+    "q_a_mad_outliers" ->
+      """WITH m AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_type, value, med, abs(value - med) AS dev
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, QUANTILE_CONT(dev, 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n, MAX(med) AS med, MAX(mad) AS mad,
+        | CAST(SUM(CASE WHEN abs(0.6745 * (value - med) / mad) > 3.5
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "q_m_stratified_sample" -> {
+      // 8-hex md5 prefix → integer via nibble positional sum, mirroring
+      // conv(md5[1:8], 16, 10) (same trick as q_x_weighted_sample)
+      val nibbleSum = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT event_type, ${hashKey("event_id", 23)} AS h,
+         |  CASE WHEN event_type = 'purchase' THEN 1.0
+         |    WHEN event_type = 'signup' THEN 0.5
+         |    WHEN event_type = 'click' THEN 0.25
+         |    WHEN event_type = 'view' THEN 0.125
+         |    ELSE 0.0625 END AS frac
+         |  FROM events),
+         |k AS (SELECT event_type,
+         |  CASE WHEN ($nibbleSum) < CAST(floor(frac * 4294967296.0) AS BIGINT)
+         |    THEN 1 ELSE 0 END AS keep
+         |  FROM t)
+         |SELECT event_type, COUNT(*) AS n_total,
+         | CAST(SUM(keep) AS BIGINT) AS n_kept,
+         | CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |   AS realized_rate
+         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
 
     "q_a_rollup_time" ->
       s"""WITH o AS (SELECT
