@@ -62,7 +62,9 @@ object TpchPlusQueries {
         .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .join(cus, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        // no broadcast hint: supplier is ~SF·10k rows — AQE broadcasts it
+        // at small SF and falls back to a shuffle join at warehouse scale
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .filter((col("supp_nation") === "NATION_1" &&
             col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" &&
@@ -100,7 +102,8 @@ object TpchPlusQueries {
             .select("o_orderkey", "o_custkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .join(cus, col("o_custkey") === col("c_custkey"), "left_semi")
-        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        // supplier⋈nation unhinted for the same scale reason as Q7
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
         .withColumn("o_year", year(col("o_orderdate")).cast("long"))
         .withColumn("volume",
           col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -152,13 +155,15 @@ object TpchPlusQueries {
       val pq = Tables(s, d, "part")
         .filter(col("p_brand") === "Brand#12" && col("p_size") <= 10)
         .select("p_partkey")
+      // pq/th are part-cardinality (SF-proportional) — unhinted so AQE
+      // broadcasts at small SF and shuffle-joins at warehouse scale
       val l = Tables(s, d, "lineitem")
         .select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+        .join(pq, col("l_partkey") === col("p_partkey"))
       val th = l.groupBy("l_partkey")
         .agg((lit(0.2) * (dsum(col("l_quantity")) /
           count(lit(1)).cast("double"))).as("__th"))
-      l.join(broadcast(th.withColumnRenamed("l_partkey", "__pk")),
+      l.join(th.withColumnRenamed("l_partkey", "__pk"),
           col("l_partkey") === col("__pk"))
         .filter(col("l_quantity") < col("__th"))
         .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
@@ -209,8 +214,8 @@ object TpchPlusQueries {
         .agg(count(lit(1)).as("__n_at_max"), max(col("l_suppkey")).as("__supp"))
         .filter(col("__n_at_max") === 1)
       lone.groupBy("__supp").agg(count(lit(1)).as("numwait"))
-        .join(broadcast(Tables(s, d, "supplier")),
-          col("__supp") === col("s_suppkey"))
+        // both sides are supplier-cardinality — unhinted, AQE decides
+        .join(Tables(s, d, "supplier"), col("__supp") === col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(col("numwait").desc, col("s_suppkey"))
         .limit(20)
