@@ -96,4 +96,44 @@ object Graph {
     import spark.implicits._
     Seq(n).toDF("n_triangles")
   }
+
+  /** Damped PageRank by power iteration — each round is ONE shuffle join
+    * of the edge relation with the current rank vector plus ONE grouped
+    * aggregation, i.e. the same shuffle-on-key shape as every other
+    * operator here; nothing row-level ever reaches the driver.
+    *
+    * The edge list is symmetrized, so every node has out-degree ≥ 1 and
+    * the dangling-mass correction term vanishes. Per-edge contributions
+    * rank/deg accumulate through DECIMAL(30,12) (the q_v_centroids
+    * discipline), which makes the rank vector BIT-IDENTICAL under any
+    * partitioning or executor count — and therefore oracle-checkable
+    * against an engine that sums in a different order.
+    *
+    * `iters` is small and fixed (power iteration converges geometrically
+    * at rate `damping`); lineage stays shallow, no checkpointing needed.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85,
+               teleport: Double = 0.15): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges
+        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = sym.join(deg, "src")
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
+    for (_ <- 1 to iters)
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .groupBy("dst")
+        .agg(Num.dsum12(col("rank") / col("deg")).as("__in"))
+        .crossJoin(broadcast(nRow))
+        .select(col("dst").as("node"),
+          (lit(teleport) / col("__n") + lit(damping) * col("__in")).as("rank"))
+    ranks
+  }
 }

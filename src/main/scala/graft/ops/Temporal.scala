@@ -92,4 +92,18 @@ object Temporal {
         col(rtsCol) >= col(ltsCol) - expr(s"INTERVAL $lagSeconds SECOND"))
       .drop("__bin")
   }
+
+  /** SCD2 (type-2 slowly-changing dimension) history build: each input row
+    * is a state change of `keyCol`'s attributes; validity runs [row's ts,
+    * next row's ts), open-ended (null `valid_to`, is_current = 1) for the
+    * latest row per key. `tieCol` makes the within-timestamp order total so
+    * the intervals are deterministic. One shuffle on the dimension key;
+    * per-key windows parallelize at any scale. */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String,
+           tieCol: String): DataFrame =
+    df.withColumnRenamed(tsCol, "valid_from")
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(keyCol).orderBy(col("valid_from"), col(tieCol))))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
 }

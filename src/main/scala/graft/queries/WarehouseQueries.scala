@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.Num.dsum
@@ -20,18 +19,12 @@ object WarehouseQueries {
     // change of the user's `value`; validity = [ts, next ts), open-ended
     // for the current row. One shuffle on the dimension key; the window is
     // partitioned, so the build parallelizes per key at any scale.
-    "q_j_scd2" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables(s, d, "events")
-        .select(col("user_id"), col("event_id"), col("value"),
-          col("ts").as("valid_from"))
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(
-          Window.partitionBy("user_id")
-            .orderBy(col("valid_from"), col("event_id"))))
-        .withColumn("is_current",
-          col("valid_to").isNull.cast("int"))
-        .orderBy("user_id", "valid_from", "event_id")
-    }),
+    "q_j_scd2" -> ((s, d) =>
+      graft.ops.Temporal.scd2(
+          Tables(s, d, "events")
+            .select(col("user_id"), col("event_id"), col("value"), col("ts")),
+          "user_id", "ts", "event_id")
+        .orderBy("user_id", "valid_from", "event_id")),
 
     // PMI bigram collocations over the document corpus, log-free: PMI =
     // log2(n_ab·N / (n_a·n_b)) is monotone in the integer ratio, so the
@@ -39,35 +32,30 @@ object WarehouseQueries {
     // join the bigram relation on the token key (shuffle joins — the
     // vocabulary is fact-sized at corpus scale); min-support prunes before
     // the joins; final top-30 via TakeOrdered + broadcast rank.
-    "q_x_pmi_bigrams" -> ((s, d) => {
-      val toks = Tables(s, d, "documents")
-        .select(TextOps.tokens(TextOps.normalizeText(col("text"))).as("toks"))
-      val uni = toks.select(explode(col("toks")).as("tok"))
-      val n = uni.agg(count(lit(1)).cast("double").as("__n"))
-      val uc = uni.groupBy("tok").agg(count(lit(1)).as("n_tok"))
-      // size >= 2 guard: Spark's sequence(0, -1) counts DOWN (unlike
-      // DuckDB's empty range), so a 1-token doc would emit null bigrams
-      val ab = toks.filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(0, size(toks) - 2),
-            | i -> struct(toks[i] AS a, toks[i + 1] AS b))""".stripMargin))
-          .as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 5)
-      val scored = ab
-        .join(uc.withColumnRenamed("tok", "a").withColumnRenamed("n_tok", "n_a"),
-          Seq("a"))
-        .join(uc.withColumnRenamed("tok", "b").withColumnRenamed("n_tok", "n_b"),
-          Seq("b"))
-        .crossJoin(broadcast(n))
-        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
-          ((col("n_ab").cast("double") * col("__n")) /
-            (col("n_a").cast("double") * col("n_b").cast("double")))
-            .as("pmi_ratio"))
-      graft.ops.Ranking.topKRanked(scored,
+    "q_x_pmi_bigrams" -> ((s, d) =>
+      graft.ops.Ranking.topKRanked(
+          TextOps.pmiBigrams(Tables(s, d, "documents"), "text", minCount = 5),
           Seq(("pmi_ratio", true), ("a", false), ("b", false)), 30)
-        .orderBy("rank")
+        .orderBy("rank")),
+
+    // PageRank over the bipartite customer↔supplier co-order graph —
+    // an iterative graph algorithm expressed as three join+agg rounds
+    // (Graph.pageRank). Node ids disambiguate the two key spaces
+    // (2·custkey / 2·suppkey+1); output = top-20 suppliers by rank.
+    // Decimal-quantized contributions make the rank vector bit-exact on
+    // any engine, so even the 3-hop fixpoint is oracle-hash-checkable.
+    "q_g_pagerank" -> ((s, d) => {
+      val edges = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cnode"),
+          (col("l_suppkey") * 2 + 1).as("snode"))
+        .distinct()
+      graft.ops.Graph.pageRank(edges, "cnode", "snode", iters = 3)
+        .filter(col("node") % 2 === 1)
+        .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank"))
+        .orderBy(col("rank").desc, col("s_suppkey"))
+        .limit(20)
     }),
 
     // Robust outlier detection per group: median/MAD z-scores (the
@@ -172,6 +160,35 @@ object WarehouseQueries {
          |    (ORDER BY pmi_ratio DESC, a, b) AS rn
          |  FROM scored) r
          |WHERE rn <= 30 ORDER BY rank""".stripMargin,
+
+    "q_g_pagerank" -> {
+      // one unrolled power-iteration round, mirroring Graph.pageRank's
+      // join → decimal-quantized agg → teleport+damp select exactly
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (SELECT node, 0.15 / nn + 0.85 * agg AS rank
+           |  FROM (SELECT s.dst AS node,
+           |      CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(30,12))) AS DOUBLE)
+           |        AS agg
+           |    FROM sym s
+           |    JOIN $prev r ON s.src = r.node
+           |    JOIN deg d ON s.src = d.src
+           |    GROUP BY s.dst) g, n)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |sym AS (SELECT src, dst FROM e0
+         |  UNION SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
+         |r0 AS (SELECT node, 1.0 / nn AS rank FROM nodes, n),
+         |${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")}
+         |SELECT (node - 1) // 2 AS s_suppkey, rank
+         |FROM r3 WHERE node % 2 = 1
+         |ORDER BY rank DESC, s_suppkey LIMIT 20""".stripMargin
+    },
 
     "q_a_mad_outliers" ->
       """WITH m AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med

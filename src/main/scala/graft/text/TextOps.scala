@@ -469,4 +469,39 @@ object TextOps {
         jaccardShingles(col("text_a"), col("text_b"), shingleN).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** PMI bigram collocation scores over a corpus, log-free: PMI =
+    * log2(n_ab·N / (n_a·n_b)) is strictly monotone in the integer ratio,
+    * so `pmi_ratio` carries the exact ranking without ever calling libm
+    * (the BM25/TF-IDF discipline). Unigram counts join the bigram relation
+    * on the token key — a shuffle join, since the vocabulary is fact-sized
+    * at corpus scale; `minCount` prunes the pair relation BEFORE the joins.
+    * Tokenization = normalizeText → whitespace split (the corpus-wide
+    * canonical form). */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Int): DataFrame = {
+    val toks = df.select(tokens(normalizeText(col(textCol))).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+    val n = uni.agg(count(lit(1)).cast("double").as("__n"))
+    val uc = uni.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    // size >= 2 guard: Spark's sequence(0, -1) counts DOWN (unlike an
+    // empty range), so a 1-token doc would emit null bigrams
+    val ab = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          | i -> struct(toks[i] AS a, toks[i + 1] AS b))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    ab
+      .join(uc.withColumnRenamed("tok", "a").withColumnRenamed("n_tok", "n_a"),
+        Seq("a"))
+      .join(uc.withColumnRenamed("tok", "b").withColumnRenamed("n_tok", "n_b"),
+        Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") * col("__n")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("pmi_ratio"))
+  }
 }

@@ -35,6 +35,22 @@ class GraphExtSpec extends AnyFunSuite {
     assert(sizes == Map(1L -> 3L, 10L -> 2L))
   }
 
+  test("pageRank: mass conserved, hubs rank highest, partitioning-invariant") {
+    // star around 1 (degree 4) plus a 2-cycle tail: 1 must outrank all
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val pr = Graph.pageRank(edges, "a", "b", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 6)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9) // no dangling mass lost
+    assert(pr(1L) == pr.values.max)              // hub dominates
+    assert(pr(6L) < pr(5L))                      // leaf below its gateway
+    // decimal-quantized contributions ⇒ bit-identical under any layout
+    val pr2 = Graph.pageRank(edges.repartition(7), "a", "b", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr == pr2)
+  }
+
   test("corrMatrixLong matches corrMatrix on fixed-point data") {
     val df = Seq((100L, 205L), (210L, 400L), (315L, 640L), (420L, 805L), (155L, 310L))
       .toDF("xl", "yl")

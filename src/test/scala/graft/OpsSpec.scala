@@ -143,4 +143,37 @@ class OpsSpec extends AnyFunSuite {
       .select("lid", "rv").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(binned == naive && binned.nonEmpty)
   }
+
+  test("scd2 intervals tile each key's timeline; exactly one current row") {
+    val rows = Seq((1L, t(10), 101L, "a"), (1L, t(30), 102L, "b"),
+      (1L, t(20), 103L, "c"), (2L, t(5), 104L, "x")).toDF("k", "ts", "id", "v")
+    // columns: k(0), valid_from(1), id(2), v(3), valid_to(4), is_current(5)
+    val h = Temporal.scd2(rows, "k", "ts", "id")
+      .orderBy("k", "valid_from", "id").collect()
+    // per key: each valid_to equals the NEXT valid_from (no gaps, no overlap)
+    val k1 = h.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getString(3)).toSeq == Seq("a", "c", "b")) // time order
+    assert(k1.init.map(r => r.getTimestamp(4)).toSeq ==
+      k1.tail.map(r => r.getTimestamp(1)).toSeq)
+    // exactly one open-ended current row per key
+    assert(h.count(r => r.getInt(5) == 1) == 2)
+    assert(h.filter(r => r.getInt(5) == 1).forall(r => r.isNullAt(4)))
+  }
+
+  test("pmiBigrams scores a planted collocation above independent pairs") {
+    // "new york" always adjacent; "the" ubiquitous → low ratio
+    val docs = (1 to 30).map(i => (i.toLong,
+      s"the city of new york item$i the end")).toDF("doc_id", "text")
+    val pmi = graft.text.TextOps.pmiBigrams(docs, "text", minCount = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val total = 30 * 8.0
+    val (nAb, nA, nB, ratio) = pmi(("new", "york"))
+    assert(nAb == 30 && nA == 30 && nB == 30)
+    assert(ratio == 30.0 * total / (30.0 * 30.0))
+    // ubiquitous-word pair scores strictly lower
+    assert(pmi(("the", "city"))._4 < ratio)
+    // min-support pruned: no pair with < 5 occurrences survives
+    assert(pmi.values.forall(_._1 >= 5))
+  }
 }
