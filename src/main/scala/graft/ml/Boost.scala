@@ -35,7 +35,8 @@ object Boost {
   case class Leaf(weight: Double) extends Node
 
   case class Model(featureCols: Seq[String], thresholds: Seq[Array[Double]],
-                   basePrediction: Double, trees: Seq[Node]) {
+                   basePrediction: Double, trees: Seq[Node],
+                   valLosses: Seq[Double] = Nil) {
 
     private def binExpr(i: Int): Column =
       thresholds(i).foldLeft(lit(0)) { (acc, t) =>
@@ -115,6 +116,20 @@ object Boost {
     (binned, thresholds)
   }
 
+  /** Bin a dataset against ALREADY-FITTED thresholds (validation /
+    * scoring data must never re-fit its own quantiles). */
+  private def applyBins(df: DataFrame, featureCols: Seq[String],
+                        labelCol: String,
+                        thresholds: Seq[Array[Double]]): DataFrame = {
+    def binExpr(i: Int): Column =
+      thresholds(i).foldLeft(lit(0)) { (acc, t) =>
+        acc + when(col(featureCols(i)) > t, 1).otherwise(0)
+      }
+    df.select(
+      col(labelCol).cast("double").as("__label") +:
+        featureCols.indices.map(i => binExpr(i).as(s"__bin_$i")): _*)
+  }
+
   /** Fit `numTrees` depth-`maxDepth` trees on binary labels (0/1).
     * One aggregation job per tree level; `nBins`-quantile histogram split
     * finding; `lambda` = L2 leaf regularization; `lr` = shrinkage;
@@ -130,10 +145,36 @@ object Boost {
     finally binned.unpersist()
   }
 
+  /** L15 — GENUINE early stopping (not MLlib's validationIndicatorCol
+    * approximation): after every boosting round the held-out logloss is
+    * evaluated (one small aggregate job); training stops once it has not
+    * improved for `earlyStoppingRounds` consecutive rounds, and the
+    * returned model is truncated to the best round. Validation features
+    * bin against the TRAIN-fitted thresholds (no leakage); per-row losses
+    * accumulate through exact decimals, so the stopping round is
+    * deterministic under any partitioning. `valLosses` records the curve
+    * (one entry per round actually trained). */
+  def fitEarlyStop(train: DataFrame, valid: DataFrame,
+                   featureCols: Seq[String], labelCol: String,
+                   numTrees: Int = 50, earlyStoppingRounds: Int = 5,
+                   maxDepth: Int = 3, lr: Double = 0.3, lambda: Double = 1.0,
+                   nBins: Int = 16, minChildHess: Double = 1e-3): Model = {
+    val (binned, thresholds) = binFeatures(train, featureCols, labelCol, nBins)
+    val vb = applyBins(valid, featureCols, labelCol, thresholds)
+      .withColumn("__y", col("__label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitBinned(binned.withColumn("__y", col("__label")), featureCols,
+      thresholds, numTrees, maxDepth, lr, lambda, minChildHess,
+      valBinned = Some(vb), patience = earlyStoppingRounds)
+    finally { binned.unpersist(); vb.unpersist() }
+  }
+
   private def fitBinned(binnedIn: DataFrame, featureCols: Seq[String],
                         thresholds: Seq[Array[Double]], numTrees: Int,
                         maxDepth: Int, lr: Double, lambda: Double,
-                        minChildHess: Double): Model = {
+                        minChildHess: Double,
+                        valBinned: Option[DataFrame] = None,
+                        patience: Int = 0): Model = {
     val binned = binnedIn
     val n = binned.count().toDouble
     val pos = binned.agg(sum("__y")).head().getDouble(0)
@@ -145,8 +186,13 @@ object Boost {
     val binCols = featureCols.indices.map(i => col(s"__bin_$i"))
     var marginDf = binned.withColumn("__f", lit(base))
     val trees = scala.collection.mutable.ArrayBuffer.empty[Node]
+    var valDf = valBinned.map(_.withColumn("__f", lit(base))).orNull
+    val valLosses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var bestLoss = Double.MaxValue
+    var bestIdx = 0
+    var stop = false
 
-    for (treeIdx <- 1 to numTrees) {
+    for (treeIdx <- 1 to numTrees if !stop) {
       // Newton gradients on the logistic objective (row-local → exact
       // reproducibility; only their SUMS need order-independence)
       val withGrad = marginDf
@@ -252,8 +298,29 @@ object Boost {
       // checkpoint is one extra job; every tree was measured 2× slower)
       if (treeIdx % 4 == 0 && treeIdx < numTrees)
         marginDf = marginDf.localCheckpoint(true)
+
+      // early stopping: held-out logloss after this round (decimal-summed
+      // → the stopping decision is partitioning-independent)
+      if (valDf != null) {
+        valDf = valDf.withColumn("__f", col("__f") + treeCol(tree))
+          .select((Seq(col("__y"), col("__f")) ++ binCols): _*)
+        if (treeIdx % 4 == 0) valDf = valDf.localCheckpoint(true)
+        val p = lit(1.0) / (lit(1.0) + exp(-col("__f")))
+        val pc = least(lit(1.0 - 1e-15), greatest(lit(1e-15), p))
+        val row = valDf.select(
+          sum((-(col("__y") * log(pc) +
+            (lit(1.0) - col("__y")) * log(lit(1.0) - pc))).cast(dec)).as("s"),
+          count(lit(1)).as("n")).head()
+        val loss = BigDecimal(row.getDecimal(0)).toDouble / row.getLong(1)
+        valLosses += loss
+        if (loss < bestLoss - 1e-12) { bestLoss = loss; bestIdx = treeIdx }
+        else if (patience > 0 && treeIdx - bestIdx >= patience) stop = true
+      }
     }
-    Model(featureCols, thresholds, base, trees.toSeq)
+    val kept =
+      if (valDf != null && patience > 0) trees.take(math.max(bestIdx, 1))
+      else trees
+    Model(featureCols, thresholds, base, kept.toSeq, valLosses.toSeq)
   }
 
   /** One-vs-rest over a SHARED binning (features are quantile-binned and

@@ -72,6 +72,39 @@ class BoostSpec extends AnyFunSuite {
     assert(!model.describe.contains("S(2"), model.describe)
   }
 
+  test("early stopping halts when held-out loss stops improving and truncates to the best round") {
+    val train = xorData
+    // validation labels independent of the features: any confidence the
+    // booster gains on train RAISES held-out logloss, so the stop must
+    // trigger long before numTrees
+    val valid = (0 until 500).map { i =>
+      val x1 = ((i * 37) % 201 - 100) / 100.0 + 0.001
+      val x2 = ((i * 89) % 201 - 100) / 100.0 + 0.001
+      (x1, x2, (((i * 13) % 7) - 3).toDouble, (i % 2).toDouble)
+    }.toDF("x1", "x2", "noise", "y")
+    val m = Boost.fitEarlyStop(train, valid, Seq("x1", "x2", "noise"), "y",
+      numTrees = 25, earlyStoppingRounds = 3, maxDepth = 2, lr = 0.4)
+    assert(m.valLosses.nonEmpty)
+    assert(m.valLosses.size < 25, s"never stopped: ${m.valLosses}")
+    // kept exactly the best-round prefix
+    val bestRound = m.valLosses.indexOf(m.valLosses.min) + 1
+    assert(m.trees.size == bestRound,
+      s"kept ${m.trees.size}, best $bestRound: ${m.valLosses}")
+    // and a full no-validation fit would have kept more trees
+    assert(m.trees.size < 25)
+  }
+
+  test("early stopping is partitioning-invariant (same stop round, same trees)") {
+    val train = xorData
+    val valid = xorData.limit(400)
+    val a = Boost.fitEarlyStop(train.repartition(3), valid,
+      Seq("x1", "x2", "noise"), "y", numTrees = 6, earlyStoppingRounds = 2)
+    val b = Boost.fitEarlyStop(train.repartition(13), valid.repartition(5),
+      Seq("x1", "x2", "noise"), "y", numTrees = 6, earlyStoppingRounds = 2)
+    assert(a.describe == b.describe)
+    assert(a.valLosses == b.valLosses)
+  }
+
   test("wine CV accuracy lands at the reference's GradientBoosting level") {
     // BASELINE.md: sklearn GradientBoosting, wine 5-fold CV = 0.5836 ±
     // 0.0114. One fold of the same stratified split estimates the level
