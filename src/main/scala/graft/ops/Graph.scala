@@ -114,26 +114,42 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85,
-               teleport: Double = 0.15): DataFrame = {
-    val sym = edges
+               teleport: Double = 0.15,
+               edgesDistinct: Boolean = false): DataFrame = {
+    // `edgesDistinct`: when the caller guarantees a deduplicated edge list
+    // whose two endpoint spaces are disjoint (e.g. a bipartite graph with
+    // even/odd node encoding), the symmetrized union cannot contain
+    // duplicates and the global distinct — a full extra shuffle — is
+    // skipped.
+    val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      .distinct()
+    val sym = (if (edgesDistinct) raw else raw.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // degree relation doubles as the node list (one row per node) — no
+    // separate distinct shuffle; pinned because every iteration joins it
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val withDeg = sym.join(deg, "src")
-    val nodes = sym.select(col("src").as("node")).distinct()
-    val nRow = nodes.agg(count(lit(1)).cast("double").as("__n"))
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node count is a one-row scalar (the triangleCount precedent): the
+    // Scala-side divisions below hit the same IEEE ops as the oracle's
+    val nD = deg.count().toDouble
+    var ranks = deg.select(col("src").as("node"), lit(1.0 / nD).as("rank"))
     for (_ <- 1 to iters)
+      // eager localCheckpoint truncates the per-iteration lineage: round k
+      // must not replay rounds 1..k-1 (values are unchanged — the decimal
+      // sums are partitioning-invariant by construction)
       ranks = withDeg.join(ranks, col("src") === col("node"))
         .groupBy("dst")
         .agg(Num.dsum12(col("rank") / col("deg")).as("__in"))
-        .crossJoin(broadcast(nRow))
         .select(col("dst").as("node"),
-          (lit(teleport) / col("__n") + lit(damping) * col("__in")).as("rank"))
+          (lit(teleport / nD) + lit(damping) * col("__in")).as("rank"))
+        .localCheckpoint(true)
+    sym.unpersist()
+    deg.unpersist()
+    withDeg.unpersist()
     ranks
   }
 }

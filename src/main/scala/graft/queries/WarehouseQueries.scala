@@ -51,7 +51,10 @@ object WarehouseQueries {
         .select((col("o_custkey") * 2).as("cnode"),
           (col("l_suppkey") * 2 + 1).as("snode"))
         .distinct()
-      graft.ops.Graph.pageRank(edges, "cnode", "snode", iters = 3)
+      // edges are pre-distincted and the even/odd encoding makes the
+      // endpoint spaces disjoint → the symmetrize-dedup shuffle is skipped
+      graft.ops.Graph.pageRank(edges, "cnode", "snode", iters = 3,
+          edgesDistinct = true)
         .filter(col("node") % 2 === 1)
         .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank"))
         .orderBy(col("rank").desc, col("s_suppkey"))
