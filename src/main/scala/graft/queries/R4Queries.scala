@@ -54,20 +54,33 @@ object R4Queries {
     // Time-weighted average (TWAP): each observation holds until the next
     // one, so its weight is the holding duration — the telemetry/finance
     // aggregate a plain AVG silently gets wrong on irregular samples.
-    // Durations in exact integer micros → hours (one rounded division,
-    // identical on both engines); weighted sums decimal-accumulated.
+    // EVERYTHING accumulates as exact integers: durations in micros, the
+    // weighted numerator as cents·µs (value quantized to the 1e-2 grid by
+    // floor(v·100+0.5) — identical IEEE ops on both engines — and the
+    // cents·µs product ≲ 4e13 is an exactly-representable integer double,
+    // so the DECIMAL(38,0) cast never rounds). The earlier per-row
+    // dur_h/dsum forms both lost to cross-engine rounding ties at sf0.1:
+    // per-row hour division lands on the decimal grid exactly (1800 µs →
+    // 5e-7), and value·µs doubles terminate within 14 decimal digits, so
+    // rounding HALF_UP (Spark) vs half-even (DuckDB) to 12 digits
+    // diverges. Integer accumulation has no rounding step at all; the two
+    // final divisions run on identical doubles.
     "q_s_twap" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val durH = (unix_micros(lead(col("ts"), 1).over(w)) -
-        unix_micros(col("ts"))) / lit(3600000000.0)
+      val durUs = unix_micros(lead(col("ts"), 1).over(w)) -
+        unix_micros(col("ts"))
+      val centsUs = floor(col("value") * 100.0 + 0.5) *
+        col("__dur_us").cast("double")
       Tables(s, d, "events")
-        .withColumn("__dur_h", durH)
-        .filter(col("__dur_h").isNotNull)
+        .withColumn("__dur_us", durUs)
+        .filter(col("__dur_us").isNotNull)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_intervals"),
-          (dsum(col("value") * col("__dur_h")) / dsum(col("__dur_h")))
-            .as("twap"),
-          dsum(col("__dur_h")).as("total_h"))
+          (sum(centsUs.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") /
+            (sum(col("__dur_us")).cast("double") * lit(100.0))).as("twap"),
+          (sum(col("__dur_us")).cast("double") / lit(3600000000.0))
+            .as("total_h"))
         .orderBy("user_id")
     }),
 
@@ -112,16 +125,20 @@ object R4Queries {
         |ORDER BY user_id""".stripMargin,
 
     "q_s_twap" ->
+      // all-integer accumulation (cents·µs / µs); divisions once per
+      // group on identical doubles — no double→decimal rounding anywhere
       s"""WITH e AS (SELECT user_id, value, event_id,
          |  CAST(ts AS TIMESTAMP) AS ts FROM events),
          |g AS (SELECT user_id, value,
          |  epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-         |    - ts) / 3600000000.0 AS dur_h
+         |    - ts) AS dur_us
          |  FROM e)
          |SELECT user_id, COUNT(*) AS n_intervals,
-         | ${dsumSql("value * dur_h")} / ${dsumSql("dur_h")} AS twap,
-         | ${dsumSql("dur_h")} AS total_h
-         |FROM g WHERE dur_h IS NOT NULL
+         | CAST(SUM(CAST((floor(value * 100.0 + 0.5) * CAST(dur_us AS DOUBLE))
+         |     AS DECIMAL(38,0))) AS DOUBLE)
+         |   / (CAST(SUM(dur_us) AS DOUBLE) * 100.0) AS twap,
+         | CAST(SUM(dur_us) AS DOUBLE) / 3600000000.0 AS total_h
+         |FROM g WHERE dur_us IS NOT NULL
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_a_weighted_avg" ->

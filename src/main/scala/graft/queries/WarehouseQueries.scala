@@ -106,6 +106,26 @@ object WarehouseQueries {
         .orderBy("event_type")
     }),
 
+    // Gini diversity (impurity) of the language mix per source: chosen
+    // over Shannon entropy because 1 − Σ(nᵢ/n)² is RATIONAL — integer
+    // counts squared through exact decimals, one double division at the
+    // end — where entropy's per-term logs would re-open the 1-ulp libm
+    // divergence the geometric-mean rework closed. Two grouped passes,
+    // both key-bounded.
+    "q_a_gini_diversity" -> ((s, d) => {
+      val c = Tables(s, d, "documents").groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_sl"))
+      c.groupBy("source")
+        .agg(sum(col("n_sl")).as("n"),
+          sum(col("n_sl").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+            col("n_sl").cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+            .cast("double").as("__ss"))
+        .select(col("source"), col("n"),
+          (lit(1.0) - col("__ss") /
+            (col("n").cast("double") * col("n").cast("double"))).as("gini"))
+        .orderBy("source")
+    }),
+
     // Calendar-hierarchy ROLLUP (year → month → grand total) — the
     // complement of q_a_cube/q_a_grouping_sets: one Expand-based pass,
     // grouping() flags disambiguating genuine NULLs from subtotal rows.
@@ -229,6 +249,15 @@ object WarehouseQueries {
          |   AS realized_rate
          |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    "q_a_gini_diversity" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS n_sl
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n,
+        | 1.0 - CAST(SUM(CAST(n_sl AS DECIMAL(19,0))
+        |     * CAST(n_sl AS DECIMAL(19,0))) AS DOUBLE)
+        |   / (CAST(SUM(n_sl) AS DOUBLE) * CAST(SUM(n_sl) AS DOUBLE)) AS gini
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "q_a_rollup_time" ->
       s"""WITH o AS (SELECT
