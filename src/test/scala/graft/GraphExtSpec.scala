@@ -78,6 +78,18 @@ class GraphExtSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ntileExact matches SQL NTILE under a DESCENDING order key (lift-decile path)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Ranking
+    val df = (1 to 503).map(i => (i.toLong, (i * 89 % 97).toDouble)).toDF("id", "v")
+    val expected = df
+      .withColumn("b", ntile(10).over(Window.orderBy(col("v").desc, col("id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val got = Ranking.ntileExact(df, Seq(col("v").desc, col("id").asc), 10, "b")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == expected)
+  }
+
   test("distributed byValue midranks match a single-window oracle exactly") {
     import graft.stats.Ranks
     import org.apache.spark.sql.expressions.Window
