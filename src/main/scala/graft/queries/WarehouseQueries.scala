@@ -106,6 +106,68 @@ object WarehouseQueries {
         .orderBy("event_type")
     }),
 
+    // Association rules over co-purchase baskets: support / confidence /
+    // lift, all integer-ratio exact (confidence = n_ab/n_a, lift =
+    // n_ab·N/(n_a·n_b) — the PMI discipline, no libm). Baskets dedup to
+    // (order, item) first so supports count ORDERS; the pair relation is
+    // bounded by per-order basket size, never corpus-quadratic; top-20
+    // rules via TakeOrdered + broadcast rank.
+    "q_j_assoc_rules" -> ((s, d) => {
+      val lo = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      val nRow = lo.agg(countDistinct(col("ok")).cast("double").as("__n"))
+      val isup = lo.groupBy("item").agg(count(lit(1)).as("n_item"))
+      val pairs = lo.toDF("ok", "pa").join(lo.toDF("ok", "pb"), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      val rules = pairs
+        .select(col("pa").as("antecedent"), col("pb").as("consequent"), col("n_ab"))
+        .union(pairs
+          .select(col("pb").as("antecedent"), col("pa").as("consequent"), col("n_ab")))
+        .join(isup.select(col("item").as("antecedent"), col("n_item").as("n_ante")),
+          Seq("antecedent"))
+        .join(isup.select(col("item").as("consequent"), col("n_item").as("n_cons")),
+          Seq("consequent"))
+        .crossJoin(broadcast(nRow))
+        .select(col("antecedent"), col("consequent"), col("n_ab"),
+          col("n_ante"), col("n_cons"),
+          (col("n_ab").cast("double") / col("n_ante").cast("double"))
+            .as("confidence"),
+          ((col("n_ab").cast("double") * col("__n")) /
+            (col("n_ante").cast("double") * col("n_cons").cast("double")))
+            .as("lift"))
+      graft.ops.Ranking.topKRanked(rules,
+          Seq(("lift", true), ("confidence", true),
+            ("antecedent", false), ("consequent", false)), 20)
+        .orderBy("rank")
+    }),
+
+    // Per-document keyword extraction: top-3 terms by integer-scaled
+    // tf·idf (idf = (N·1e6) DIV df over the FULL corpus — exact integers,
+    // no libm), ranked inside a doc-partitioned window. The distributed
+    // shape: corpus-wide df via one token-key aggregation, scores only for
+    // the requested doc subset.
+    "q_x_keywords" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(TextOps.normalizeText(col("text")))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfAll = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.filter(col("doc_id") < 30)
+        .join(dfAll, Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * expr("(n_docs * 1000000) DIV df")).cast("long"))
+      graft.ops.Ranking.topNPerGroup(scored, Seq("doc_id"),
+          Seq(col("score").desc, col("token").asc), 3, "rank")
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+          col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // Gini diversity (impurity) of the language mix per source: chosen
     // over Shannon entropy because 1 − Σ(nᵢ/n)² is RATIONAL — integer
     // counts squared through exact decimals, one double division at the
@@ -249,6 +311,47 @@ object WarehouseQueries {
          |   AS realized_rate
          |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    "q_j_assoc_rules" ->
+      """WITH lo AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        |  FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS nn FROM lo),
+        |isup AS (SELECT item, COUNT(*) AS n_item FROM lo GROUP BY item),
+        |p AS (SELECT a.item AS pa, b.item AS pb, COUNT(*) AS n_ab
+        |  FROM lo a JOIN lo b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |r AS (SELECT pa AS antecedent, pb AS consequent, n_ab FROM p
+        |  UNION ALL SELECT pb, pa, n_ab FROM p),
+        |scored AS (SELECT antecedent, consequent, n_ab,
+        |    ua.n_item AS n_ante, uc.n_item AS n_cons,
+        |    CAST(n_ab AS DOUBLE) / CAST(ua.n_item AS DOUBLE) AS confidence,
+        |    (CAST(n_ab AS DOUBLE) * nn) /
+        |      (CAST(ua.n_item AS DOUBLE) * CAST(uc.n_item AS DOUBLE)) AS lift
+        |  FROM r
+        |  JOIN isup ua ON r.antecedent = ua.item
+        |  JOIN isup uc ON r.consequent = uc.item
+        |  CROSS JOIN n)
+        |SELECT antecedent, consequent, n_ab, n_ante, n_cons, confidence,
+        | lift, CAST(rn AS INT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC,
+        |    confidence DESC, antecedent, consequent) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 20 ORDER BY rank""".stripMargin,
+
+    "q_x_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($normToksSql) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfa AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, token, tf, df,
+         |    CAST(tf * ((nn.n_docs * 1000000) // df) AS BIGINT) AS score
+         |  FROM tf JOIN dfa USING (token), nn
+         |  WHERE doc_id < 30),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token) AS rn FROM scored)
+         |SELECT doc_id, CAST(rn AS INT) AS rank, token, tf, df, score
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_a_gini_diversity" ->
       """WITH c AS (SELECT source, lang, COUNT(*) AS n_sl
