@@ -211,4 +211,47 @@ object StreamOps {
           Iterator(UserUpdate(user, next.n, next.sum, next.lastTs))
       }
   }
+
+  /** Session conf required by [[highValueCounts]]: the transformWithState
+    * operator only runs on the RocksDB state store provider. */
+  val RocksDbStateConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Spark 4 arbitrary-state API (`transformWithState`): a per-user
+    * counter of high-value events in a `ValueState` — the modern successor
+    * to flatMapGroupsWithState with typed named-state handles. State is
+    * O(1) per key. TimeMode.None: no timers, so batch-style triggers
+    * (AvailableNow) drain and terminate cleanly; a production deployment
+    * bounding state lifetime would switch to ProcessingTime +
+    * TTLConfig(ttl) — same processor, one init-arg change. */
+  class HighValueCounter(threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Double), (Long, Long)] {
+    @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+      val add = rows.count(_._3 >= threshold)
+      val next = (if (cnt.exists()) cnt.get() else 0L) + add
+      cnt.update(next)
+      Iterator((user, next))
+    }
+  }
+
+  def highValueCounts(
+      events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, Double)],
+      threshold: Double)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new HighValueCounter(threshold),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -123,6 +123,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(2L) == ((1L, 7.0)))
   }
 
+  test("transformWithState counts high-value events per user across restarts (Spark 4 state API)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    // TimeMode.None → no timers, so AvailableNow drains the source and
+    // terminates; a shared checkpoint across two start() calls proves the
+    // RocksDB ValueState survives a full query restart.
+    val cp = java.nio.file.Files.createTempDirectory("tws_cp").toString
+    val prevProvider =
+      spark.conf.getOption(StreamOps.RocksDbStateConf._1)
+    spark.conf.set(StreamOps.RocksDbStateConf._1, StreamOps.RocksDbStateConf._2)
+    try {
+      val stream = MemoryStream[(Long, Timestamp, Double)](spark)
+      // foreachBatch, not format("memory"): the memory sink refuses to
+      // recover from an existing checkpoint, and recovery is the point.
+      def run(): Map[Long, Long] = {
+        val sink = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+        val q = StreamOps.highValueCounts(stream.toDS(), threshold = 10.0)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+            batch.collect().foreach { case (u, n) => sink.merge(u, n, math.max) }
+          }
+          .option("checkpointLocation", cp)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        sink.asScala.toMap
+      }
+      stream.addData((1L, ts(0), 15.0), (1L, ts(1), 3.0), (2L, ts(2), 12.0))
+      val r1 = run()
+      assert(r1(1L) == 1L && r1(2L) == 1L)
+      stream.addData((1L, ts(10), 20.0), (3L, ts(11), 1.0))
+      val r2 = run()
+      assert(r2(1L) == 2L) // ValueState carried across query restart
+      assert(r2(3L) == 0L) // below threshold, still reports
+      assert(!r2.contains(2L)) // update mode: untouched keys emit nothing
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(StreamOps.RocksDbStateConf._1, p)
+      case None => spark.conf.unset(StreamOps.RocksDbStateConf._1)
+    }
+  }
+
   test("stream-static enrichment broadcasts the dimension, no state") {
     val stream = MemoryStream[Ev](spark)
     stream.addData(events: _*)
