@@ -1,0 +1,94 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means on an integer-quantized grid.
+  *
+  * Embedding components snap to a 1/quant grid via floor(v·quant + 0.5)
+  * (exact double arithmetic — identical on every IEEE engine), so each
+  * squared L2 distance is an exact BIGINT, the nearest-centroid argmin is
+  * tie-broken deterministically by centroid id, and the centroid update
+  * truncates the per-dimension mean back onto the grid with BIGINT `div`
+  * (truncation toward zero — the same semantics as DuckDB's `//`). The
+  * fixpoint is therefore bit-identical under any partitioning and
+  * reproducible by any engine with 64-bit integers: a clustering whose
+  * oracle is pure SQL. Clusters that lose all members keep their previous
+  * centroid and report n = 0.
+  *
+  * Scale shape: assignment is NARROW — the k quantized centroid arrays
+  * ship as literals inside one expression and every row computes its k
+  * distances in place, no join, no shuffle. The update is ONE shuffle per
+  * iteration (posexplode → groupBy (cluster, dim) with map-side partial
+  * aggregation). Only k·dims fitted integers reach the driver per round,
+  * so a 100 TB corpus streams through map tasks exactly like the IVF
+  * trainer in [[graft.sim.Similarity]].
+  *
+  * Ref: teamProject/eda.ipynb (the reference clusters with single-node
+  * sklearn; this is the distributed, oracle-checkable reformulation).
+  */
+object KMeans {
+
+  /** Snap the first `dims` components onto the 1/quant integer grid. */
+  def quantize(vecCol: Column, dims: Int, quant: Double): Column =
+    transform(slice(vecCol, 1, dims),
+      v => floor(v.cast("double") * quant + lit(0.5)).cast("long"))
+
+  /** Lloyd's iterations over (idCol, vecCol: array&lt;float&gt;).
+    * @return (cluster, dim, centroid, n) — k·dims rows, ordered. */
+  def kmeansQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, dims: Int, iters: Int,
+                      quant: Double = 1e6): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(iters >= 1 && k >= 1)
+    val qvecs = emb.select(col(idCol).as("vid"),
+      quantize(col(vecCol), dims, quant).as("qa"))
+
+    // Deterministic seed: the k vectors with the smallest md5(id) — an
+    // unkeyed uniform sample yielding the same k rows on any engine
+    // (TakeOrdered on the Spark side, never a global window).
+    var centroids: Seq[(Int, Seq[Long])] =
+      qvecs.orderBy(md5(col("vid").cast("string")), col("vid")).limit(k)
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i + 1, r.getSeq[Long](1)) }
+
+    // Narrow assignment: array_min over (distance, cid) structs compares
+    // lexicographically, so equal distances break toward the lower cid.
+    def assigned(): DataFrame = {
+      val cands = array(centroids.map { case (cid, arr) =>
+        struct(
+          aggregate(
+            zip_with(col("qa"), typedLit(arr), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          lit(cid).as("c"))
+      }: _*)
+      qvecs.withColumn("cluster", array_min(cands).getField("c"))
+    }
+    def updated(): DataFrame =
+      assigned()
+        .select(col("cluster"), posexplode(col("qa")).as(Seq("dim", "q")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("cq", expr("sq div n"))
+
+    for (_ <- 1 until iters) {
+      val upd = updated().collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
+      centroids = centroids.map { case (cid, arr) =>
+        (cid, arr.indices.map(i => upd.getOrElse((cid, i), arr(i))))
+      }
+    }
+    // Final round stays in-plan: the full centroid grid LEFT JOINs the
+    // last update so empty clusters keep their centroid with n = 0.
+    val grid = centroids.flatMap { case (cid, arr) =>
+      arr.indices.map(i => (cid, i, arr(i)))
+    }.toDF("cluster", "dim", "prev_cq")
+    grid.join(updated(), Seq("cluster", "dim"), "left")
+      .select(col("cluster"), col("dim"),
+        (coalesce(col("cq"), col("prev_cq")).cast("double") / quant)
+          .as("centroid"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("cluster", "dim")
+  }
+}

@@ -95,7 +95,41 @@ object R4Queries {
             dsum(col("l_quantity"))).as("qty_weighted_price"),
           (dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) /
             dsum(lit(1.0) - col("l_discount"))).as("disc_weighted_price"))
-        .orderBy("l_returnflag")))
+        .orderBy("l_returnflag")),
+
+    // Distributed Lloyd's k-means on the integer-quantized grid: narrow
+    // assignment (centroids as literals in one expression), one shuffle
+    // per iteration, only k·dims fitted integers on the driver. Every
+    // arithmetic step is exact BIGINT, so a 2-iteration fixpoint over 64
+    // dimensions hash-matches a pure-SQL oracle.
+    "q_v_kmeans" -> ((s, d) =>
+      graft.ml.KMeans.kmeansQuantized(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", k = 4, dims = 64, iters = 2)),
+
+    // Dataset-shift report between two snapshots (first vs second half of
+    // the event window): per-event-type volume-share drift and exact-
+    // decimal mean drift. One grouped pass plus a broadcast single-row
+    // totals relation — no global window, no second scan of row data.
+    "q_a_drift" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val isA = col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")
+      val per = ev.groupBy("event_type").agg(
+        count(when(isA, 1)).as("n_a"),
+        count(when(!isA, 1)).as("n_b"),
+        dsum(when(isA, col("value"))).as("s_a"),
+        dsum(when(!isA, col("value"))).as("s_b"))
+      val tot = ev.agg(
+        count(when(isA, 1)).as("tot_a"),
+        count(when(!isA, 1)).as("tot_b"))
+      per.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          (col("n_b").cast("double") / col("tot_b").cast("double") -
+            col("n_a").cast("double") / col("tot_a").cast("double"))
+            .as("share_drift"),
+          (col("s_b") / col("n_b").cast("double") -
+            col("s_a") / col("n_a").cast("double")).as("mean_drift"))
+        .orderBy("event_type")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_a_group_ols" -> {
@@ -147,5 +181,67 @@ object R4Queries {
          |   AS qty_weighted_price,
          | ${dsumSql("l_extendedprice * (1.0 - l_discount)")}
          |   / ${dsumSql("1.0 - l_discount")} AS disc_weighted_price
-         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_v_kmeans" -> {
+      // Unrolled Lloyd's on the 1e-6 integer grid. All arithmetic is
+      // integer-exact: quantization is floor(v*1e6+0.5) on identical
+      // doubles, distances are BIGINT sums, and the centroid update
+      // truncates with `//` — the same toward-zero semantics as Spark's
+      // `div`. Ties in the argmin break toward the lower centroid id on
+      // both engines.
+      def assign(cTab: String): String =
+        s"""(SELECT vec_id, cid FROM (
+           |    SELECT qe.vec_id, c.cid,
+           |      SUM((qe.q - c.cq) * (qe.q - c.cq)) AS dist
+           |    FROM qe JOIN $cTab c USING (dim)
+           |    GROUP BY qe.vec_id, c.cid)
+           |  QUALIFY row_number()
+           |    OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""".stripMargin
+      def update(aTab: String): String =
+        s"""(SELECT a.cid, qe.dim,
+           |    CAST(SUM(qe.q) // COUNT(*) AS BIGINT) AS cq, COUNT(*) AS n
+           |  FROM $aTab a JOIN qe USING (vec_id)
+           |  GROUP BY a.cid, qe.dim)""".stripMargin
+      s"""WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         |qe AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+         |  FROM embeddings, idx),
+         |init AS (SELECT vec_id,
+         |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |    vec_id) AS INTEGER) AS cid
+         |  FROM embeddings
+         |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |    vec_id) <= 4),
+         |c0 AS (SELECT init.cid, qe.dim, qe.q AS cq
+         |  FROM init JOIN qe USING (vec_id)),
+         |a1 AS ${assign("c0")},
+         |u1 AS ${update("a1")},
+         |c1 AS (SELECT c0.cid, c0.dim, COALESCE(u1.cq, c0.cq) AS cq
+         |  FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid AND u1.dim = c0.dim),
+         |a2 AS ${assign("c1")},
+         |u2 AS ${update("a2")}
+         |SELECT c1.cid AS cluster, c1.dim AS dim,
+         |  CAST(COALESCE(u2.cq, c1.cq) AS DOUBLE) / 1e6 AS centroid,
+         |  COALESCE(u2.n, CAST(0 AS BIGINT)) AS n
+         |FROM c1 LEFT JOIN u2 ON u2.cid = c1.cid AND u2.dim = c1.dim
+         |ORDER BY 1, 2""".stripMargin
+    },
+
+    "q_a_drift" -> {
+      val a = "CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'"
+      s"""WITH per AS (SELECT event_type,
+         |  COUNT(CASE WHEN $a THEN 1 END) AS n_a,
+         |  COUNT(CASE WHEN NOT ($a) THEN 1 END) AS n_b,
+         |  ${dsumSql(s"CASE WHEN $a THEN value END")} AS s_a,
+         |  ${dsumSql(s"CASE WHEN NOT ($a) THEN value END")} AS s_b
+         |  FROM events GROUP BY event_type),
+         |tot AS (SELECT COUNT(CASE WHEN $a THEN 1 END) AS tot_a,
+         |  COUNT(CASE WHEN NOT ($a) THEN 1 END) AS tot_b FROM events)
+         |SELECT event_type, n_a, n_b,
+         |  CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)
+         |    - CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS share_drift,
+         |  s_b / CAST(n_b AS DOUBLE) - s_a / CAST(n_a AS DOUBLE) AS mean_drift
+         |FROM per, tot ORDER BY event_type""".stripMargin
+    })
 }
