@@ -130,6 +130,35 @@ object ExtQueries {
         .orderBy("rank")
     }),
 
+    // Hybrid-retrieval fusion (RRF): BM25 and integer-idf TF-IDF top-50
+    // candidate lists fused by Σ 1/(60+rank). Both candidate lists are
+    // k-bounded (topKRanked → TakeOrdered), so the fusion full-outer join
+    // touches ≤100 rows no matter the corpus size, and the RRF score is a
+    // single fixed-order sum of two exact double divisions.
+    "q_x_rrf" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val bm = graft.ops.Ranking.topKRanked(
+        graft.text.Retrieval.bm25(docs, "doc_id", "text", QueryTokens),
+        Seq("score" -> true, "doc_id" -> false), 50)
+      val toks = docs.select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(
+          graft.text.TextOps.normalizeText(col("text")))).as("token"))
+        .filter(col("token").isin(QueryTokens: _*))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tfidf = tf.join(broadcast(df_), Seq("token")).crossJoin(broadcast(n))
+        .withColumn("w", expr("(n_docs * 1000000) DIV df"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("w")).cast("long").as("score"))
+      val ti = graft.ops.Ranking.topKRanked(tfidf,
+        Seq("score" -> true, "doc_id" -> false), 50)
+      graft.text.Retrieval.rrfFuse(bm, ti, "doc_id", k0 = 60, k = 10)
+        .select(col("rank"), col("doc_id"), col("rrf"),
+          col("rank_a").as("bm25_rank"), col("rank_b").as("tfidf_rank"))
+        .orderBy("rank")
+    }),
+
     // Exact decile bucketing WITHOUT a global-sort window: ntileExact
     // range-partitions the order key and turns per-partition row numbers
     // into global ones with driver-side bucket offsets — reproduces SQL
@@ -423,6 +452,53 @@ object ExtQueries {
         | CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
         |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id < 100 ORDER BY id_a""".stripMargin,
+
+    "q_x_rrf" -> {
+      val toksList = QueryTokens.map(t => s"'$t'").mkString("[", ", ", "]")
+      val normToks =
+        """regexp_split_to_array(trim(lower(trim(
+          |  regexp_replace(text, '\s+', ' ', 'g')))), '\s+')""".stripMargin
+      val k1 = 1.2; val b = 0.75
+      s"""WITH base AS (SELECT doc_id, len($normToks) AS dl,
+         |    unnest($normToks) AS token FROM documents),
+         |hits AS (SELECT * FROM base WHERE list_contains($toksList, token)),
+         |btf AS (SELECT doc_id, token, dl, COUNT(*) AS tf FROM hits
+         |  GROUP BY 1, 2, 3),
+         |bdf AS (SELECT token, COUNT(*) AS df FROM btf GROUP BY 1),
+         |corpus AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(len($normToks)) AS BIGINT) AS sum_dl FROM documents),
+         |bsc AS (SELECT doc_id, CAST(SUM(CAST(
+         |    (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5)
+         |      * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
+         |      / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b
+         |         * (CAST(dl AS DOUBLE)
+         |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |    AS DECIMAL(30,12))) AS DOUBLE) AS score
+         |  FROM btf JOIN bdf USING (token), corpus GROUP BY doc_id),
+         |brank AS (SELECT doc_id, CAST(rn AS INTEGER) AS rank_a FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         |      AS rn FROM bsc) t
+         |  WHERE rn <= 50),
+         |ttf AS (SELECT doc_id, token, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+         |tdf AS (SELECT token, COUNT(*) AS df FROM ttf GROUP BY 1),
+         |tsc AS (SELECT doc_id, CAST(SUM(tf * ((corpus.n_docs * 1000000)
+         |      // tdf.df)) AS BIGINT) AS score
+         |  FROM ttf JOIN tdf USING (token), corpus GROUP BY doc_id),
+         |trank AS (SELECT doc_id, CAST(rn AS INTEGER) AS rank_b FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         |      AS rn FROM tsc) t
+         |  WHERE rn <= 50),
+         |fused AS (SELECT doc_id, rank_a, rank_b,
+         |    COALESCE(1.0 / (60.0 + CAST(rank_a AS DOUBLE)), 0.0)
+         |    + COALESCE(1.0 / (60.0 + CAST(rank_b AS DOUBLE)), 0.0) AS rrf
+         |  FROM brank FULL OUTER JOIN trank USING (doc_id))
+         |SELECT CAST(rn AS INTEGER) AS rank, doc_id, rrf,
+         |  rank_a AS bm25_rank, rank_b AS tfidf_rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+         |  FROM fused) t
+         |WHERE rn <= 10 ORDER BY rank""".stripMargin
+    },
 
     "q_x_tfidf_search" -> {
       val toksList = QueryTokens.map(t => s"'$t'").mkString("[", ", ", "]")

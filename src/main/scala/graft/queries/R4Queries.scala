@@ -129,6 +129,31 @@ object R4Queries {
           (col("s_b") / col("n_b").cast("double") -
             col("s_a") / col("n_a").cast("double")).as("mean_drift"))
         .orderBy("event_type")
+    }),
+
+    // Dyadic EWMA: trailing exponentially-weighted mean with α = 1/2 over
+    // each user's last 8 events. Every weight is a power of two, so each
+    // scaled term is EXACT in IEEE arithmetic (dividing by 2^j only
+    // shifts the exponent) and the fixed-order 8-term sum performs the
+    // identical roundings on any engine — an exponential smoother with no
+    // libm and no cross-engine drift, expressed as plain lag columns over
+    // ONE partitioned window (no recursion, no per-key state).
+    "q_w_ewma" -> ((s, d) => {
+      val m = 8
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val lags = col("value").as("__l0") +: (1 until m).map(j =>
+        lag(col("value"), j).over(w).as(s"__l$j"))
+      val base = Tables(s, d, "events")
+        .select(Seq(col("user_id"), col("event_id"), col("value")) ++ lags: _*)
+      val num = (0 until m).map(j =>
+        coalesce(col(s"__l$j") / lit(math.pow(2.0, (j + 1).toDouble)),
+          lit(0.0))).reduce(_ + _)
+      val den = (0 until m).map(j =>
+        when(col(s"__l$j").isNotNull,
+          lit(1.0 / math.pow(2.0, (j + 1).toDouble)))
+          .otherwise(lit(0.0))).reduce(_ + _)
+      base.select(col("user_id"), col("event_id"), col("value"),
+        (num / den).as("ewma")).orderBy("user_id", "event_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +268,26 @@ object R4Queries {
          |    - CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS share_drift,
          |  s_b / CAST(n_b AS DOUBLE) - s_a / CAST(n_a AS DOUBLE) AS mean_drift
          |FROM per, tot ORDER BY event_type""".stripMargin
+    },
+
+    "q_w_ewma" -> {
+      // weights interpolated from the SAME Scala doubles the engine uses;
+      // every one is a power of two with an exact decimal rendering
+      val m = 8
+      val lagDefs = (1 until m).map(j => s"LAG(value, $j) OVER w AS l$j")
+        .mkString(", ")
+      val num = (0 until m).map(j =>
+        s"COALESCE(l$j / ${math.pow(2.0, (j + 1).toDouble)}, CAST(0.0 AS DOUBLE))")
+        .mkString(" + ")
+      val den = (0 until m).map(j =>
+        s"CASE WHEN l$j IS NOT NULL THEN CAST(${1.0 / math.pow(2.0, (j + 1).toDouble)} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT user_id, event_id, value,
+         |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |l AS (SELECT user_id, event_id, value, value AS l0, $lagDefs
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id, value,
+         | ($num) / ($den) AS ewma
+         |FROM l ORDER BY user_id, event_id""".stripMargin
     })
 }

@@ -80,4 +80,26 @@ object Retrieval {
         (coalesce(col("n_contaminated"), lit(0L)) /
           col("n_ngrams").cast("double")).as("contamination"))
   }
+
+  /** Reciprocal-rank fusion of two k-bounded rankings (hybrid search —
+    * e.g. a lexical and a vector candidate list): score = Σ 1/(k0 + rank)
+    * over the lists containing the doc (Cormack et al., SIGIR'09). The
+    * score is ONE fixed-order sum of two exact double divisions, so the
+    * fused ordering is engine-independent with no accumulation pass.
+    * Inputs carry a `rank` column and are already k-bounded (topKRanked),
+    * so the fusion is a tiny-relation full outer join — candidate
+    * generation is where the corpus-scale work already happened. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              k0: Int = 60, k: Int = 10,
+              rankA: String = "rank_a", rankB: String = "rank_b"): DataFrame = {
+    val fa = a.select(col(idCol), col("rank").as(rankA))
+    val fb = b.select(col(idCol), col("rank").as(rankB))
+    val fused = fa.join(fb, Seq(idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k0.toDouble) + col(rankA).cast("double")),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0.toDouble) + col(rankB).cast("double")),
+            lit(0.0)))
+    graft.ops.Ranking.topKRanked(fused, Seq("rrf" -> true, idCol -> false), k)
+  }
 }
