@@ -131,6 +131,34 @@ object R4Queries {
         .orderBy("event_type")
     }),
 
+    // Distribution drift as histogram overlap: Σ min(share_a, share_b)
+    // over fixed-width value bins, per event type. The min runs on
+    // CROSS-MULTIPLIED INTEGER counts (min(n_a·tot_b, n_b·tot_a)) and the
+    // single division happens once per group on exact ≤2^53 integers —
+    // the TWAP discipline applied to a distribution statistic, so the
+    // overlap coefficient is bit-identical on any engine with no decimal
+    // quantization step at all.
+    "q_a_drift_hist" -> ((s, d) => {
+      val isA = col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")
+      val binned = Tables(s, d, "events").select(col("event_type"),
+        floor(col("value") / lit(50.0)).cast("long").as("bin"),
+        isA.as("in_a"))
+      val byBin = binned.groupBy("event_type", "bin").agg(
+        count(when(col("in_a"), 1)).as("n_a"),
+        count(when(!col("in_a"), 1)).as("n_b"))
+      val tots = binned.groupBy("event_type").agg(
+        count(when(col("in_a"), 1)).as("tot_a"),
+        count(when(!col("in_a"), 1)).as("tot_b"))
+      byBin.join(broadcast(tots), Seq("event_type"))
+        .groupBy("event_type", "tot_a", "tot_b")
+        .agg(count(lit(1)).as("n_bins"),
+          (sum(least(col("n_a") * col("tot_b"), col("n_b") * col("tot_a")))
+            .cast("double") /
+            (col("tot_a") * col("tot_b")).cast("double")).as("overlap"))
+        .select("event_type", "n_bins", "overlap")
+        .orderBy("event_type")
+    }),
+
     // Dyadic EWMA: trailing exponentially-weighted mean with α = 1/2 over
     // each user's last 8 events. Every weight is a power of two, so each
     // scaled term is EXACT in IEEE arithmetic (dividing by 2^j only
@@ -268,6 +296,27 @@ object R4Queries {
          |    - CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS share_drift,
          |  s_b / CAST(n_b AS DOUBLE) - s_a / CAST(n_a AS DOUBLE) AS mean_drift
          |FROM per, tot ORDER BY event_type""".stripMargin
+    },
+
+    "q_a_drift_hist" -> {
+      val a = "CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'"
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(floor(value / 50.0) AS BIGINT) AS bin, ($a) AS in_a
+         |  FROM events),
+         |bb AS (SELECT event_type, bin,
+         |    COUNT(CASE WHEN in_a THEN 1 END) AS n_a,
+         |    COUNT(CASE WHEN NOT in_a THEN 1 END) AS n_b
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT event_type,
+         |    COUNT(CASE WHEN in_a THEN 1 END) AS tot_a,
+         |    COUNT(CASE WHEN NOT in_a THEN 1 END) AS tot_b
+         |  FROM b GROUP BY 1)
+         |SELECT bb.event_type AS event_type, COUNT(*) AS n_bins,
+         |  CAST(SUM(LEAST(n_a * tot_b, n_b * tot_a)) AS DOUBLE)
+         |    / CAST(tot_a * tot_b AS DOUBLE) AS overlap
+         |FROM bb JOIN t USING (event_type)
+         |GROUP BY bb.event_type, tot_a, tot_b
+         |ORDER BY event_type""".stripMargin
     },
 
     "q_w_ewma" -> {

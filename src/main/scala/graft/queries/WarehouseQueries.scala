@@ -26,6 +26,23 @@ object WarehouseQueries {
           "user_id", "ts", "event_id")
         .orderBy("user_id", "valid_from", "event_id")),
 
+    // Z-order (Morton) clustering key: interleave the bits of two bucketed
+    // dimensions so one range-partitioned sort co-locates rows that are
+    // close in BOTH — the layout that makes parquet min/max pruning work
+    // for filters on either column. Pure integer bit arithmetic (io/Layout
+    // .zValue), verified here as a per-bucket histogram of the z-space.
+    "q_o_zorder" -> ((s, d) => {
+      val a = pmod(col("o_custkey"), lit(1024L))
+      val b = pmod(datediff(col("o_orderdate"),
+        lit("1992-01-01").cast("date")).cast("long"), lit(1024L))
+      Tables(s, d, "orders")
+        .select(graft.io.Layout.zValue(a, b, 10).as("z"))
+        .withColumn("bucket", expr("z div 65536"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("z").as("min_z"), max("z").as("max_z"))
+        .orderBy("bucket")
+    }),
+
     // PMI bigram collocations over the document corpus, log-free: PMI =
     // log2(n_ab·N / (n_a·n_b)) is monotone in the integer ratio, so the
     // ranking uses the exact ratio and never calls libm. Unigram counts
@@ -210,6 +227,17 @@ object WarehouseQueries {
   private val normToksSql = s"""regexp_split_to_array(trim($normSql), '\\s+')"""
 
   val oracles: Map[String, String] = Map(
+    "q_o_zorder" -> {
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"((((o_custkey % 1024) >> $i) & 1) << ${2 * i})",
+        s"((((datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024) >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" + ")
+      s"""WITH z AS (SELECT ($terms) AS z FROM orders)
+         |SELECT z // 65536 AS bucket, COUNT(*) AS n,
+         |  MIN(z) AS min_z, MAX(z) AS max_z
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
     "q_j_scd2" ->
       """SELECT user_id, event_id, value,
         | CAST(ts AS TIMESTAMP) AS valid_from,

@@ -254,4 +254,42 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** MapState companion to [[HighValueCounter]]: per-user event-type
+    * counters held as a RocksDB MapState, so each arriving row is a
+    * point update of one map entry — no deserialize-the-whole-aggregate
+    * round-trip, which is what makes wide per-key profiles (thousands of
+    * counters per user) viable in state. Emits (user, distinct types,
+    * total events) after each batch. */
+  class TypeProfiler
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, Int, Long)] {
+    @transient private var m: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      m = getHandle.getMapState[String, Long]("types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Int, Long)] = {
+      rows.foreach { case (_, t) =>
+        m.updateValue(t, (if (m.containsKey(t)) m.getValue(t) else 0L) + 1L)
+      }
+      var nTypes = 0
+      var total = 0L
+      m.iterator().foreach { case (_, n) => nTypes += 1; total += n }
+      Iterator((user, nTypes, total))
+    }
+  }
+
+  def eventTypeProfile(events: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.Dataset[(Long, Int, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TypeProfiler,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

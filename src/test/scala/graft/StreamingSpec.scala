@@ -164,6 +164,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("MapState per-user type profile carries point updates across restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val cp = java.nio.file.Files.createTempDirectory("tws_map_cp").toString
+    val prevProvider = spark.conf.getOption(StreamOps.RocksDbStateConf._1)
+    spark.conf.set(StreamOps.RocksDbStateConf._1, StreamOps.RocksDbStateConf._2)
+    try {
+      val stream = MemoryStream[(Long, String)](spark)
+      def run(): Map[Long, (Int, Long)] = {
+        val sink =
+          new java.util.concurrent.ConcurrentHashMap[Long, (Int, Long)]()
+        val q = StreamOps.eventTypeProfile(stream.toDS())
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Int, Long)], _: Long) =>
+            batch.collect().foreach { case (u, k, n) => sink.put(u, (k, n)) }
+          }
+          .option("checkpointLocation", cp)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        sink.asScala.toMap
+      }
+      stream.addData((1L, "click"), (1L, "view"), (1L, "click"), (2L, "buy"))
+      val r1 = run()
+      assert(r1(1L) == ((2, 3L)) && r1(2L) == ((1, 1L)))
+      stream.addData((1L, "buy"), (1L, "click"))
+      val r2 = run()
+      assert(r2(1L) == ((3, 5L))) // map entries carried across restart
+      assert(!r2.contains(2L))
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(StreamOps.RocksDbStateConf._1, p)
+      case None => spark.conf.unset(StreamOps.RocksDbStateConf._1)
+    }
+  }
+
   test("stream-static enrichment broadcasts the dimension, no state") {
     val stream = MemoryStream[Ev](spark)
     stream.addData(events: _*)
