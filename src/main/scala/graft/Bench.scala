@@ -1,6 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
 object Bench {
+
+  /** Accumulates task-level shuffle/spill totals; reset per query so
+    * bench_full.json can report measured shuffle volume per query (the
+    * 100 TB scale story should ride on bytes, not prose). */
+  private class MetricsListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spill = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = { shuffleRead.set(0); shuffleWrite.set(0); spill.set(0) }
+  }
+
+  /** Listener events are delivered async; drain before snapshotting so a
+    * query's last tasks don't get attributed to the next one.
+    * LiveListenerBus is private[spark] — reflection, with a sleep
+    * fallback (attribution skew of a few tasks is acceptable). */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val m = bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount <= 1)
+        .get
+      if (m.getParameterCount == 0) m.invoke(bus)
+      else m.invoke(bus, java.lang.Long.valueOf(10000L))
+    } catch { case _: Throwable => Thread.sleep(200) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -11,6 +48,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     // JVM/codegen/parquet-reader warmup outside the timed loop
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
@@ -26,18 +65,31 @@ object Bench {
     // JIT/GC noise into round-3's numbers (9 queries "regressed" 3-9×
     // with no code change); the min of two runs is the stable signal
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // (time_sec, shuffle_read, shuffle_write, spill) per query; the byte
+    // counters come from the min-time iteration
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to iterations).map { _ =>
+      val runs = (1 to iterations).map { _ =>
+        drainListenerBus(spark)
+        listener.reset()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        // queries are independent; drop any cache a pipeline persisted
-        spark.catalog.clearCache()
+        drainListenerBus(spark)
+        val m = (listener.shuffleRead.get, listener.shuffleWrite.get,
+          listener.spill.get)
+        // queries are independent; drop whatever a pipeline pinned — BOTH
+        // layers: clearCache() alone leaves localCheckpoint RDD blocks
+        // resident, and 179 queries of accumulated orphans tax every
+        // query that runs later in the shared JVM (round-4 lesson:
+        // per-query times inflated 9-26x vs isolated measurement)
+        graft.ops.Leaks.sweep(spark)
         // a crashed query reports -1 instead of a normal-looking duration
-        if (ok) dt else -1.0
+        (if (ok) dt else -1.0, m)
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else r3(times.min))
+      val best = runs.minBy(_._1 match { case d if d < 0 => Double.MaxValue; case d => d })
+      val t = if (runs.exists(_._1 < 0)) -1.0 else r3(best._1)
+      name -> (t, best._2)
     }
     val headline = Vector(
       "q_a1_tpch_q1", "q_a_tpch_q6", "q_j_tpch_q3", "q_j_tpch_q12", "q_j_tpch_q14",
@@ -52,15 +104,21 @@ object Bench {
       "q_s_session", "q_mm_features")
     def toJson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val nFailed = results.count(_._2 < 0)
-    val total = r3(results.values.filter(_ >= 0).sum)
+    val times = results.map { case (k, (t, _)) => k -> t }
+    val nFailed = times.count(_._2 < 0)
+    val total = r3(times.values.filter(_ >= 0).sum)
+    // full artifact: flat time map (backward-compatible) + per-query
+    // {time, shuffle_read, shuffle_write, spill} byte metrics
+    val metricsJson = results.map { case (k, (t, (sr, sw, sp))) =>
+      s""""$k":{"time":$t,"shuffle_read":$sr,"shuffle_write":$sw,"spill":$sp}"""
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"iterations":$iterations,"queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"iterations":$iterations,"queries":${toJson(times)},"metrics":$metricsJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
-    val headlineQs = headline.flatMap(k => results.get(k).map(k -> _))
+    val headlineQs = headline.flatMap(k => times.get(k).map(k -> _))
     var line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"iterations":$iterations,"queries":${toJson(headlineQs)},"sf":"$sfDir"}"""
     // belt-and-braces: never exceed the driver's 2000-char tail window

@@ -26,7 +26,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        spark.catalog.clearCache()
+        // both cache layers: clearCache() alone leaves localCheckpoint
+        // blocks resident across the 179-query loop (round-4 lesson)
+        graft.ops.Leaks.sweep(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

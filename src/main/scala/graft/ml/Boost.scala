@@ -103,6 +103,12 @@ object Boost {
     val qRow = df.select(featureCols.map(c =>
       expr(s"percentile(`$c`, $pArr)").as(c)): _*).head()
     val thresholds = featureCols.indices.map { i =>
+      // percentile() returns NULL for an all-null column — fail with the
+      // column name, not an opaque NPE three calls deeper (a CONSTANT
+      // column is fine: its empty threshold set just makes it unsplittable)
+      require(!qRow.isNullAt(i),
+        s"binFeatures: feature column '${featureCols(i)}' has no non-null " +
+          "values (percentile returned NULL)")
       qRow.getSeq[Double](i).distinct.sorted.toArray
     }
     def binExpr(i: Int): Column =

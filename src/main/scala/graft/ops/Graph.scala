@@ -16,6 +16,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** `localCheckpoint` pins its RDD at the RDD layer, invisible to
+    * `catalog.clearCache()` — without explicit release, every iterative
+    * round leaks one rank/label vector for the life of the session
+    * (measured in round 4: the accumulated orphans inflated later bench
+    * queries 9-26x). The RDD registers in `getPersistentRDDs` at call
+    * time, so bracketing the call captures exactly the ids to free once
+    * the NEXT round materializes. */
+  private def checkpointTracked(df: DataFrame, eager: Boolean)
+      : (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(eager)
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def unpersistIds(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+  }
+
   /** Connected components by iterative min-label propagation.
     *
     * Input: an undirected edge relation (two id columns, any orientation,
@@ -39,28 +59,35 @@ object Graph {
     // lazy localCheckpoints (eager = false): the convergence count is the
     // action that materializes each round, so a round costs ONE job, not
     // two — while lineage still truncates (round k never replays 1..k-1)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(false)
+    var (labels, liveIds) = checkpointTracked(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")), eager = false)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // neighbor-minimum offer: min over incoming labels per vertex
       val offers = sym.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("comp").as("offer"))
-      val next = labels.join(offers, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"),
-          (coalesce(col("offer"), col("comp")) < col("comp")).as("__changed"))
-        .localCheckpoint(false)
+      val (next, nextIds) = checkpointTracked(
+        labels.join(offers, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"),
+            (coalesce(col("offer"), col("comp")) < col("comp")).as("__changed")),
+        eager = false)
       // FULL count (no limit-early-exit): a partial action would leave the
       // lazy checkpoint partially materialized with its lineage already
       // truncated — unrecomputable. The full pass is the materializer.
       converged = next.filter(col("__changed")).count() == 0
+      // round k-1's label vector is dead once round k materializes —
+      // release it or the loop leaks one checkpointed RDD per round
+      unpersistIds(next, liveIds)
+      liveIds = nextIds
       labels = next.drop("__changed")
       iter += 1
     }
     sym.unpersist()
+    // the returned frame carries exactly ONE pinned RDD (its own
+    // checkpoint); harnesses sweep it via Leaks.sweep between pipelines
     labels
   }
 
@@ -131,25 +158,37 @@ object Graph {
     // separate distinct shuffle; pinned because every iteration joins it
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val withDeg = sym.join(deg, "src")
+    // hash-partition the edge side on the join key ONCE: each round's
+    // ranks vector arrives hash-partitioned on `node` from the previous
+    // round's groupBy("dst") (alias propagation keeps the partitioning
+    // through the rename), so with this side pre-exchanged every
+    // iteration's join is exchange-free — ONE shuffle per round (the
+    // groupBy) instead of two, at any cluster size
+    val withDeg = sym.join(deg, "src").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node count is a one-row scalar (the triangleCount precedent): the
     // Scala-side divisions below hit the same IEEE ops as the oracle's
     val nD = deg.count().toDouble
     var ranks = deg.select(col("src").as("node"), lit(1.0 / nD).as("rank"))
     for (_ <- 1 to iters)
-      // eager localCheckpoint truncates the per-iteration lineage: round k
-      // must not replay rounds 1..k-1 (values are unchanged — the decimal
-      // sums are partitioning-invariant by construction)
+      // NO per-iteration checkpoint: `iters` is small and fixed, so the
+      // whole power iteration is one shallow job — round 4 eagerly
+      // materialized every round's rank vector (3 extra jobs) and leaked
+      // each one (localCheckpoint blocks are invisible to clearCache);
+      // the decimal sums make recomputation bit-identical anyway
       ranks = withDeg.join(ranks, col("src") === col("node"))
         .groupBy("dst")
         .agg(Num.dsum12(col("rank") / col("deg")).as("__in"))
         .select(col("dst").as("node"),
           (lit(teleport / nD) + lit(damping) * col("__in")).as("rank"))
-        .localCheckpoint(true)
+    // ONE eager materialization of the final vector lets the three pinned
+    // inputs release before returning; the returned frame carries exactly
+    // ONE pinned RDD (its own checkpoint), swept by Leaks.sweep between
+    // pipelines
+    val out = ranks.localCheckpoint(true)
     sym.unpersist()
     deg.unpersist()
     withDeg.unpersist()
-    ranks
+    out
   }
 }

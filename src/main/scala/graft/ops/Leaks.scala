@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Session hygiene between independent pipelines.
+  *
+  * `spark.catalog.clearCache()` drops only CacheManager-tracked relations
+  * (`df.persist`/`cacheTable`). RDDs pinned by `localCheckpoint` — which
+  * persists at the RDD layer, below the CacheManager — are invisible to it,
+  * so a long-lived session running many pipelines (the Bench/Verify loops,
+  * a notebook) accumulates orphaned checkpoint blocks and the resulting GC
+  * pressure taxes whatever runs next in the same JVM (measured in round 4:
+  * 9-26x inflated times for queries benched after the graph operators).
+  *
+  * `sweep` clears BOTH layers. Operators in this repo either unpersist
+  * their own intermediates before returning (see Graph.pageRank /
+  * connectedComponents) or pin state the returned lazy plan still needs
+  * (Prefix.runningSums, Ranking.ntileExact — the persist is a correctness
+  * device there, pinning one nondeterministic range partitioning); for the
+  * latter, the contract is: materialize the result, then `sweep` before
+  * starting unrelated work.
+  */
+object Leaks {
+  def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  /** Number of RDDs currently pinned at the RDD layer (cache or
+    * localCheckpoint) — the quantity `sweep` drives to zero. */
+  def persistentRddCount(spark: SparkSession): Int =
+    spark.sparkContext.getPersistentRDDs.size
+}

@@ -371,7 +371,8 @@ object Ranking {
                  rankCol: String = "rank"): DataFrame = {
     val sortCols = keys.map { case (c, desc) => if (desc) col(c).desc else col(c).asc }
     val top = df.orderBy(sortCols: _*).limit(k)
-    val b = top.select(keys.map { case (c, _) => col(c).as(s"__b_$c") }: _*)
+    val b = top.select(keys.map { case (c, _) =>
+      col(c).as(s"__b_$c") } :+ lit(1).as("__m"): _*)
     // lexicographic "b sorts strictly before a" over the (mixed-direction)
     // key list
     def before(i: Int): Column = {
@@ -380,9 +381,28 @@ object Ranking {
       if (i == keys.size - 1) lt
       else lt || (col(s"__b_$c") === col(c) && before(i + 1))
     }
-    top.join(broadcast(b), before(0), "left")
+    // the TOTAL-order contract is enforced, not just documented: two of
+    // the k survivors sharing the full key tuple would silently collapse
+    // in the grouped rank attach (fewer than k rows out, shifted ranks).
+    // Joining equals alongside strictly-befores costs nothing (every row
+    // matches at least itself) and lets the aggregate count key-tuple
+    // multiplicity — >1 raises in-plan with the offending key list.
+    val eqAll = keys.map { case (c, _) => col(s"__b_$c") <=> col(c) }
+      .reduce(_ && _)
+    val strictCnt =
+      sum(when(col("__m").isNotNull && !coalesce(eqAll, lit(false)), 1L)
+        .otherwise(0L))
+    val eqCnt = sum(when(coalesce(eqAll, lit(false)), 1L).otherwise(0L))
+    top.join(broadcast(b), before(0) || eqAll, "left")
       .groupBy(top.columns.map(col): _*)
-      .agg((count(col(s"__b_${keys.head._1}")) + 1).cast("int").as(rankCol))
+      .agg((strictCnt + 1).cast("int").as(rankCol), eqCnt.as("__eq"))
+      .withColumn(rankCol,
+        when(col("__eq") > 1, raise_error(
+          lit(s"topKRanked: keys ${keys.map(_._1).mkString("(", ",", ")")} " +
+            s"are not a total order — duplicate key tuple among the top-$k rows"))
+          .cast("int"))
+        .otherwise(col(rankCol)))
+      .drop("__eq")
   }
 
   /** W6/W8 — top-n rows per group (row_number window, no global sort). */
