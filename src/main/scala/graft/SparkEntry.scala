@@ -23,7 +23,8 @@ object SparkEntry {
     CoreQueries.queries ++ StatsQueries.queries ++
       TextSimQueries.queries ++ StreamQueries.queries ++ MlQueries.queries ++
       MultimodalQueries.queries ++ ExtQueries.queries ++ PipeQueries.queries ++
-      R4Queries.queries ++ TpchPlusQueries.queries ++ WarehouseQueries.queries
+      R4Queries.queries ++ TpchPlusQueries.queries ++
+      WarehouseQueries.queries ++ R5Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
     CoreQueries.oracles ++ StatsQueries.oracles ++
       TextSimQueries.oracles ++ StreamQueries.oracles ++ MlQueries.oracles ++
       MultimodalQueries.oracles ++ ExtQueries.oracles ++ PipeQueries.oracles ++
-      R4Queries.oracles ++ TpchPlusQueries.oracles ++ WarehouseQueries.oracles
+      R4Queries.oracles ++ TpchPlusQueries.oracles ++
+      WarehouseQueries.oracles ++ R5Queries.oracles
 }

@@ -234,6 +234,22 @@ object Skew {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(keyCol)).agg(sum("__partial").as("n"))
 
+  /** Two-phase salted count + exact-decimal sum: the general salted
+    * aggregate for additive statistics. Phase 1 shuffles on (key, salt) —
+    * a hot key's rows spread over `salts` reducers — and accumulates the
+    * value through DECIMAL (associative, so the two-phase regrouping is
+    * BIT-IDENTICAL to a single-phase sum); phase 2 merges `salts` partials
+    * per key, a relation bounded by |keys|·salts. */
+  def saltedAgg(df: DataFrame, keyCol: String, valueCol: String,
+                saltFromCol: String, salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(crc32(col(saltFromCol).cast("string")), lit(salts)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .as("__s"))
+      .groupBy(col(keyCol))
+      .agg(sum("__n").as("n"), sum("__s").cast("double").as("sum_value"))
+
   /** Salted join of a skewed fact against a small-ish dim that cannot be
     * broadcast: replicate the dim `salts`× and split the fact by salt so a
     * hot key's rows land on `salts` different reducers. */

@@ -190,6 +190,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), "expected the in-plan dense spine explode")
   }
 
+  test("salted aggregation's first exchange is keyed by (key, salt)") {
+    // the skew mitigation is only real if the FIRST shuffle spreads the
+    // hot key: partition expression must include __salt, and the plan must
+    // carry two keyed aggregations (partial-per-(k,salt), merge-per-k)
+    val plan = SparkEntry.queries("q_a_skew_salted")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val saltedExchanges = plan.split("\n")
+      .filter(l => l.contains("hashpartitioning") && l.contains("__salt"))
+    assert(saltedExchanges.nonEmpty,
+      s"no exchange keyed by the salt:\n${plan.take(1500)}")
+    assert(plan.split("HashAggregate").length - 1 >= 4,
+      "expected two keyed aggregation stages (each partial+final)")
+    // and the naive form must NOT pay the extra stage
+    val naive = SparkEntry.queries("q_a_skew_naive")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!naive.contains("__salt"))
+  }
+
   test("chunking is a pure narrow pipeline (no exchange before the explode)") {
     val df = graft.text.TextOps.chunkText(
       graft.core.Tables(spark, sfDir, "documents"), "doc_id", "text", 200, 50)
