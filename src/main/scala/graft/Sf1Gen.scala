@@ -36,13 +36,17 @@ object Sf1Gen {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     // key-space stride = max+1, computed from data (never collide copies)
-    def stride(t: String, c: String): Long =
-      read(t).agg(max(col(c))).head().getLong(0) + 1L
+    def stride(t: String, c: String): Long = {
+      val row = read(t).agg(max(col(c))).head()
+      require(!row.isNullAt(0), s"table $t is empty: max($c) is null")
+      row.getAs[Number](0).longValue + 1L
+    }
 
     val oOff = stride("orders", "o_orderkey")
     val cOff = stride("customer", "c_custkey")
@@ -93,10 +97,12 @@ object Sf1Gen {
         .withColumn("n_chars", length(col("text"))) })
     write("embeddings", replicate(read("embeddings")) { (df, i) =>
       val n = size(col("embedding"))
+      // rotate by i mod dim — safe for vectors shorter than the copy count
+      val r = pmod(lit(i), n)
       df.withColumn("vec_id", bump("vec_id", vOff, i))
         .withColumn("embedding",
-          concat(slice(col("embedding"), lit(i + 1), n - lit(i)),
-            slice(col("embedding"), lit(1), lit(i)))) })
+          concat(slice(col("embedding"), r + lit(1), n - r),
+            slice(col("embedding"), lit(1), r))) })
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog over a driver-provided scale-factor directory of parquet tables
   * (see TESTDATA.md). One parquet file per table; schemas in FIXTURES.md §7.
@@ -16,19 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session config required to scan the driver's tables: events.ts is
-    * parquet TIMESTAMP(NANOS), which Spark only reads as a long. */
-  val requiredConf: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  /** Session config required to scan the driver's tables. The generator has
+    * emitted `events.ts` as either TIMESTAMP(NANOS) (readable only as a long)
+    * or untagged TIMESTAMP(MICROS) (which Spark 4 would infer as
+    * TIMESTAMP_NTZ — unusable by `unix_micros`/bigint casts). Sessions pin the
+    * timezone to UTC, so reading untagged micros as a regular (LTZ) timestamp
+    * is semantically identical to NTZ and matches the DuckDB oracle. */
+  val requiredConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Restore event-time semantics for the nanos column (lossless here:
-    // the generator emits microsecond-resolution values).
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize whatever encoding `ts` arrived in to a plain TimestampType
+    * column with event-time semantics. Covers all three generator eras:
+    * long nanos, TIMESTAMP_NTZ micros, and already-correct timestamps. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => // nanos as long; generator values are micro-res
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+      case Some(TimestampNTZType) => // session TZ is UTC, so NTZ ≡ LTZ
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
-  }
 }

@@ -152,19 +152,26 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-    val sym = (if (edgesDistinct) raw else raw.distinct())
+    // Exchange the edge list on `src` ONCE and let everything downstream
+    // reuse that partitioning: HashPartitioning(src) satisfies the
+    // clustered distribution for the (src,dst) dedup aggregate, the
+    // degree aggregate, AND the per-iteration join — so dedup, degree,
+    // and join all run exchange-free on top of this single shuffle
+    // (previously: distinct keyed (src,dst), then a groupBy(src)
+    // re-exchange, then a repartition(src) — three full-edge shuffles).
+    val part = raw.repartition(col("src"))
+    val sym = (if (edgesDistinct) part else part.dropDuplicates("src", "dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // degree relation doubles as the node list (one row per node) — no
     // separate distinct shuffle; pinned because every iteration joins it
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // hash-partition the edge side on the join key ONCE: each round's
-    // ranks vector arrives hash-partitioned on `node` from the previous
-    // round's groupBy("dst") (alias propagation keeps the partitioning
-    // through the rename), so with this side pre-exchanged every
-    // iteration's join is exchange-free — ONE shuffle per round (the
-    // groupBy) instead of two, at any cluster size
-    val withDeg = sym.join(deg, "src").repartition(col("src"))
+    // each round's ranks vector arrives hash-partitioned on `node` from
+    // the previous round's groupBy("dst") (alias propagation keeps the
+    // partitioning through the rename), and this side is already
+    // partitioned on src — every iteration's join is exchange-free,
+    // ONE shuffle per round (the groupBy), at any cluster size
+    val withDeg = sym.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node count is a one-row scalar (the triangleCount precedent): the
     // Scala-side divisions below hit the same IEEE ops as the oracle's

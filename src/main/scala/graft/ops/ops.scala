@@ -224,15 +224,34 @@ object Cleaning {
   * skewed AGGREGATION keys and broadcast-ineligible skewed joins. */
 object Skew {
 
+  /** Working columns these operators add internally. Inputs that already
+    * contain one would silently collide with withColumn — refuse loudly. */
+  private val reserved = Set("__salt", "__partial", "__n", "__s")
+  private def requireNoReserved(df: DataFrame): Unit = {
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"input already contains reserved working column(s) ${clash.mkString(", ")}")
+  }
+
+  /** Deterministic per-row salt in [0, salts). crc32(null) is null, which
+    * would send every null-salt row of a hot key to ONE reducer — fall back
+    * to a per-row id so nulls spread too (the downstream aggregates are
+    * associative, so salt assignment never affects the result). */
+  private def saltExpr(saltFromCol: String, salts: Int) =
+    pmod(coalesce(crc32(col(saltFromCol).cast("string")),
+      monotonically_increasing_id()), lit(salts.toLong))
+
   /** Two-phase salted aggregation: count rows per (key, salt) with a
     * deterministic per-row salt, then merge the partials per key. The first
     * shuffle spreads a hot key over `salts` reducers. */
   def saltedCount(df: DataFrame, keyCol: String, saltFromCol: String,
-                  salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(crc32(col(saltFromCol).cast("string")), lit(salts)))
+                  salts: Int): DataFrame = {
+    requireNoReserved(df)
+    df.withColumn("__salt", saltExpr(saltFromCol, salts))
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(keyCol)).agg(sum("__partial").as("n"))
+  }
 
   /** Two-phase salted count + exact-decimal sum: the general salted
     * aggregate for additive statistics. Phase 1 shuffles on (key, salt) —
@@ -241,22 +260,24 @@ object Skew {
     * BIT-IDENTICAL to a single-phase sum); phase 2 merges `salts` partials
     * per key, a relation bounded by |keys|·salts. */
   def saltedAgg(df: DataFrame, keyCol: String, valueCol: String,
-                saltFromCol: String, salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(crc32(col(saltFromCol).cast("string")), lit(salts)))
+                saltFromCol: String, salts: Int): DataFrame = {
+    requireNoReserved(df)
+    df.withColumn("__salt", saltExpr(saltFromCol, salts))
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__n"),
         sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(30, 6)))
           .as("__s"))
       .groupBy(col(keyCol))
       .agg(sum("__n").as("n"), sum("__s").cast("double").as("sum_value"))
+  }
 
   /** Salted join of a skewed fact against a small-ish dim that cannot be
     * broadcast: replicate the dim `salts`× and split the fact by salt so a
     * hot key's rows land on `salts` different reducers. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFromCol: String, salts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
-      pmod(crc32(col(saltFromCol).cast("string")), lit(salts)))
+    requireNoReserved(fact); requireNoReserved(dim)
+    val saltedFact = fact.withColumn("__salt", saltExpr(saltFromCol, salts))
     val replicatedDim = dim
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")

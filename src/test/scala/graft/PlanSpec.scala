@@ -194,14 +194,31 @@ class PlanSpec extends AnyFunSuite {
     // the skew mitigation is only real if the FIRST shuffle spreads the
     // hot key: partition expression must include __salt, and the plan must
     // carry two keyed aggregations (partial-per-(k,salt), merge-per-k)
-    val plan = SparkEntry.queries("q_a_skew_salted")(spark, sfDir)
-      .queryExecution.executedPlan.toString
+    val exec0 = SparkEntry.queries("q_a_skew_salted")(spark, sfDir)
+      .queryExecution.executedPlan
+    // AQE wraps the plan in a leaf AdaptiveSparkPlanExec — unwrap so
+    // collect() can traverse the real operators
+    val exec = exec0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val plan = exec.toString
     val saltedExchanges = plan.split("\n")
       .filter(l => l.contains("hashpartitioning") && l.contains("__salt"))
     assert(saltedExchanges.nonEmpty,
       s"no exchange keyed by the salt:\n${plan.take(1500)}")
-    assert(plan.split("HashAggregate").length - 1 >= 4,
-      "expected two keyed aggregation stages (each partial+final)")
+    // collect real aggregate operators (hash/sort/objecthash all extend
+    // BaseAggregateExec) instead of counting plan-string substrings
+    val aggs = exec.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.count(_.groupingExpressions.nonEmpty) >= 4,
+      "expected two keyed aggregation stages (each partial+final), got:\n" +
+        aggs.map(_.groupingExpressions.map(_.sql)).mkString("\n"))
+    val saltKeyed = aggs.filter(
+      _.groupingExpressions.exists(_.sql.contains("__salt")))
+    assert(saltKeyed.nonEmpty, "no aggregate grouped by the salt")
     // and the naive form must NOT pay the extra stage
     val naive = SparkEntry.queries("q_a_skew_naive")(spark, sfDir)
       .queryExecution.executedPlan.toString

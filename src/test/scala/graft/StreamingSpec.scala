@@ -373,11 +373,9 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("part-0.parquet"))
-    val stream = spark.readStream
+    val stream = graft.core.Tables.normalizeTs(spark.readStream
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
-      .parquet(dir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+      .parquet(dir.toString))
     val q = StreamOps.toMemorySink(
       StreamOps.streamingTumblingAgg(stream, "1 hour", "2 hours"), "t_file")
       .start()
