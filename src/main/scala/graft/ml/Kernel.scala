@@ -73,4 +73,92 @@ object Kernel {
       .fit(mapped)
     RbfSvmModel(svc, featureCols, numFeatures, gamma, seed)
   }
+
+  /** Nyström rbf feature map (Williams & Seeger, "Using the Nyström Method
+    * to Speed Up Kernel Machines", NIPS 2000): pick m landmark rows L,
+    * eigendecompose the exact m×m kernel block K(L,L) = V Λ Vᵀ
+    * driver-side, and map each row x to z(x) = Λ^(−1/2) Vᵀ k(x, L) — then
+    * z(x)·z(y) ≈ k(x,y), EXACT whenever the kernel's effective rank ≤ m
+    * (which is why Nyström beats RFF at equal budget on smooth data).
+    *
+    * Scale shape mirrors [[rffExpr]]: only the m×d landmark matrix and the
+    * m×r projection live on the driver (the one collect is the m-row
+    * landmark sample); the per-row map is O(m·d + m·r), narrow,
+    * embarrassingly parallel. Landmarks are chosen by md5 order of the
+    * feature vector — deterministic under any partitioning. */
+  case class NystromMap(landmarks: Array[Array[Double]],
+                        proj: Array[Array[Double]], // m×r: V·Λ^(−1/2)
+                        featureCols: Seq[String], gamma: Double) {
+    def rank: Int = if (proj.isEmpty) 0 else proj(0).length
+    def expr: Column = {
+      val m = landmarks.length; val d = featureCols.size; val r = rank
+      val lm = landmarks; val p = proj; val g = gamma
+      val f = udf { (xs: Seq[Double]) =>
+        val kx = new Array[Double](m)
+        var i = 0
+        while (i < m) {
+          val li = lm(i); var s = 0.0; var j = 0
+          while (j < d) { val t = xs(j) - li(j); s += t * t; j += 1 }
+          kx(i) = math.exp(-g * s)
+          i += 1
+        }
+        val out = new Array[Double](r)
+        var k = 0
+        while (k < r) {
+          var s = 0.0; var i2 = 0
+          while (i2 < m) { s += kx(i2) * p(i2)(k); i2 += 1 }
+          out(k) = s
+          k += 1
+        }
+        out
+      }
+      f(array(featureCols.map(c => col(c).cast("double")): _*))
+    }
+  }
+
+  case class NystromSvmModel(svc: LinearSVCModel, map: NystromMap) {
+    def transform(df: DataFrame): DataFrame =
+      svc.transform(df.withColumn("__nys", array_to_vector(map.expr)))
+  }
+
+  /** rbf-SVM via Nyström features + LinearSVC — the higher-fidelity
+    * alternative to [[rbfSvmFit]] (near-exact kernel reconstruction when
+    * the data's kernel rank ≤ m; see KernelTpeSpec's measured MAEs). */
+  def nystromSvmFit(train: DataFrame, featureCols: Seq[String],
+                    labelCol: String, numLandmarks: Int = 128,
+                    gamma: Double = 0.5, regParam: Double = 1e-3,
+                    maxIter: Int = 50): NystromSvmModel = {
+    val map = nystromFit(train, featureCols, numLandmarks, gamma)
+    val svc = new LinearSVC().setMaxIter(maxIter).setRegParam(regParam)
+      .setLabelCol(labelCol).setFeaturesCol("__nys")
+      .fit(train.withColumn("__nys", array_to_vector(map.expr)))
+    NystromSvmModel(svc, map)
+  }
+
+  def nystromFit(df: DataFrame, featureCols: Seq[String], numLandmarks: Int,
+                 gamma: Double, eigFloor: Double = 1e-10): NystromMap = {
+    // deterministic landmark sample: first m rows by md5 of the feature
+    // vector (partitioning-invariant; a TakeOrdered, never a global sort)
+    val landmarks = df
+      .select(array(featureCols.map(c => col(c).cast("double")): _*).as("__x"))
+      .withColumn("__h", md5(to_json(struct(col("__x")))))
+      .orderBy("__h").limit(numLandmarks)
+      .select("__x").collect().map(_.getSeq[Double](0).toArray)
+    val m = landmarks.length
+    val kll = breeze.linalg.DenseMatrix.tabulate(m, m) { (i, j) =>
+      var s = 0.0; var k = 0
+      val a = landmarks(i); val b = landmarks(j)
+      while (k < a.length) { val t = a(k) - b(k); s += t * t; k += 1 }
+      math.exp(-gamma * s)
+    }
+    val es = breeze.linalg.eigSym(kll)
+    // keep eigenpairs above the floor (rank-deficiency guard); columns of
+    // proj are vᵢ/√λᵢ, so zᵀz reconstructs K(L,L)⁻¹-weighted quadratures
+    val keep = (0 until m).filter(i => es.eigenvalues(i) > eigFloor)
+    val proj = Array.tabulate(m, keep.length) { (i, c) =>
+      val e = keep(c)
+      es.eigenvectors(i, e) / math.sqrt(es.eigenvalues(e))
+    }
+    NystromMap(landmarks, proj, featureCols, gamma)
+  }
 }

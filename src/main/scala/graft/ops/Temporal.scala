@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Epoch microseconds that tolerates BOTH timestamp encodings: a no-op
+    * cast on TIMESTAMP, a session-timezone (pinned UTC) conversion on
+    * TIMESTAMP_NTZ — raw `unix_micros` is an analysis error on the latter,
+    * which is how a mid-round testdata re-encode broke seven queries at
+    * once. Use this instead of `unix_micros` on any event-time column. */
+  def epochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Epoch seconds, same dual-encoding tolerance as [[epochMicros]]. */
+  def epochSeconds(c: Column): Column = c.cast("timestamp").cast("long")
+
   /** As-of join (backward, exact matches allowed): for each left row, the
     * latest right row with rts ≤ lts of the same key. Physically NOT a
     * join: both sides union into one relation, ONE shuffle on the key, and
@@ -28,9 +38,15 @@ object Temporal {
     val l = left
       .withColumn("__t", col(ltsCol))
       .withColumn("__side", lit(1))
+    // NTZ-typed tie columns can't cast straight to long — epochSeconds
+    // absorbs either timestamp encoding; non-timestamp ties cast as before
+    val tie = right.schema(tieCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType => epochSeconds(col(tieCol))
+      case _ => col(tieCol).cast("long")
+    }
     val r = right.select(
       col(keyCol) +: col(rtsCol).as("__t") +: lit(0).as("__side") +:
-        col(tieCol).cast("long").as("__tie") +:
+        tie.as("__tie") +:
         valueCols.map(c => col(c).as(s"__v_$c")): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol)
@@ -56,7 +72,7 @@ object Temporal {
     * and the forward fill is a running last-non-null window per key. */
   def resampleWithGapFill(df: DataFrame, keyCol: String, tsCol: String,
                           valueCol: String, widthSeconds: Long): DataFrame = {
-    val bucket = floor(unix_micros(col(tsCol)) / (widthSeconds * 1000000L))
+    val bucket = floor(epochMicros(col(tsCol)) / (widthSeconds * 1000000L))
     val agg = df.groupBy(col(keyCol), bucket.as("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(30,6)")).as("__s"))
@@ -83,10 +99,10 @@ object Temporal {
                          ltsCol: String, rtsCol: String,
                          lagSeconds: Long): DataFrame = {
     val lb = left.withColumn("__bin",
-      floor(col(ltsCol).cast("long") / lagSeconds))
+      floor(epochSeconds(col(ltsCol)) / lagSeconds))
     val rb = right.withColumn("__bin", explode(array(
-      floor(col(rtsCol).cast("long") / lagSeconds),
-      floor(col(rtsCol).cast("long") / lagSeconds) + 1)))
+      floor(epochSeconds(col(rtsCol)) / lagSeconds),
+      floor(epochSeconds(col(rtsCol)) / lagSeconds) + 1)))
     lb.join(rb, Seq(keyCol, "__bin"))
       .filter(col(rtsCol) <= col(ltsCol) &&
         col(rtsCol) >= col(ltsCol) - expr(s"INTERVAL $lagSeconds SECOND"))

@@ -41,7 +41,7 @@ object ExtQueries {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables(s, d, "events")
         .select(col("user_id"), col("event_type"),
-          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+          (graft.ops.Temporal.epochMicros(col("ts")) - graft.ops.Temporal.epochMicros(lag(col("ts"), 1).over(w))).as("gap_us"),
           lag(col("event_type"), 1).over(w).as("prev_type"))
         .filter(col("gap_us").isNotNull)
         .groupBy("user_id")
@@ -247,7 +247,7 @@ object ExtQueries {
     // values, not row offsets.
     "q_w8_range_window" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
-        .orderBy(unix_micros(col("ts")))
+        .orderBy(graft.ops.Temporal.epochMicros(col("ts")))
         .rangeBetween(-30L * 60 * 1000000, 0)
       Tables(s, d, "events")
         .select(col("user_id"), col("event_id"), col("ts"),

@@ -148,7 +148,7 @@ object PipeQueries {
         .orderBy(col("ts"), col("event_id"))
       Tables(s, d, "events")
         .withColumn("__gap_us",
-          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          graft.ops.Temporal.epochMicros(col("ts")) - graft.ops.Temporal.epochMicros(lag(col("ts"), 1).over(w)))
         .withColumn("__keep",
           (col("__gap_us").isNull || col("__gap_us") >= 300L * 1000000).cast("int"))
         .groupBy("event_type")
@@ -316,7 +316,7 @@ object PipeQueries {
       val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val e = Tables(s, d, "events")
         .withColumn("__gap_us",
-          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+          graft.ops.Temporal.epochMicros(col("ts")) - graft.ops.Temporal.epochMicros(lag(col("ts"), 1).over(byUser)))
         .withColumn("session_id",
           sum(when(col("__gap_us") > 30L * 60 * 1000000, 1L).otherwise(0L))
             .over(run))

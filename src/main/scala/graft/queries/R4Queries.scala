@@ -67,8 +67,8 @@ object R4Queries {
     // final divisions run on identical doubles.
     "q_s_twap" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val durUs = unix_micros(lead(col("ts"), 1).over(w)) -
-        unix_micros(col("ts"))
+      val durUs = graft.ops.Temporal.epochMicros(lead(col("ts"), 1).over(w)) -
+        graft.ops.Temporal.epochMicros(col("ts"))
       val centsUs = floor(col("value") * 100.0 + 0.5) *
         col("__dur_us").cast("double")
       Tables(s, d, "events")

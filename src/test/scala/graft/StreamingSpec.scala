@@ -364,6 +364,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.columns.toSeq.sorted == Seq("k", "label", "v"))
   }
 
+  test("salted ops spread null salt-source rows and reject reserved columns") {
+    import graft.ops.Skew
+    // all-null salt source: crc32(null) is null — without the fallback
+    // every row of the hot key would land on ONE reducer; the result must
+    // still be exact either way
+    val nulls = (1 to 300).map(i => ("hot", null: String, i.toLong))
+      .toDF("k", "src", "v")
+    val agg = Skew.saltedAgg(nulls, "k", "v", "src", 8).collect()
+    assert(agg.length == 1)
+    assert(agg(0).getAs[Long]("n") == 300)
+    assert(agg(0).getAs[Double]("sum_value") == (1 to 300).sum.toDouble)
+    // and the salt expression actually spreads those rows across salts
+    val spread = nulls
+      .select(org.apache.spark.sql.functions.expr(
+        "pmod(coalesce(crc32(cast(src as string)), monotonically_increasing_id()), 8)")
+        .as("s"))
+      .distinct().count()
+    assert(spread > 1, "null-source rows should spread over multiple salts")
+
+    // reserved working columns are refused loudly, not silently clobbered
+    val clash = Seq(("a", 1L, 0)).toDF("k", "v", "__salt")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedCount(clash, "k", "v", 8)
+    }
+    assert(e.getMessage.contains("__salt"))
+  }
+
   test("parquet table replays as a file-source stream; agg matches batch") {
     // the events table itself, replayed through readStream with a watermark
     val sfDir = "/root/testdata/sf0.001"
