@@ -2,17 +2,20 @@ package graft.expressions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** SparkSessionExtensions entry point: makes the engine's native
-  * expressions callable from SQL. Wire with
-  * `spark.sql.extensions=graft.expressions.GraftExtensions` at session
+  * expressions callable from SQL and installs the optimizer rules. Wire
+  * with `spark.sql.extensions=graft.expressions.GraftExtensions` at session
   * build, or call [[GraftExtensions.register]] on a live session.
   *
   * `float_dot(a, b)` — the codegen'd float-array dot product
-  * ([[FloatDotProduct]]); `1 - float_dot(a,b)/...` cosine pipelines can
-  * then live entirely in `spark.sql` strings. */
+  * ([[FloatDotProduct]]); `float_cosine(a, b)` — the fused cosine;
+  * `top_rows(score, id, k)` — per-group bounded top-k aggregate
+  * ([[TopKRows]]); [[CosineFuseRule]] — rewrites composed dot/norm cosine
+  * into the fused form. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -30,11 +33,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2, "float_cosine takes exactly 2 arguments")
         FloatCosine(args(0), args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("top_rows"),
+      new ExpressionInfo(classOf[TopKRows].getName, "top_rows"),
+      GraftExtensions.topRowsBuilder))
+    ext.injectOptimizerRule(_ => CosineFuseRule)
   }
 }
 
 object GraftExtensions {
-  /** Register the same functions on an already-built session. */
+
+  private[expressions] val topRowsBuilder: Seq[Expression] => Expression = {
+    args =>
+      require(args.size == 3, "top_rows takes (score, id, k)")
+      val k = args(2) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"top_rows k must be an integer literal, got $other")
+      }
+      TopKRows(Cast(args(0), DoubleType), Cast(args(1), LongType), k)
+  }
+
+  /** Register the same functions + optimizer rule on an already-built
+    * session (extraOptimizations is the live-session route for rules). */
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "float_dot", { args =>
       require(args.size == 2, "float_dot takes exactly 2 arguments")
@@ -44,5 +65,9 @@ object GraftExtensions {
       require(args.size == 2, "float_cosine takes exactly 2 arguments")
       FloatCosine(args(0), args(1))
     })
+    Bridge.registerFunction(spark, "top_rows", topRowsBuilder)
+    if (!spark.experimental.extraOptimizations.contains(CosineFuseRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CosineFuseRule
   }
 }
