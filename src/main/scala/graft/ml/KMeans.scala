@@ -34,6 +34,53 @@ object KMeans {
     transform(slice(vecCol, 1, dims),
       v => floor(v.cast("double") * quant + lit(0.5)).cast("long"))
 
+  // Narrow assignment: array_min over (distance, cid) structs compares
+  // lexicographically, so equal distances break toward the lower cid.
+  private def assignedTo(qvecs: DataFrame,
+                         centroids: Seq[(Int, Seq[Long])]): DataFrame = {
+    val cands = array(centroids.map { case (cid, arr) =>
+      struct(
+        aggregate(
+          zip_with(col("qa"), typedLit(arr), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(cid).as("c"))
+    }: _*)
+    qvecs.withColumn("cluster", array_min(cands).getField("c"))
+  }
+
+  private def updatedFrom(qvecs: DataFrame,
+                          centroids: Seq[(Int, Seq[Long])]): DataFrame =
+    assignedTo(qvecs, centroids)
+      .select(col("cluster"), posexplode(col("qa")).as(Seq("dim", "q")))
+      .groupBy("cluster", "dim")
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("cq", expr("sq div n"))
+
+  // Deterministic seed + (iters - 1) collected centroid updates. Seed: the
+  // k vectors with the smallest md5(id) — an unkeyed uniform sample
+  // yielding the same k rows on any engine (TakeOrdered on the Spark side,
+  // never a global window). Only k·dims fitted integers reach the driver.
+  private def fitCentroids(qvecs: DataFrame, k: Int, iters: Int)
+      : Seq[(Int, Seq[Long])] = {
+    var centroids: Seq[(Int, Seq[Long])] =
+      qvecs.orderBy(md5(col("vid").cast("string")), col("vid")).limit(k)
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i + 1, r.getSeq[Long](1)) }
+    for (_ <- 1 until iters) {
+      val upd = updatedFrom(qvecs, centroids).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
+      centroids = centroids.map { case (cid, arr) =>
+        (cid, arr.indices.map(i => upd.getOrElse((cid, i), arr(i))))
+      }
+    }
+    centroids
+  }
+
+  private def quantized(emb: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, quant: Double): DataFrame =
+    emb.select(col(idCol).as("vid"),
+      quantize(col(vecCol), dims, quant).as("qa"))
+
   /** Lloyd's iterations over (idCol, vecCol: array&lt;float&gt;).
     * @return (cluster, dim, centroid, n) — k·dims rows, ordered. */
   def kmeansQuantized(emb: DataFrame, idCol: String, vecCol: String,
@@ -42,53 +89,32 @@ object KMeans {
     val spark = emb.sparkSession
     import spark.implicits._
     require(iters >= 1 && k >= 1)
-    val qvecs = emb.select(col(idCol).as("vid"),
-      quantize(col(vecCol), dims, quant).as("qa"))
-
-    // Deterministic seed: the k vectors with the smallest md5(id) — an
-    // unkeyed uniform sample yielding the same k rows on any engine
-    // (TakeOrdered on the Spark side, never a global window).
-    var centroids: Seq[(Int, Seq[Long])] =
-      qvecs.orderBy(md5(col("vid").cast("string")), col("vid")).limit(k)
-        .collect().toSeq.zipWithIndex
-        .map { case (r, i) => (i + 1, r.getSeq[Long](1)) }
-
-    // Narrow assignment: array_min over (distance, cid) structs compares
-    // lexicographically, so equal distances break toward the lower cid.
-    def assigned(): DataFrame = {
-      val cands = array(centroids.map { case (cid, arr) =>
-        struct(
-          aggregate(
-            zip_with(col("qa"), typedLit(arr), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d"),
-          lit(cid).as("c"))
-      }: _*)
-      qvecs.withColumn("cluster", array_min(cands).getField("c"))
-    }
-    def updated(): DataFrame =
-      assigned()
-        .select(col("cluster"), posexplode(col("qa")).as(Seq("dim", "q")))
-        .groupBy("cluster", "dim")
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-        .withColumn("cq", expr("sq div n"))
-
-    for (_ <- 1 until iters) {
-      val upd = updated().collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
-      centroids = centroids.map { case (cid, arr) =>
-        (cid, arr.indices.map(i => upd.getOrElse((cid, i), arr(i))))
-      }
-    }
+    val qvecs = quantized(emb, idCol, vecCol, dims, quant)
+    val centroids = fitCentroids(qvecs, k, iters)
     // Final round stays in-plan: the full centroid grid LEFT JOINs the
     // last update so empty clusters keep their centroid with n = 0.
     val grid = centroids.flatMap { case (cid, arr) =>
       arr.indices.map(i => (cid, i, arr(i)))
     }.toDF("cluster", "dim", "prev_cq")
-    grid.join(updated(), Seq("cluster", "dim"), "left")
+    grid.join(updatedFrom(qvecs, centroids), Seq("cluster", "dim"), "left")
       .select(col("cluster"), col("dim"),
         (coalesce(col("cq"), col("prev_cq")).cast("double") / quant)
           .as("centroid"),
         coalesce(col("n"), lit(0L)).as("n"))
       .orderBy("cluster", "dim")
+  }
+
+  /** Per-vector cluster assignment under the centroids after `iters - 1`
+    * updates — the partition step SemDeDup-style semantic dedup blocks on.
+    * Assignment itself is NARROW (centroid literals inside one expression,
+    * no join/shuffle), so at 100 TB it rides the scan.
+    * @return (idCol, cluster) — one row per input vector. */
+  def assignQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, dims: Int, iters: Int,
+                      quant: Double = 1e6): DataFrame = {
+    require(iters >= 1 && k >= 1)
+    val qvecs = quantized(emb, idCol, vecCol, dims, quant)
+    assignedTo(qvecs, fitCentroids(qvecs, k, iters))
+      .select(col("vid").as(idCol), col("cluster"))
   }
 }

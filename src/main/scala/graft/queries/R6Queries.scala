@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.expressions.TopKRows
+import graft.sim.Similarity
 
 /** Round-6 additions: per-group top-k via the bounded-heap aggregate
   * ([[graft.expressions.TopKRows]]) instead of the window row_number plan.
@@ -26,7 +27,21 @@ object R6Queries {
           (col("pos") + 1).cast("long").as("rnk"),
           col("col.id").as("o_orderkey"),
           col("col.score").as("o_totalprice"))
-        .orderBy("o_orderpriority", "rnk"))
+        .orderBy("o_orderpriority", "rnk")),
+
+    // SemDeDup: deterministic-k-means cluster blocking → within-cluster
+    // exact-cosine near-dup pairs → connected components → keep the min-id
+    // representative. The union plants an exact duplicate of every vector
+    // (cosine 1.0 ≥ 0.999; organic pairs top out ~0.51), so the expected
+    // keep set is exactly the original ids. The oracle replays the same
+    // quantized Lloyd's + decimal cosine + recursive-CTE closure in SQL.
+    "q_v_semantic_dedup" -> ((s, d) => {
+      val e0 = Tables(s, d, "embeddings")
+      val e = e0.unionByName(e0.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"), col("label")))
+      Similarity.semanticDedupKeep(e, threshold = 0.999, k = 16, iters = 2)
+        .orderBy("vec_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -36,6 +51,68 @@ object R6Queries {
         |        row_number() OVER (PARTITION BY o_orderpriority
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders)
-        |WHERE rn <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    // Same quantized Lloyd's as the q_v_kmeans oracle (k=16, one update,
+    // then assign), then decimal-exact within-cluster cosine pairs and the
+    // recursive-CTE component closure from q_x_neardup_clusters.
+    "q_v_semantic_dedup" -> {
+      def assign(cTab: String): String =
+        s"""(SELECT vec_id, cid FROM (
+           |    SELECT qe.vec_id, c.cid,
+           |      SUM((qe.q - c.cq) * (qe.q - c.cq)) AS dist
+           |    FROM qe JOIN $cTab c USING (dim)
+           |    GROUP BY qe.vec_id, c.cid)
+           |  QUALIFY row_number()
+           |    OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""".stripMargin
+      s"""WITH RECURSIVE u AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |idx AS (SELECT unnest(range(1, 65)) AS i),
+         |qe AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+         |  FROM u, idx),
+         |init AS (SELECT vec_id,
+         |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |    vec_id) AS INTEGER) AS cid
+         |  FROM u
+         |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |    vec_id) <= 16),
+         |c0 AS (SELECT init.cid, qe.dim, qe.q AS cq
+         |  FROM init JOIN qe USING (vec_id)),
+         |a1 AS ${assign("c0")},
+         |u1 AS (SELECT a.cid, qe.dim,
+         |    CAST(SUM(qe.q) // COUNT(*) AS BIGINT) AS cq
+         |  FROM a1 a JOIN qe USING (vec_id) GROUP BY a.cid, qe.dim),
+         |c1 AS (SELECT c0.cid, c0.dim, COALESCE(u1.cq, c0.cq) AS cq
+         |  FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid AND u1.dim = c0.dim),
+         |a2 AS ${assign("c1")},
+         |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+         |    * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS n2
+         |  FROM u, idx GROUP BY vec_id),
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ua.embedding AS va, ub.embedding AS vb
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN u ua ON ua.vec_id = a.vec_id
+         |  JOIN u ub ON ub.vec_id = b.vec_id),
+         |dots AS (SELECT id_a, id_b, CAST(SUM(CAST(CAST(va[i] AS DOUBLE)
+         |    * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM cand, idx GROUP BY id_a, id_b),
+         |p AS (SELECT id_a, id_b FROM dots
+         |  JOIN n2 na ON na.vec_id = dots.id_a
+         |  JOIN n2 nb ON nb.vec_id = dots.id_b
+         |  WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.999),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |lbl AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+         |SELECT a2.vec_id AS vec_id, a2.cid AS cluster,
+         |  (lbl.comp IS NULL OR lbl.comp = a2.vec_id) AS keep
+         |FROM a2 LEFT JOIN lbl ON lbl.id = a2.vec_id
+         |ORDER BY vec_id""".stripMargin
+    }
   )
 }

@@ -227,6 +227,59 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    * corpus with deterministic k-means ([[graft.ml.KMeans.assignQuantized]]),
+    * find near-duplicate pairs ONLY within each cluster, close them into
+    * components, and keep the min-id representative per component.
+    *
+    * The cluster blocking is what makes embedding near-dup tractable at
+    * 100 TB: the quadratic pair search is bounded per cluster instead of
+    * corpus-wide (raise k so clusters stay bounded as the corpus grows),
+    * and the assignment step itself is narrow — centroid literals inside
+    * one expression, no shuffle. Candidate pairs are pruned with the
+    * codegen'd fast cosine (1e-6 guard band) and only survivors pay the
+    * DECIMAL(30,12)-exact rescoring, so the keep set is bit-identical to a
+    * SQL oracle running the same quantized k-means + exact cosine.
+    *
+    * @return (idCol, cluster, keep) — keep=false exactly for non-minimal
+    *         members of a near-duplicate component. */
+  def semanticDedupKeep(df: DataFrame, threshold: Double, k: Int = 16,
+                        iters: Int = 2, dim: Int = 64,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.ops.Num.dsum12
+    // assignment feeds both sides of the pair join plus the final output —
+    // persist once; the block is released by Leaks.sweep between pipelines
+    val assigned = graft.ml.KMeans
+      .assignQuantized(df, idCol, vecCol, k, dim, iters)
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lhs = assigned.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val rhs = assigned.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val pruned = lhs.join(rhs, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold - 1e-6)
+    val n2 = df.select(col(idCol),
+        explode(transform(col(vecCol), x => x.cast("double") * x.cast("double"))).as("p"))
+      .groupBy(idCol).agg(dsum12(col("p")).as("n2"))
+    val dots = pruned
+      .select(col("id_a"), col("id_b"),
+        posexplode(zip_with(col("va"), col("vb"),
+          (x, y) => x.cast("double") * y.cast("double"))))
+      .groupBy("id_a", "id_b").agg(dsum12(col("col")).as("dot"))
+    val pairs = dots
+      .join(n2.select(col(idCol).as("id_a"), col("n2").as("n2a")), Seq("id_a"))
+      .join(n2.select(col(idCol).as("id_b"), col("n2").as("n2b")), Seq("id_b"))
+      .filter(col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b"))) >= threshold)
+      .select("id_a", "id_b")
+    // comp = min reachable id, so the representative test is comp == id;
+    // vectors in no near-dup pair never enter the component relation
+    val comp = graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
+    assigned.select(col(idCol), col("cluster"))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        (col("comp").isNull || col("comp") === col(idCol)).as("keep"))
+  }
+
   /** IVF-style ANN: k-means-lite centroids picked as md5-pseudo-random
     * corpus rows (deterministic), vectors assigned to nearest centroid
     * (one narrow pass), queries probe `nProbe` nearest centroids. The

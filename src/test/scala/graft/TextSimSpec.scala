@@ -182,4 +182,28 @@ class TextSimSpec extends AnyFunSuite {
     info(s"planted near-dups found: ${found.size}/50")
     assert(found.size >= 45)
   }
+
+  test("semanticDedupKeep keeps one representative per transitive dup group") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings").limit(60)
+    // plant TRIPLES (id, id+1000, id+2000): pairwise cosine 1.0, so the
+    // component closure must keep exactly the min id of each chain
+    val tripled = e
+      .unionByName(e.select((col("vec_id") + 1000).as("vec_id"),
+        col("embedding"), col("label")))
+      .unionByName(e.select((col("vec_id") + 2000).as("vec_id"),
+        col("embedding"), col("label")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDedupKeep(df, threshold = 0.999, k = 4, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val kept = run(tripled)
+    assert(kept.size == 180)
+    (0 until 60).foreach { i =>
+      assert(kept(i.toLong), s"original $i must be kept")
+      assert(!kept(i + 1000L) && !kept(i + 2000L), s"copies of $i must drop")
+    }
+    // and the keep set is invariant under a hostile repartitioning
+    val kept2 = run(tripled.repartition(7, col("vec_id")))
+    assert(kept2 == kept)
+    graft.ops.Leaks.sweep(spark)
+  }
 }
