@@ -41,6 +41,18 @@ object R6Queries {
         col("embedding"), col("label")))
       Similarity.semanticDedupKeep(e, threshold = 0.999, k = 16, iters = 2)
         .orderBy("vec_id")
+    }),
+
+    // Int8-quantized ANN: symmetric per-dim scales fit in one pass, narrow
+    // quantize, then exact INTEGER dot-product top-5 (codegen'd
+    // IntDotProduct, broadcast queries, corpus never shuffles). Integer
+    // scoring makes the quantized ranking itself hash-exact cross-engine —
+    // the memory-bound scale path (4× smaller vectors) with no fuzziness
+    // in the verification.
+    "q_v_int8_ann" -> ((s, d) => {
+      val q8 = Similarity.int8Quantize(Tables(s, d, "embeddings"))
+      Similarity.int8TopK(q8, q8.filter(col("vec_id") < 5), k = 5)
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -113,6 +125,25 @@ object R6Queries {
          |  (lbl.comp IS NULL OR lbl.comp = a2.vec_id) AS keep
          |FROM a2 LEFT JOIN lbl ON lbl.id = a2.vec_id
          |ORDER BY vec_id""".stripMargin
-    }
+    },
+
+    "q_v_int8_ann" ->
+      """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+        |x AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, idx),
+        |s AS (SELECT dim, MAX(ABS(v)) AS sc FROM x GROUP BY dim),
+        |q AS (SELECT vec_id, x.dim, CASE WHEN sc = 0 THEN 0
+        |    ELSE CAST(floor(v / sc * 127 + 0.5) AS BIGINT) END AS qv
+        |  FROM x JOIN s USING (dim)),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(SUM(a.qv * b.qv) AS BIGINT) AS qdot
+        |  FROM q a JOIN q b USING (dim)
+        |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, qdot, CAST(rn AS INTEGER) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY qdot DESC, neighbor_id) AS rn FROM d)
+        |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin
   )
 }

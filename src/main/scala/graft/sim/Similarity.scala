@@ -72,6 +72,45 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Symmetric per-dimension int8 quantization for embedding columns: fit
+    * is ONE aggregation pass producing `dims` scale doubles (fitted
+    * parameters — the only thing that reaches the driver), apply is a
+    * narrow `zip_with` against the scale literals. q = floor(v/s·127 + ½)
+    * ∈ [−127, 127] — identical IEEE ops on any engine, so the quantized
+    * vectors (and every integer dot product over them) are exactly
+    * reproducible in SQL. At 100 TB this is the memory-bound ANN path:
+    * 4× smaller vectors, integer kernels, and an exact re-rank can rescore
+    * the float originals for survivors only.
+    * @return (idCol, qvec: array&lt;int&gt;) */
+  def int8Quantize(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding", dims: Int = 64): DataFrame = {
+    val scales: Seq[Double] = df
+      .select(posexplode(slice(col(vecCol), 1, dims)).as(Seq("dim", "v")))
+      .groupBy("dim").agg(max(abs(col("v").cast("double"))).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    df.select(col(idCol), zip_with(slice(col(vecCol), 1, dims),
+      typedLit(scales),
+      (v, s) => when(s === 0d, lit(0)).otherwise(
+        floor(v.cast("double") / s * lit(127.0) + lit(0.5)).cast("int")))
+      .as("qvec"))
+  }
+
+  /** Exact top-k by integer dot product over int8-quantized vectors
+    * (codegen'd [[graft.expressions.IntDotProduct]]): broadcast query set,
+    * corpus never shuffles, ties break toward the smaller neighbor id —
+    * a total order, so the ranking is hash-checkable against SQL.
+    * @return (query_id, neighbor_id, qdot, rnk) */
+  def int8TopK(quantized: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col("qvec").as("__q")))
+    val scored = quantized.join(q, col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        graft.expressions.IntDotProduct.dot(col("__q"), col("qvec")).as("qdot"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * md5-derived uniform in [-0.5, 0.5). Computed ONCE on the driver and
     * embedded as a literal — the generated per-row code is pure mult-adds

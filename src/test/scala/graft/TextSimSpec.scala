@@ -206,4 +206,24 @@ class TextSimSpec extends AnyFunSuite {
     assert(kept2 == kept)
     graft.ops.Leaks.sweep(spark)
   }
+
+  test("int8-quantized ANN recalls the float brute-force neighbors") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val brute = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q8 = Similarity.int8Quantize(e)
+    val int8 = Similarity.int8TopK(q8, q8.filter(col("vec_id") < 10), k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & int8).size.toDouble / brute.size
+    info(s"int8 recall@5 = $recall")
+    // int8 scores dot products (not cosine), so this is a sanity floor,
+    // not parity — the oracle checks the quantized ranking exactly
+    assert(recall >= 0.2, s"int8 recall too low: $recall")
+    // quantized components stay within the int8 range
+    val mx = q8.select(max(array_max(col("qvec"))), min(array_min(col("qvec"))))
+      .head()
+    assert(mx.getInt(0) <= 127 && mx.getInt(1) >= -127)
+  }
 }
