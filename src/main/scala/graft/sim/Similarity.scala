@@ -97,18 +97,27 @@ object Similarity {
 
   /** Exact top-k by integer dot product over int8-quantized vectors
     * (codegen'd [[graft.expressions.IntDotProduct]]): broadcast query set,
-    * corpus never shuffles, ties break toward the smaller neighbor id —
-    * a total order, so the ranking is hash-checkable against SQL.
+    * corpus never shuffles, and the per-query ranking runs through the
+    * bounded-heap [[graft.expressions.TopKRows]] aggregate — each map task
+    * emits ≤ k candidates per query before the exchange, instead of a
+    * window plan sorting every scored candidate per query partition. Ties
+    * break toward the smaller neighbor id (the aggregate's total order),
+    * so the ranking is hash-checkable against SQL. The double score slot
+    * is exact for integer dots (|qdot| ≤ dims·127² ≪ 2⁵³).
     * @return (query_id, neighbor_id, qdot, rnk) */
   def int8TopK(quantized: DataFrame, queries: DataFrame, k: Int,
                idCol: String = "vec_id"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col("qvec").as("__q")))
-    val scored = quantized.join(q, col(idCol) =!= col("query_id"))
+    quantized.join(q, col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         graft.expressions.IntDotProduct.dot(col("__q"), col("qvec")).as("qdot"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("qdot").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKRows
+        .topRows(col("qdot"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").cast("long").as("qdot"),
+        (col("pos") + 1).cast("int").as("rnk"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
