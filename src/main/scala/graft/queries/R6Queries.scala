@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.expressions.TopKRows
 import graft.sim.Similarity
+import graft.text.TextOps
 
 /** Round-6 additions: per-group top-k via the bounded-heap aggregate
   * ([[graft.expressions.TopKRows]]) instead of the window row_number plan.
@@ -53,6 +54,22 @@ object R6Queries {
       val q8 = Similarity.int8Quantize(Tables(s, d, "embeddings"))
       Similarity.int8TopK(q8, q8.filter(col("vec_id") < 5), k = 5)
         .orderBy("query_id", "rnk")
+    }),
+
+    // Incremental-ingestion dedup: the day's batch (src4, plus planted
+    // copies of every 20th corpus doc) checked DIRECTIONALLY against the
+    // corpus signature index — corpus-index × batch band join, never a
+    // self-join over the union. The planted copies must all surface with
+    // jaccard 1.0; organic cross-source near-dups ride along.
+    "q_x_ingest_dedup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val corpus = docs.filter(col("source") =!= "src4")
+      val batch = docs.filter(col("source") === "src4")
+        .unionByName(corpus.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      TextOps.minhashNearDupAgainst(corpus, batch, "doc_id", "text",
+        numHashes = 16, bands = 2, threshold = 0.5)
+        .orderBy("batch_id", "corpus_id")
     })
   )
 
@@ -144,6 +161,39 @@ object R6Queries {
         |SELECT query_id, neighbor_id, qdot, CAST(rn AS INTEGER) AS rnk
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY qdot DESC, neighbor_id) AS rn FROM d)
-        |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin
+        |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Directional variant of the q_x_minhash_neardup oracle: batch CTE
+    // joined against the corpus CTE on band-slice equality (band-key md5
+    // equality ⇔ slice equality), same est-prune and exact jaccard.
+    "q_x_ingest_dedup" -> {
+      val mins = (0 until 16).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
+        .mkString(",\n   ")
+      val shinglesSql = TextSimQueries.shinglesSql
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  WHERE source <> 'src4'),
+         |batch AS (SELECT doc_id, text FROM documents WHERE source = 'src4'
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents
+         |  WHERE source <> 'src4' AND doc_id % 20 = 0),
+         |shc AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
+         |shb AS (SELECT doc_id, $shinglesSql AS sh FROM batch),
+         |sigc AS (SELECT doc_id, sh, [$mins] AS sg FROM shc),
+         |sigb AS (SELECT doc_id, sh, [$mins] AS sg FROM shb),
+         |cand AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |    b.sh AS shb2, c.sh AS shc2,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> CASE WHEN b.sg[i] = c.sg[i] THEN 1 ELSE 0 END)) / 16.0
+         |      AS est_jaccard
+         |  FROM sigb b JOIN sigc c
+         |    ON (b.sg[1:8] = c.sg[1:8] OR b.sg[9:16] = c.sg[9:16])),
+         |ex AS (SELECT batch_id, corpus_id, est_jaccard,
+         |    len(list_intersect(shb2, shc2))
+         |      / CAST(len(list_distinct(list_concat(shb2, shc2))) AS DOUBLE)
+         |      AS jaccard
+         |  FROM cand WHERE est_jaccard >= 0.25)
+         |SELECT batch_id, corpus_id, est_jaccard, jaccard FROM ex
+         |WHERE jaccard >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin
+    }
   )
 }

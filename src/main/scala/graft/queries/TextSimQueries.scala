@@ -28,7 +28,7 @@ object TextSimQueries {
     * mirrors TextOps.shingles' whole-string fallback (without it, range()
     * is empty for short docs, minhash minima go NULL, and band equality
     * can never match — silently diverging from the engine). */
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     s"""(CASE WHEN len($normToksSql) < 3
        | THEN [array_to_string($normToksSql, ' ')]
        | ELSE list_distinct(list_transform(range(0, len($normToksSql) - 2),

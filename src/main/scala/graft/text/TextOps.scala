@@ -336,6 +336,45 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directional near-dup check of an incoming BATCH against an existing
+    * CORPUS — the incremental-ingestion dedup a daily pipeline run
+    * executes. Same banded-LSH machinery as [[minhashNearDupPairs]], but
+    * the join is corpus-index × batch instead of a self-join: at scale the
+    * corpus signatures are the persisted index reused across ingests
+    * (computed once here, persisted), the day's batch is the small side,
+    * and only (band, id, sig) rows meet in the bucket join — document
+    * text joins back solely for the est-pruned survivors' exact verify.
+    * @return (batch_id, corpus_id, est_jaccard, jaccard) */
+  def minhashNearDupAgainst(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            numHashes: Int = 16, bands: Int = 2,
+                            shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame, as: String) = {
+      val sigs = df.select(col(idCol).as(as),
+        minhashSignatureFast(col(textCol), numHashes, shingleN).as(s"__sig"))
+      sigs.select(col(as), col("__sig"),
+        explode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
+    }
+    // corpus signatures are the reusable index — persist so the band join
+    // and any later ingest reuse one materialization
+    val cBand = banded(corpus, "corpus_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBand = banded(batch, "batch_id")
+      .withColumnRenamed("__sig", "__sig_b")
+    val candidates = cBand.join(bBand, Seq("__band"))
+      .select(col("batch_id"), col("corpus_id"),
+        estJaccardFast(col("__sig_b"), col("__sig"), numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold * 0.5)
+      .distinct()
+    val bt = batch.select(col(idCol).as("batch_id"), col(textCol).as("text_b"))
+    val ct = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("text_c"))
+    candidates.join(bt, Seq("batch_id")).join(ct, Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard"),
+        jaccardShinglesFast(col("text_b"), col("text_c"), shingleN).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash: per distinct token, bit b contributes +1/−1 by an
     * md5-derived bit; the fingerprint sets bit b iff the sum is positive.
     * Token hash = first 12 md5 hex chars (48 bits), so fingerprints up to

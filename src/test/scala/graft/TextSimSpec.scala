@@ -226,4 +226,25 @@ class TextSimSpec extends AnyFunSuite {
       .head()
     assert(mx.getInt(0) <= 127 && mx.getInt(1) >= -127)
   }
+
+  test("directional ingest dedup surfaces every planted corpus copy") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val planted = corpus.filter(col("doc_id") % 10 === 0)
+    val batch = docs.filter(col("source") === "src0")
+      .unionByName(planted.withColumn("doc_id", col("doc_id") + 50000))
+    val pairs = TextOps.minhashNearDupAgainst(corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val expect = planted.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted (copy, original) pair found with exact jaccard 1.0
+    val found = pairs.filter { case (b, c, j) => b == c + 50000 && j == 1.0 }
+      .map(_._2).toSet
+    assert(found == expect, s"missing: ${(expect -- found).take(5)}")
+    // directional: every pair is batch-side id × corpus-side id
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pairs.forall { case (b, c, _) =>
+      batchIds.contains(b) && corpusIds.contains(c) })
+    graft.ops.Leaks.sweep(spark)
+  }
 }
