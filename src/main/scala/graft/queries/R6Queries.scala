@@ -70,6 +70,24 @@ object R6Queries {
       TextOps.minhashNearDupAgainst(corpus, batch, "doc_id", "text",
         numHashes = 16, bands = 2, threshold = 0.5)
         .orderBy("batch_id", "corpus_id")
+    }),
+
+    // Deterministic per-group k-sample: rank rows inside each group by an
+    // md5-derived uniform score and keep the top 3 via the bounded-heap
+    // aggregate — uniform sampling with NO RNG state and no per-group
+    // sort; map tasks emit ≤ 3 candidates per group before the exchange.
+    // The md5 score makes the keep set identical on any engine and any
+    // cluster size (the q_m_hash_sample discipline, now group-bounded).
+    "q_m_group_sample" -> ((s, d) => {
+      val score = conv(substring(
+        md5(concat(lit("smp:"), col("event_id").cast("string"))), 1, 8),
+        16, 10).cast("double")
+      Tables(s, d, "events")
+        .groupBy("event_type")
+        .agg(TopKRows.topRows(score, col("event_id"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), col("col.id").as("event_id"))
+        .orderBy("event_type", "event_id")
     })
   )
 
@@ -194,6 +212,22 @@ object R6Queries {
          |  FROM cand WHERE est_jaccard >= 0.25)
          |SELECT batch_id, corpus_id, est_jaccard, jaccard FROM ex
          |WHERE jaccard >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin
+    },
+
+    // First 8 md5 hex nibbles assembled into the same double the Spark
+    // side gets from conv(..., 16, 10): every term is an exact small
+    // integer times a power of 16, so the assembled score (< 2^32) is
+    // exact in double on both engines.
+    "q_m_group_sample" -> {
+      val h = "md5('smp:' || CAST(event_id AS VARCHAR))"
+      val score = s"""list_sum(list_transform(range(1, 9),
+        | i -> (strpos('0123456789abcdef', substr($h, i, 1)) - 1)
+        |   * power(16.0, 8 - i)))""".stripMargin
+      s"""SELECT event_type, event_id FROM (
+         |  SELECT event_type, event_id, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY $score DESC, event_id) AS rn
+         |  FROM events)
+         |WHERE rn <= 3 ORDER BY event_type, event_id""".stripMargin
     }
   )
 }
