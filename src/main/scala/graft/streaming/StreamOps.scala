@@ -76,6 +76,27 @@ object StreamOps {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("approx_users"))
 
+  /** Streaming per-window top-k through the bounded-heap
+    * [[graft.expressions.TopKRows]] aggregate: the per-(window, type)
+    * state IS the k-entry heap buffer, merged incrementally across
+    * micro-batches — "largest k events per window" with O(k) state per
+    * group, where a streaming ranking window is unsupported and a collect-
+    * then-sort would hold every event. Ties break (score DESC, id ASC),
+    * so the streamed result equals the batch aggregate exactly. */
+  def streamingTopK(stream: DataFrame, scoreCol: String, idCol: String,
+                    k: Int = 3, width: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(graft.expressions.TopKRows
+        .topRows(col(scoreCol), col(idCol), k).as("__top"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        posexplode(col("__top")))
+      .select(col("w_start"), col("event_type"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("id"), col("col.score").as("score"))
+
   /** Streaming variant: watermarked tumbling aggregation ready for
     * `writeStream`. Late data beyond the watermark is dropped — state stays
     * bounded, the requirement for an unbounded 100 TB/day stream. */
@@ -141,6 +162,23 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming NEAR-duplicate dedup: drop documents whose 48-bit simhash
+    * fingerprint collides with one already seen inside the watermark.
+    * SimHash is computed over the DISTINCT token set, so token reorderings,
+    * repetitions, and whitespace noise map to the SAME fingerprint — a
+    * strictly wider net than [[streamingDedup]]'s normalized-content hash,
+    * while state stays one KB-bounded entry per distinct fingerprint
+    * inside the watermark (the batch-side Hamming-band search needs a
+    * corpus self-join the streaming model cannot afford). */
+  def streamingNearDedup(stream: DataFrame, textCol: String,
+                         tsCol: String = "ts", bits: Int = 48,
+                         watermark: String = "2 hours"): DataFrame =
+    stream
+      .withColumn("__sh", graft.text.TextOps.simhashFast(col(textCol), bits))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sh")
+      .drop("__sh")
 
   /** foreachBatch CDC-compaction sink: every micro-batch merges into a
     * keyed parquet table with latest-wins semantics (`tsCol` desc per

@@ -7,6 +7,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamOps
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class EvK(ts: Timestamp, event_type: String, value: Double, event_id: Long)
 case class EvU(ts: Timestamp, event_type: String, user_id: Long)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class UserEv(ts: Timestamp, user_id: Long, value: Double)
@@ -39,6 +40,39 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(streamed == batch)
     assert(batch.size == 4) // (h0: a×2, b×1), (h1: a×1), (h2: b×1)
+  }
+
+  test("streaming windowed top-k equals the batch heap aggregate") {
+    val evs = (0 until 120).map(i =>
+      EvK(ts(i), if (i % 2 == 0) "a" else "b", (i * 37 % 101).toDouble, i.toLong))
+    val stream = MemoryStream[EvK](spark)
+    // append mode emits each window ONCE, on finalization. Batch 1 stops
+    // at minute 39 (watermark 29 — nothing finalized), batch 2 adds
+    // minutes 40-119: the hour-0 groups receive rows in BOTH batches, so
+    // their state heaps genuinely merge across micro-batches, and none of
+    // batch 2's hour-0 rows are late (ts ≥ 40 > watermark 29).
+    stream.addData(evs.filter(_.event_id < 40): _*)
+    val q = StreamOps.streamingTopK(stream.toDF(), "value", "event_id",
+        k = 3, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("t_topk")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    stream.addData(evs.filter(_.event_id >= 40): _*)
+    q.processAllAvailable()
+    // sentinel far in the future pushes the watermark past both hours so
+    // their windows finalize and emit
+    stream.addData(EvK(ts(240), "a", 0.0, 999L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_topk")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = StreamOps.streamingTopK(evs.toDF(), "value", "event_id", k = 3)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // 2 hours × 2 types × top-3
+    assert(streamed.size == 12, s"got ${streamed.size}")
   }
 
   test("streaming HLL distinct equals the batch sketch estimate") {
@@ -252,6 +286,32 @@ class StreamingSpec extends AnyFunSuite {
     val kept = spark.table("dedup_stream").select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L, 5L), s"expected first-seen docs, got $kept")
+  }
+
+  test("streaming near-dedup drops token-set duplicates the exact hash misses") {
+    val stream = MemoryStream[Doc](spark)
+    stream.addData(
+      Doc(ts(5), 1L, "the quick brown fox"),
+      // reordered + repeated tokens: same distinct-token set → same
+      // simhash → dropped, though the normalized content hash differs
+      Doc(ts(10), 2L, "quick the fox brown brown"),
+      Doc(ts(15), 3L, "completely different text"))
+    val q = StreamOps.streamingNearDedup(stream.toDF(), "text", "ts")
+      .writeStream.format("memory").queryName("near_dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    stream.addData(Doc(ts(25), 4L, "fox quick brown the"), // dup of 1 again
+      Doc(ts(30), 5L, "genuinely new content"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("near_dedup_stream").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L), s"expected near-dedup survivors, got $kept")
+    // the exact-content dedup would NOT have caught doc 2 (different
+    // normalized string) — pin the distinction
+    val exact = graft.text.TextOps.normalizeText(lit("the quick brown fox"))
+    val reord = graft.text.TextOps.normalizeText(lit("quick the fox brown brown"))
+    assert(spark.range(1).select(exact === reord).head().getBoolean(0) == false)
   }
 
   test("stream-stream interval join matches the batch join") {
