@@ -62,4 +62,35 @@ object Io {
 
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** Small-file compaction for a parquet table directory — the OPTIMIZE
+    * maintenance job that complements [[Layout.writeZOrdered]]. Streaming
+    * sinks and per-batch ingests accumulate many small files; at scale the
+    * scan cost is then dominated by per-file open/footer overhead and the
+    * driver's file-listing, not by data. Rewrite: target file count =
+    * ceil(current bytes / targetBytes) (from the file listing — metadata
+    * only, no data through the driver), `repartition(n)` for even output
+    * sizes, write-temp-then-swap so readers never see a half-written
+    * table. Returns (files before, files after). */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    def parts(p: String) = Files.walk(Paths.get(p)).iterator().asScala
+      .filter(f => f.getFileName.toString.startsWith("part-") &&
+        f.getFileName.toString.contains(".parquet")).toVector
+    val before = parts(path)
+    val totalBytes = before.map(Files.size).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = path + ".compact.tmp"
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap: the rename pair is the "commit"; a transactional table format
+    // would make this atomic, the rewrite PLAN is identical
+    val old = path + ".compact.old"
+    Files.move(Paths.get(path), Paths.get(old))
+    Files.move(Paths.get(tmp), Paths.get(path))
+    Files.walk(Paths.get(old)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    (before.size, parts(path).size)
+  }
 }

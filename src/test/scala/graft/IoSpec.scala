@@ -116,4 +116,21 @@ class IoSpec extends AnyFunSuite {
       .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(smokesVals.toSeq == Seq(Some(1.0), Some(-1.0), None))
   }
+
+  test("compactParquet collapses a small-file table without changing its rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // 32 deliberately tiny files (the streaming-sink accumulation shape)
+    (1 to 2000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+      .repartition(32).write.parquet(dir)
+    val beforeRows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val (nBefore, nAfter) = graft.io.Io.compactParquet(spark, dir,
+      targetBytes = 512L * 1024)
+    assert(nBefore == 32)
+    assert(nAfter < nBefore, s"expected fewer files, got $nAfter")
+    val afterRows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterRows == beforeRows)
+  }
 }
