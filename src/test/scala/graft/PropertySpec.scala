@@ -228,4 +228,38 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TopKBuffer random inserts + merges equal the sorted-take reference") {
+    import graft.expressions.TopKBuffer
+    // reference order: score DESC, id ASC — the aggregate's documented
+    // total order
+    def refTop(xs: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+      xs.sortBy { case (s, id) => (-s, id) }.take(k)
+    def drain(b: TopKBuffer): Seq[(Double, Long)] =
+      (0 until b.n).map(i => (b.scores(i), b.ids(i)))
+        .sortBy { case (s, id) => (-s, id) }
+    val pairGen = for {
+      s <- Gen.oneOf(Gen.chooseNum(-1e3, 1e3), Gen.oneOf(0.0, 1.0, -1.0))
+      id <- Gen.chooseNum(0L, 50L) // small id space → frequent score ties
+    } yield (s, id)
+    (1 to 30).foreach { trial =>
+      val xs = sampled(Gen.listOfN(200, pairGen), seed = 100L + trial)
+      val k = 1 + trial % 7
+      // single-buffer path
+      val one = new TopKBuffer(k)
+      xs.foreach { case (s, id) => one.insert(s, id) }
+      assert(drain(one) == refTop(xs, k), s"single buffer, trial $trial")
+      // split into random chunk buffers, then merge — the partial-agg path
+      val nChunks = 1 + trial % 5
+      val merged = xs.grouped(math.max(1, xs.size / nChunks)).map { chunk =>
+        val b = new TopKBuffer(k)
+        chunk.foreach { case (s, id) => b.insert(s, id) }
+        b
+      }.reduce { (a, b) =>
+        (0 until b.n).foreach(i => a.insert(b.scores(i), b.ids(i)))
+        a
+      }
+      assert(drain(merged) == refTop(xs, k), s"merged buffers, trial $trial")
+    }
+  }
 }
