@@ -70,6 +70,45 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(modes == Set("Partial", "Final"), s"modes were $modes")
   }
 
+  test("top_rows handles groups smaller than k and k = 1") {
+    val tiny = Seq((1, 9.0, 1L), (1, 7.0, 2L), (2, 5.0, 3L))
+      .toDF("g", "score", "id")
+    val r = tiny.groupBy("g")
+      .agg(TopKRows.topRows(col("score"), col("id"), 5).as("top"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Any](1).size).toMap
+    assert(r == Map(1 -> 2, 2 -> 1)) // short groups return what they have
+    val top1 = tiny.groupBy("g")
+      .agg(TopKRows.topRows(col("score"), col("id"), 1).as("top"))
+      .select(explode(col("top"))).select(col("col.id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(top1 == Set(1L, 3L))
+  }
+
+  test("the heap aggregate is not slower than the window top-n plan") {
+    val orders = graft.core.Tables(spark, "/root/testdata/sf0.1", "orders")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice").cache()
+    orders.count()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def windowRun() = orders.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3).count()
+    def aggRun() = orders.groupBy("o_orderpriority")
+      .agg(TopKRows.topRows(col("o_totalprice"), col("o_orderkey"), 3).as("t"))
+      .select(explode(col("t"))).count()
+    windowRun(); aggRun() // warm both paths
+    val tw = (1 to 5).map(_ => time(windowRun())).min
+    val ta = (1 to 5).map(_ => time(aggRun())).min
+    info(f"window: $tw%.3f s, heap aggregate: $ta%.3f s (x${tw / ta}%.1f)")
+    // the window plan shuffles + sorts all 1.5 M rows; the aggregate
+    // shuffles ≤ k·groups·tasks heap entries. Allow generous JIT slack.
+    assert(ta <= tw * 1.5, f"heap agg $ta%.3f s vs window $tw%.3f s")
+    orders.unpersist()
+  }
+
   test("top_rows is callable from SQL and rejects a non-literal k") {
     GraftExtensions.register(spark)
     graft.core.Tables(spark, "/root/testdata/sf0.001", "orders")
