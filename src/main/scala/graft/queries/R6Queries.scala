@@ -72,6 +72,16 @@ object R6Queries {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // Product-quantization codes: 8 subspaces × 16 codewords over the
+    // 64-dim embeddings — 256 bytes → 8 codes per vector, the compression
+    // that keeps a billion-vector index in memory. Every per-subspace
+    // Lloyd's step is integer-exact, so the full code table hash-matches
+    // a SQL replay of 8 independent quantized k-means runs.
+    "q_v_pq_codes" -> ((s, d) =>
+      Similarity.pqCodes(Tables(s, d, "embeddings"),
+        dims = 64, subspaces = 8, codewords = 16, iters = 2)
+        .orderBy("vec_id", "subspace")),
+
     // Deterministic per-group k-sample: rank rows inside each group by an
     // md5-derived uniform score and keep the top 3 via the bounded-heap
     // aggregate — uniform sampling with NO RNG state and no per-group
@@ -212,6 +222,49 @@ object R6Queries {
          |  FROM cand WHERE est_jaccard >= 0.25)
          |SELECT batch_id, corpus_id, est_jaccard, jaccard FROM ex
          |WHERE jaccard >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin
+    },
+
+    // Eight independent replays of the quantized-Lloyd's CTE (one per
+    // subspace; the q_v_kmeans oracle pattern with k=16 over that
+    // subspace's 8 components), unioned into the long-form code table.
+    "q_v_pq_codes" -> {
+      def assign(qe: String, cTab: String): String =
+        s"""(SELECT vec_id, cid FROM (
+           |    SELECT $qe.vec_id, c.cid,
+           |      SUM(($qe.q - c.cq) * ($qe.q - c.cq)) AS dist
+           |    FROM $qe JOIN $cTab c USING (dim)
+           |    GROUP BY $qe.vec_id, c.cid)
+           |  QUALIFY row_number()
+           |    OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""".stripMargin
+      val subs = (0 until 8).map { s =>
+        s"""qe$s AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+           |  CAST(floor(CAST(embedding[i + ${s * 8}] AS DOUBLE) * 1e6 + 0.5)
+           |    AS BIGINT) AS q
+           |  FROM embeddings, idx8),
+           |c0$s AS (SELECT init.cid, qe$s.dim, qe$s.q AS cq
+           |  FROM init JOIN qe$s USING (vec_id)),
+           |a1$s AS ${assign(s"qe$s", s"c0$s")},
+           |u1$s AS (SELECT a.cid, qe$s.dim,
+           |    CAST(SUM(qe$s.q) // COUNT(*) AS BIGINT) AS cq
+           |  FROM a1$s a JOIN qe$s USING (vec_id) GROUP BY a.cid, qe$s.dim),
+           |c1$s AS (SELECT c0$s.cid, c0$s.dim, COALESCE(u1$s.cq, c0$s.cq) AS cq
+           |  FROM c0$s LEFT JOIN u1$s
+           |    ON u1$s.cid = c0$s.cid AND u1$s.dim = c0$s.dim),
+           |a2$s AS ${assign(s"qe$s", s"c1$s")}""".stripMargin
+      }.mkString(",\n")
+      val union = (0 until 8).map(s =>
+        s"SELECT vec_id, $s AS subspace, cid AS code FROM a2$s")
+        .mkString("\nUNION ALL ")
+      s"""WITH idx8 AS (SELECT unnest(range(1, 9)) AS i),
+         |init AS (SELECT vec_id,
+         |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |    vec_id) AS INTEGER) AS cid
+         |  FROM embeddings
+         |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |    vec_id) <= 16),
+         |$subs
+         |$union
+         |ORDER BY vec_id, subspace""".stripMargin
     },
 
     // First 8 md5 hex nibbles assembled into the same double the Spark

@@ -120,6 +120,52 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Product-quantization codes (Jégou et al. 2011, the FAISS IVF-PQ
+    * compression): split the vector into `subspaces` contiguous blocks and
+    * assign each block to its nearest per-subspace codeword from a
+    * deterministic integer-grid k-means ([[graft.ml.KMeans.assignQuantized]]
+    * per block). At subspaces=8, codewords=16 a 64-dim float vector
+    * compresses 256 bytes → 8 codes — the representation that lets a
+    * billion-vector index live in memory, with asymmetric-distance scoring
+    * against per-subspace lookup tables. Training, like the scalar int8
+    * path, is one aggregation pass per Lloyd's round per subspace; every
+    * step is integer-exact, so the code assignment is bit-reproducible in
+    * SQL (same Lloyd's replayed per block).
+    * @return (idCol, subspace, code) — long form, one row per block. */
+  def pqCodes(df: DataFrame, idCol: String = "vec_id",
+              vecCol: String = "embedding", dims: Int = 64,
+              subspaces: Int = 8, codewords: Int = 16,
+              iters: Int = 2): DataFrame = {
+    require(dims % subspaces == 0, "dims must divide into equal subspaces")
+    val subDims = dims / subspaces
+    (0 until subspaces).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), s * subDims + 1, subDims).as("__sub"))
+      graft.ml.KMeans
+        .assignQuantized(sub, idCol, "__sub", codewords, subDims, iters)
+        .select(col(idCol), lit(s).as("subspace"), col("cluster").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The matching per-subspace codebooks: (subspace, code, dim, centroid,
+    * n) — `dim` is the offset WITHIN the subspace. Same deterministic fit
+    * as [[pqCodes]], so codes and codebooks always agree. */
+  def pqCodebooks(df: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding", dims: Int = 64,
+                  subspaces: Int = 8, codewords: Int = 16,
+                  iters: Int = 2): DataFrame = {
+    require(dims % subspaces == 0, "dims must divide into equal subspaces")
+    val subDims = dims / subspaces
+    (0 until subspaces).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), s * subDims + 1, subDims).as("__sub"))
+      graft.ml.KMeans
+        .kmeansQuantized(sub, idCol, "__sub", codewords, subDims, iters)
+        .select(lit(s).as("subspace"), col("cluster").as("code"),
+          col("dim"), col("centroid"), col("n"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * md5-derived uniform in [-0.5, 0.5). Computed ONCE on the driver and
     * embedded as a literal — the generated per-row code is pure mult-adds

@@ -227,6 +227,58 @@ class TextSimSpec extends AnyFunSuite {
     assert(mx.getInt(0) <= 127 && mx.getInt(1) >= -127)
   }
 
+  test("PQ codes reconstruct vectors well enough to rank neighbors") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val codes = Similarity.pqCodes(e).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val books = Similarity.pqCodebooks(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getInt(2), r.getDouble(3))).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1).map(_._2) }
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // reconstruction: concatenate the 8 chosen codewords per vector
+    val recon = vecs.keys.map { id =>
+      id -> (0 until 8).flatMap(s => books((s, codes((id, s))))).toArray
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val fidelity = vecs.keys.map(id => cos(vecs(id), recon(id))).sum / vecs.size
+    info(f"mean cosine(original, PQ reconstruction) = $fidelity%.3f")
+    assert(fidelity >= 0.5, f"PQ reconstruction too lossy: $fidelity%.3f")
+    // asymmetric ranking through the compression: plant a duplicate of
+    // each query vector and require ADC (true query vs reconstructed
+    // corpus) to surface it at rank 1 — organic neighbors on this
+    // synthetic corpus have sub-quantization-error margins, so top-k
+    // recall is the wrong probe; duplicate retrieval is the one a dedup/
+    // retrieval pipeline actually needs through 32× compression.
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+        col("label")))
+    val codes2 = Similarity.pqCodes(doubled).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val books2 = Similarity.pqCodebooks(doubled).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getInt(2), r.getDouble(3))).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1).map(_._2) }
+    val ids2 = vecs.keys.flatMap(id => Seq(id, id + 100000)).toSet
+    val recon2 = ids2.map { id =>
+      id -> (0 until 8).flatMap(s => books2((s, codes2((id, s))))).toArray
+    }.toMap
+    val queries = vecs.keys.filter(_ < 20)
+    val top1Hits = queries.count { q =>
+      val best = ids2.filter(_ != q).toSeq
+        .sortBy(id => (-cos(vecs(q), recon2(id)), id)).head
+      best == q + 100000
+    }
+    info(s"planted duplicate at ADC rank 1: $top1Hits/${queries.size} (32x compression)")
+    assert(top1Hits >= queries.size * 8 / 10,
+      s"PQ-ADC missed planted duplicates: $top1Hits/${queries.size}")
+  }
+
   test("directional ingest dedup surfaces every planted corpus copy") {
     val docs = graft.core.Tables(spark, sfDir, "documents")
     val corpus = docs.filter(col("source") =!= "src0")
