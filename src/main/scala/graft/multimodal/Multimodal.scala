@@ -332,6 +332,44 @@ object Multimodal {
       }
   }
 
+  /** Nearest-neighbor downsample THROUGH the real codec: decode BGR24,
+    * sample every `factor`-th pixel (floor mapping, target dims = source
+    * div factor), re-encode. Batched per partition like every codec-
+    * boundary op. Because the sampled pixels are exact source bytes, a
+    * closed-form oracle over the resized grid proves the whole
+    * decode→resize→encode→decode chain (row order, padding, and the
+    * sampling arithmetic). */
+  def resizeBmpNearest(df: DataFrame, idCol: String, binCol: String,
+                       factor: Int = 2): DataFrame = {
+    require(factor >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = BmpCodec.decode(bytes)
+          val w2 = math.max(1, img.width / factor)
+          val h2 = math.max(1, img.height / factor)
+          val outPx = new Array[Byte](w2 * h2 * 3)
+          var y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              val so = ((y * factor) * img.width + (x * factor)) * 3
+              val to = (y * w2 + x) * 3
+              outPx(to) = img.pixels(so)
+              outPx(to + 1) = img.pixels(so + 1)
+              outPx(to + 2) = img.pixels(so + 2)
+              x += 1
+            }
+            y += 1
+          }
+          (id, BmpCodec.encode(BmpCodec.Bmp(w2, h2, outPx)))
+        }
+      }.toDF(idCol, binCol)
+  }
+
   case class WavFeatures(id: Long, sample_rate: Int, n_samples: Long,
                          duration_s: Double, peak: Long, energy: Long,
                          zero_crossings: Long)

@@ -55,6 +55,21 @@ object MultimodalQueries {
         .toDF().orderBy("id")
     }),
 
+    // Decode → nearest-neighbor RESIZE → re-encode → decode, all through
+    // the real BMP codec; the closed-form oracle recomputes the resized
+    // grid's channel sums from the synthetic pixel formula at the sampled
+    // (2x, 2y) coordinates — any sampling, row-order, or padding bug in
+    // the resize path breaks the hash.
+    "q_mm_bmp_resize" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").filter(col("doc_id") < 200)
+        .select("doc_id")
+      val resized = Multimodal.resizeBmpNearest(
+        Multimodal.withSyntheticBmp(docs, "doc_id"), "doc_id", "bmp",
+        factor = 2)
+      Multimodal.extractBmpFeatures(resized, "doc_id", "bmp")
+        .toDF().orderBy("id")
+    }),
+
     // Stub decode → features (mapPartitions batch path). Oracle-checked:
     // the stub codec's hash is a 31-multiplier byte fold reproduced in SQL
     // via list_reduce, and resize/mean are plain integer arithmetic.
@@ -112,6 +127,28 @@ object MultimodalQueries {
         |  FROM par)
         |SELECT id, w AS width, h AS height,
         | CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS size_bytes,
+        | CAST(sum_b AS BIGINT) AS sum_b, CAST(sum_g AS BIGINT) AS sum_g,
+        | CAST(sum_r AS BIGINT) AS sum_r
+        |FROM px ORDER BY id""".stripMargin,
+
+    "q_mm_bmp_resize" ->
+      """WITH par AS (SELECT doc_id AS id,
+        |  CAST((17 + doc_id % 15) // 2 AS INTEGER) AS w2,
+        |  CAST((9 + doc_id % 7) // 2 AS INTEGER) AS h2
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (SELECT id, w2, h2,
+        |  list_sum(flatten(list_transform(range(0, h2), y ->
+        |    list_transform(range(0, w2), x -> (2*x * 3 + 2*y * 7 + id) % 256))))
+        |    AS sum_b,
+        |  list_sum(flatten(list_transform(range(0, h2), y ->
+        |    list_transform(range(0, w2), x -> (2*x + 2*y * 11 + id * 5) % 256))))
+        |    AS sum_g,
+        |  list_sum(flatten(list_transform(range(0, h2), y ->
+        |    list_transform(range(0, w2), x -> (2*x * 13 + 2*y + id * 9) % 256))))
+        |    AS sum_r
+        |  FROM par)
+        |SELECT id, w2 AS width, h2 AS height,
+        | CAST(54 + (3 * w2 + (4 - (3 * w2) % 4) % 4) * h2 AS BIGINT) AS size_bytes,
         | CAST(sum_b AS BIGINT) AS sum_b, CAST(sum_g AS BIGINT) AS sum_g,
         | CAST(sum_r AS BIGINT) AS sum_r
         |FROM px ORDER BY id""".stripMargin,

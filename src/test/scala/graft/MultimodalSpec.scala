@@ -126,4 +126,21 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.zero_crossings == zc)
     }
   }
+
+  test("nearest-neighbor BMP resize samples exactly the (fx, fy) pixels") {
+    import spark.implicits._
+    val w = 5; val h = 4
+    val px = Multimodal.synthPixels(42L, w, h)
+    val bytes = Multimodal.BmpCodec.encode(Multimodal.BmpCodec.Bmp(w, h, px))
+    val resized = Multimodal.resizeBmpNearest(
+      Seq((42L, bytes)).toDF("id", "bmp"), "id", "bmp", factor = 2)
+      .collect().head.getAs[Array[Byte]]("bmp")
+    val img = Multimodal.BmpCodec.decode(resized)
+    assert(img.width == 2 && img.height == 2)
+    for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3) {
+      val expected = px(((y * 2) * w + (x * 2)) * 3 + c)
+      assert(img.pixels((y * 2 + x) * 3 + c) == expected,
+        s"pixel ($x,$y) channel $c")
+    }
+  }
 }
