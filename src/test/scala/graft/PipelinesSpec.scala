@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.pipelines.{Etl, Experiment, Tournament}
+import graft.pipelines.{CorpusBuild, Etl, Experiment, Tournament}
 
 /** End-to-end runs of the reference's three entry points at sf0.001 —
   * the same mains the driver can invoke, kept green by `sbt test`. */
@@ -40,5 +40,30 @@ class PipelinesSpec extends AnyFunSuite {
     val summary = spark.read.option("header", "true").csv(s"$out/cv_summary.csv")
     assert(summary.count() == 4)
     assert(comparisons.columns.contains("stars"))
+  }
+
+  test("EP4 corpus build composes hygiene, dedup, shuffle, layout, manifest") {
+    val out = tmp("ep4")
+    val c = CorpusBuild.run(spark, sfDir, out)
+    // each stage can only shrink the corpus
+    assert(c.raw >= c.quality && c.quality >= c.langOk &&
+      c.langOk >= c.exactDedup && c.exactDedup >= c.nearDedup &&
+      c.nearDedup >= c.semanticDedup && c.semanticDedup > 0)
+    // partitioned + compacted output holds exactly the surviving docs
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() == c.semanticDedup)
+    assert(corpus.columns.contains("source") &&
+      corpus.columns.contains("epoch_order"))
+    // the epoch shuffle is a permutation: every rank distinct
+    assert(corpus.select("epoch_order").distinct().count() == c.semanticDedup)
+    // partition pruning works on the layout
+    val onePart = corpus.filter(col("source") === "src1")
+    assert(onePart.count() > 0 && onePart.count() < c.semanticDedup)
+    // manifests reconcile with the data
+    val stages = spark.read.json(s"$out/manifest_stages").collect().head
+    assert(stages.getAs[Long]("n_semantic_dedup") == c.semanticDedup)
+    val mixture = spark.read.json(s"$out/manifest_mixture")
+    assert(mixture.agg(sum("n_docs")).head.getLong(0) == c.semanticDedup)
+    graft.ops.Leaks.sweep(spark)
   }
 }
