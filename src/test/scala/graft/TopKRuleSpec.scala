@@ -131,6 +131,14 @@ class TopKRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("the extensions class applies cleanly to a fresh SparkSessionExtensions") {
+    // the injected behavior itself is covered by the SQL-path tests via
+    // GraftExtensions.register; this pins that the spark.sql.extensions
+    // entry point (reflective no-arg construction + apply) stays valid
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    classOf[GraftExtensions].getDeclaredConstructor().newInstance()(ext)
+  }
+
   test("CosineFuseRule rewrites the composed dot/norm form to FloatCosine") {
     GraftExtensions.register(spark)
     val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
