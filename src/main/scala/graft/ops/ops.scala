@@ -397,6 +397,28 @@ object Ranking {
   def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** Per-group top-n over ARBITRARY row payloads without a window sort:
+    * the bounded-heap [[graft.expressions.TopKRows]] aggregate picks the
+    * winning (score, id) pairs — map tasks emit ≤ n rows per group before
+    * the exchange, where `row_number() OVER (PARTITION BY …)` shuffles
+    * and sorts every row — and the full payload joins back by id
+    * afterwards. Requires `idCol` to be GLOBALLY unique (it is the
+    * join-back key) and castable to long; ranking order is (scoreCol
+    * DESC, idCol ASC). Output = df's columns + `rankCol`. */
+  def topNPerGroupAgg(df: DataFrame, groupCols: Seq[String],
+                      scoreCol: String, idCol: String, n: Int,
+                      rankCol: String = "rnk"): DataFrame = {
+    val winners = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.expressions.TopKRows
+        .topRows(col(scoreCol), col(idCol), n).as("__top"))
+      .select(posexplode(col("__top")))
+      .select(col("col.id").as("__id"),
+        (col("pos") + 1).cast("int").as(rankCol))
+    df.join(winners, col(idCol).cast("long") === col("__id"))
+      .drop("__id")
+  }
+
   /** Global top-k with a 1-based rank column, WITHOUT a global-sort
     * window: the k rows come from orderBy+limit (TakeOrderedAndProject —
     * per-partition top-k merged on the driver), and the rank of each

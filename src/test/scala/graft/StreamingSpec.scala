@@ -314,6 +314,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.range(1).select(exact === reord).head().getBoolean(0) == false)
   }
 
+  test("the CDC sink's table survives small-file compaction") {
+    val stream = MemoryStream[Doc](spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_compact")
+      .toString + "/table"
+    val q = StreamOps.latestWinsSink(stream.toDF(), "doc_id", "ts", "text", path)
+      .start()
+    // several micro-batches → several small-file writes
+    stream.addData(Doc(ts(1), 1L, "v1"), Doc(ts(2), 2L, "v1")); q.processAllAvailable()
+    stream.addData(Doc(ts(5), 1L, "v2")); q.processAllAvailable()
+    stream.addData(Doc(ts(7), 3L, "v1")); q.processAllAvailable()
+    q.stop()
+    val before = spark.read.parquet(path)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val (nb, na) = graft.io.Io.compactParquet(spark, path)
+    assert(na <= nb)
+    val after = spark.read.parquet(path)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(after == before && after == Map(1L -> "v2", 2L -> "v1", 3L -> "v1"))
+  }
+
   test("stream-stream interval join matches the batch join") {
     val evs = Seq(
       UserEv(ts(30), 1L, 10.0), UserEv(ts(90), 1L, 20.0),

@@ -70,6 +70,25 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(modes == Set("Partial", "Final"), s"modes were $modes")
   }
 
+  test("topNPerGroupAgg carries full payloads and matches the window plan") {
+    val sfDir = "/root/testdata/sf0.01"
+    val orders = graft.core.Tables(spark, sfDir, "orders")
+    val viaAgg = graft.ops.Ranking.topNPerGroupAgg(orders,
+      Seq("o_orderpriority", "o_orderstatus"), "o_totalprice", "o_orderkey", 2)
+      .select("o_orderpriority", "o_orderstatus", "rnk", "o_orderkey", "o_custkey")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority", "o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select("o_orderpriority", "o_orderstatus", "rnk", "o_orderkey", "o_custkey")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(viaAgg == viaWindow && viaAgg.nonEmpty)
+  }
+
   test("top_rows handles groups smaller than k and k = 1") {
     val tiny = Seq((1, 9.0, 1L), (1, 7.0, 2L), (2, 5.0, 3L))
       .toDF("g", "score", "id")
