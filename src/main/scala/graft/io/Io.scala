@@ -78,7 +78,17 @@ object Io {
     def parts(p: String) = Files.walk(Paths.get(p)).iterator().asScala
       .filter(f => f.getFileName.toString.startsWith("part-") &&
         f.getFileName.toString.contains(".parquet")).toVector
+    // a hive-partitioned directory must be compacted per PARTITION — a
+    // whole-table rewrite would fold the partition column into the data
+    // files and silently destroy the pruning layout
+    val partDirs = Files.list(Paths.get(path)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .toVector
+    require(partDirs.isEmpty,
+      s"$path is hive-partitioned (${partDirs.head.getFileName} …) — " +
+        "compact each partition directory instead")
     val before = parts(path)
+    require(before.nonEmpty, s"$path contains no parquet part files")
     val totalBytes = before.map(Files.size).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = path + ".compact.tmp"

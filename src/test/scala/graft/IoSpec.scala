@@ -132,5 +132,14 @@ class IoSpec extends AnyFunSuite {
     val afterRows = spark.read.parquet(dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(afterRows == beforeRows)
+    // a partitioned table must be refused — whole-table compaction would
+    // destroy the pruning layout
+    val pdir = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    (1 to 100).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "source")
+      .write.partitionBy("source").parquet(pdir)
+    val err = intercept[IllegalArgumentException] {
+      graft.io.Io.compactParquet(spark, pdir)
+    }
+    assert(err.getMessage.contains("partition"))
   }
 }
