@@ -34,18 +34,19 @@ object KMeans {
     transform(slice(vecCol, 1, dims),
       v => floor(v.cast("double") * quant + lit(0.5)).cast("long"))
 
-  // Narrow assignment: array_min over (distance, cid) structs compares
-  // lexicographically, so equal distances break toward the lower cid.
+  // Narrow assignment through the codegen'd NearestCentroid expression:
+  // one primitive k × dims loop on exact longs, ties toward the lower cid
+  // — bit-identical to (and ~an order of magnitude cheaper than) the
+  // interpreted array_min-over-aggregate(zip_with) form it replaced,
+  // which evaluated k boxed lambdas per row on the assignment hot path.
+  // Relies on centroid ids being exactly 1..k in order (they are: seeded
+  // and updated positionally).
   private def assignedTo(qvecs: DataFrame,
                          centroids: Seq[(Int, Seq[Long])]): DataFrame = {
-    val cands = array(centroids.map { case (cid, arr) =>
-      struct(
-        aggregate(
-          zip_with(col("qa"), typedLit(arr), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d"),
-        lit(cid).as("c"))
-    }: _*)
-    qvecs.withColumn("cluster", array_min(cands).getField("c"))
+    require(centroids.map(_._1) == (1 to centroids.size),
+      "centroid ids must be 1..k in order")
+    qvecs.withColumn("cluster",
+      graft.expressions.NearestCentroid.assign(col("qa"), centroids.map(_._2)))
   }
 
   private def updatedFrom(qvecs: DataFrame,

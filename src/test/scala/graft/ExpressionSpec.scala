@@ -66,6 +66,33 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("NearestCentroid matches the composed array_min form, ties included") {
+    val cents: Seq[Seq[Long]] = Seq(
+      Seq(0L, 0L, 0L), Seq(10L, 0L, 0L),
+      Seq(0L, 10L, 0L), Seq(10L, 0L, 0L)) // centroid 4 duplicates 2 → tie
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq((i % 13).toLong, (i % 7).toLong, (i % 5).toLong))
+    } :+ (1000L, Seq(10L, 0L, 0L)) // exactly on the duplicated centroid
+    val df = rows.toDF("id", "qa")
+    // the pre-round-6 composable form (interpreted HOFs), as reference
+    val composed = array_min(array(cents.zipWithIndex.map { case (arr, i) =>
+      struct(
+        aggregate(zip_with(col("qa"), typedLit(arr), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(i + 1).as("c"))
+    }: _*)).getField("c")
+    val diff = df.select(col("id"),
+        graft.expressions.NearestCentroid.assign(col("qa"), cents).as("native"),
+        composed.as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diff == 0)
+    // the duplicated-centroid tie resolves toward the LOWER id
+    val tied = df.filter(col("id") === 1000L)
+      .select(graft.expressions.NearestCentroid.assign(col("qa"), cents))
+      .head().getInt(0)
+    assert(tied == 2)
+  }
+
   test("native dot is substantially faster than the interpreted fold") {
     val e = graft.core.Tables(spark, "/root/testdata/sf0.01", "embeddings")
       .select(col("embedding").as("a"), col("embedding").as("b"))
