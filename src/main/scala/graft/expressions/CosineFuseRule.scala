@@ -14,9 +14,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * times. The rewrite is semantics-preserving bit-for-bit: FloatCosine
   * evaluates exactly `dot / (sqrt(na) * sqrt(nb))` with the same
   * per-accumulator left-to-right IEEE order as the composed form
-  * (ExpressionSpec pins the parity), and double division has identical
-  * ANSI/legacy behavior, so a plan rewritten here hash-matches the
-  * un-rewritten one.
+  * (ExpressionSpec pins the parity), and on a zero norm product it mirrors
+  * `Divide` exactly — NULL in legacy mode, divide-by-zero error under ANSI
+  * (`FloatCosine.failOnError`, captured from the active conf when the rule
+  * fires, just as the replaced Divide captured it at analysis) — so a plan
+  * rewritten here hash-matches the un-rewritten one on ALL inputs,
+  * zero-norm vectors included (ExpressionSpec pins this too).
   *
   * Matching is on `semanticEquals` (cosmetic differences — aliases, case —
   * don't block the fuse) and both factor orders of the norm product are

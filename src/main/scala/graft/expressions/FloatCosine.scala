@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
 /** Fused codegen'd cosine similarity over two `array<float>` columns.
@@ -15,10 +16,21 @@ import org.apache.spark.sql.types._
   * recomputed for every pair the vector appears in. This expression runs
   * ONE primitive loop accumulating all three sums, then divides exactly as
   * the composed form does (`dot / (sqrt(na) * sqrt(nb))`), so results are
-  * bit-for-bit identical to `FloatDotProduct`-composed cosine — every
-  * oracle written against that form verifies this one (ExpressionSpec).
+  * bit-for-bit identical to `FloatDotProduct`-composed cosine on every
+  * non-degenerate input — every oracle written against that form verifies
+  * this one (ExpressionSpec).
+  *
+  * Zero-norm inputs mirror Spark's `Divide` exactly (raw Java division
+  * would return NaN, which sorts as the LARGEST double — a zero vector
+  * would silently take rank 1 in every cosine-DESC top-k): when
+  * `sqrt(na)*sqrt(nb) == 0` the result is NULL in legacy mode and a
+  * divide-by-zero ArithmeticException under ANSI (`failOnError`, captured
+  * from the session conf at construction, as Spark's own arithmetic
+  * expressions do). This keeps the [[CosineFuseRule]] rewrite
+  * semantics-preserving on ALL inputs.
   */
-case class FloatCosine(left: Expression, right: Expression)
+case class FloatCosine(left: Expression, right: Expression,
+                       failOnError: Boolean = SQLConf.get.ansiEnabled)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -34,6 +46,9 @@ case class FloatCosine(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean =
+    !failOnError || left.nullable || right.nullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -46,7 +61,10 @@ case class FloatCosine(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) {
+      if (failOnError) throw FloatCosine.divideByZero() else null
+    } else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -58,6 +76,10 @@ case class FloatCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      val onZero =
+        if (failOnError) "throw graft.expressions.FloatCosine.divideByZero();"
+        else s"${ev.isNull} = true;"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
@@ -66,7 +88,12 @@ case class FloatCosine(left: Expression, right: Expression)
          |  double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) {
+         |  $onZero
+         |} else {
+         |  ${ev.value} = $dot / $denom;
+         |}
        """.stripMargin
     })
 
@@ -79,4 +106,10 @@ object FloatCosine {
   /** Column API: fused codegen'd cosine for float-array columns. */
   def cosine(a: Column, b: Column): Column =
     Bridge.column(FloatCosine(Bridge.expression(a), Bridge.expression(b)))
+
+  /** The ANSI-mode zero-norm error (called from generated code). */
+  def divideByZero(): ArithmeticException =
+    new ArithmeticException(
+      "[DIVIDE_BY_ZERO] float_cosine of a zero-norm vector. " +
+        "Use try_divide-style guards or disable ANSI mode to get NULL.")
 }

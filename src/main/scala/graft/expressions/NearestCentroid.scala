@@ -25,13 +25,20 @@ import org.apache.spark.sql.types._
   * Centroids ship as a driver literal (`addReferenceObj`), the same
   * pattern as the LSH plane matrices. Distances fit a long: grid values
   * |q| ≤ ~1e7 → per-term (2e7)² ≈ 4e14, × dims ≪ 2⁶³.
+  *
+  * `flat` is an IndexedSeq (NOT an Array): case-class equals/hashCode over
+  * an Array field would be reference equality, so two structurally equal
+  * NearestCentroid expressions would never `semanticEquals` — defeating
+  * canonicalization and common-subexpression elimination. The primitive
+  * long[] the loops need is materialized once, lazily.
   */
-case class NearestCentroid(child: Expression, flat: Array[Long], dims: Int)
+case class NearestCentroid(child: Expression, flat: IndexedSeq[Long], dims: Int)
     extends UnaryExpression {
 
   require(dims > 0 && flat.nonEmpty && flat.length % dims == 0,
     s"centroid matrix length ${flat.length} must be a positive multiple of dims=$dims")
   private def k: Int = flat.length / dims
+  @transient private lazy val flatArr: Array[Long] = flat.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -46,12 +53,13 @@ case class NearestCentroid(child: Expression, flat: Array[Long], dims: Int)
     val n = math.min(dims, q.numElements())
     var best = 0
     var bestDist = Long.MaxValue
+    val cents = flatArr
     var c = 0
     while (c < k) {
       var dist = 0L
       var d = 0
       while (d < n) {
-        val diff = q.getLong(d) - flat(c * dims + d)
+        val diff = q.getLong(d) - cents(c * dims + d)
         dist += diff * diff
         d += 1
       }
@@ -62,7 +70,7 @@ case class NearestCentroid(child: Expression, flat: Array[Long], dims: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cents = ctx.addReferenceObj("centroids", flat, "long[]")
+    val cents = ctx.addReferenceObj("centroids", flatArr, "long[]")
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val c = ctx.freshName("c")
@@ -99,6 +107,6 @@ object NearestCentroid {
     val dims = centroids.head.size
     require(centroids.forall(_.size == dims), "ragged centroid matrix")
     Bridge.column(NearestCentroid(Bridge.expression(vec),
-      centroids.flatten.toArray, dims))
+      centroids.flatten.toIndexedSeq, dims))
   }
 }

@@ -3,7 +3,7 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
 import org.apache.spark.sql.functions.input_file_name
 import org.apache.spark.sql.types.StructType
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Sources/sinks (SURVEY.md §2.1). CSV with declared schemas (S1/S2),
   * glob scans tagged with their originating file (S10), JSON results
@@ -30,14 +30,37 @@ object Io {
     val tmp = outFile + ".tmpdir"
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    val part = listDir(Paths.get(tmp))
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
     Files.createDirectories(Paths.get(outFile).toAbsolutePath.getParent)
     Files.move(part, Paths.get(outFile), StandardCopyOption.REPLACE_EXISTING)
-    // clean the temp dir
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    deleteRecursively(Paths.get(tmp))
   }
+
+  /** Directory listing through a CLOSED stream (Files.list leaks a file
+    * descriptor per call otherwise — CorpusBuild compacts per partition,
+    * so leaked descriptors would accumulate across a long-lived session). */
+  private def listDir(dir: Path): Vector[Path] = {
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toVector
+    } finally s.close()
+  }
+
+  /** Recursive tree walk through a CLOSED stream, deepest-first (the order
+    * a recursive delete needs). */
+  private def walkTree(root: Path): Vector[Path] = {
+    val s = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toVector.sortBy(_.getNameCount)(Ordering[Int].reverse)
+    } finally s.close()
+  }
+
+  private def deleteRecursively(root: Path): Unit =
+    if (Files.exists(root)) walkTree(root).foreach(Files.deleteIfExists(_))
 
   /** Partitioned parquet sink — the 100 TB table-layout primitive: writing
     * by a low-cardinality key (source, date, lang) gives every downstream
@@ -71,19 +94,31 @@ object Io {
     * ceil(current bytes / targetBytes) (from the file listing — metadata
     * only, no data through the driver), `repartition(n)` for even output
     * sizes, write-temp-then-swap so readers never see a half-written
-    * table. Returns (files before, files after). */
+    * table. A crash between the two swap renames strands the data at
+    * `.compact.old` with nothing at `path` — so entry first SELF-HEALS any
+    * interrupted previous run: a leftover `.compact.old` is moved back (or
+    * dropped if the swap had completed), a leftover `.compact.tmp` is
+    * always dropped (it may be half-written). Returns (files before,
+    * files after). */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    import scala.jdk.CollectionConverters._
-    def parts(p: String) = Files.walk(Paths.get(p)).iterator().asScala
+    def parts(p: String) = walkTree(Paths.get(p))
       .filter(f => f.getFileName.toString.startsWith("part-") &&
-        f.getFileName.toString.contains(".parquet")).toVector
+        f.getFileName.toString.contains(".parquet"))
+    val tmp = path + ".compact.tmp"
+    val old = path + ".compact.old"
+    // self-heal an interrupted previous swap before touching anything
+    if (Files.exists(Paths.get(old))) {
+      if (!Files.exists(Paths.get(path)))
+        Files.move(Paths.get(old), Paths.get(path)) // crashed mid-swap
+      else deleteRecursively(Paths.get(old)) // crashed before cleanup
+    }
+    deleteRecursively(Paths.get(tmp))
     // a hive-partitioned directory must be compacted per PARTITION — a
     // whole-table rewrite would fold the partition column into the data
     // files and silently destroy the pruning layout
-    val partDirs = Files.list(Paths.get(path)).iterator().asScala
+    val partDirs = listDir(Paths.get(path))
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-      .toVector
     require(partDirs.isEmpty,
       s"$path is hive-partitioned (${partDirs.head.getFileName} …) — " +
         "compact each partition directory instead")
@@ -91,16 +126,13 @@ object Io {
     require(before.nonEmpty, s"$path contains no parquet part files")
     val totalBytes = before.map(Files.size).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = path + ".compact.tmp"
     spark.read.parquet(path).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     // swap: the rename pair is the "commit"; a transactional table format
     // would make this atomic, the rewrite PLAN is identical
-    val old = path + ".compact.old"
     Files.move(Paths.get(path), Paths.get(old))
     Files.move(Paths.get(tmp), Paths.get(path))
-    Files.walk(Paths.get(old)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    deleteRecursively(Paths.get(old))
     (before.size, parts(path).size)
   }
 }

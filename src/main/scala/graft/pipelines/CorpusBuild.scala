@@ -29,7 +29,25 @@ object CorpusBuild {
                          exactDedup: Long, nearDedup: Long,
                          semanticDedup: Long)
 
-  def run(spark: SparkSession, sfDir: String, outDir: String): StageCounts = {
+  /** @param partitionCol layout key for the partitioned write + compaction;
+    *                     must be LOW-cardinality (guarded, see below)
+    * @param maxPartitionFanout refuse to lay out / compact more than this
+    *                     many partitions — the per-partition compaction loop
+    *                     (and the hive layout itself) is only sane for a
+    *                     small key domain, and the guard runs as a
+    *                     distributed COUNT before anything is collected, so
+    *                     a miskeyed column (doc_id…) fails fast instead of
+    *                     pulling a huge domain through the driver */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          partitionCol: String = "source",
+          maxPartitionFanout: Int = 256): StageCounts = {
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def timed[T](stage: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      timings += stage -> ((System.nanoTime() - t0) / 1000000L)
+      r
+    }
     val docs = Tables(spark, sfDir, "documents")
     val emb = Tables(spark, sfDir, "embeddings")
 
@@ -61,31 +79,57 @@ object CorpusBuild {
     val ordered = Extras.hashRank(semKept, "doc_id", seed = 1,
       rankCol = "epoch_order")
 
-    // layout: partitioned by source, then per-partition small-file
+    // guard the layout fan-out BEFORE writing or collecting anything: the
+    // distinct count is distributed (one long to the driver), so a
+    // miskeyed partition column fails here instead of spraying a
+    // million-directory layout or collecting a huge key domain
+    val nPartitions = ordered.select(partitionCol).distinct().count()
+    require(nPartitions <= maxPartitionFanout,
+      s"partition column '$partitionCol' has $nPartitions distinct values " +
+        s"(> $maxPartitionFanout): refusing per-partition layout/compaction " +
+        "fan-out — partition the corpus by a low-cardinality key")
+
+    // layout: partitioned by the key, then per-partition small-file
     // compaction (the write fans out one file per task otherwise)
     val corpusDir = s"$outDir/corpus"
-    Io.writeParquetPartitioned(ordered, corpusDir, Seq("source"))
-    val sources = ordered.select("source").distinct()
-      .collect().map(_.getString(0)).sorted
-    sources.foreach { src =>
-      Io.compactParquet(spark, s"$corpusDir/source=$src",
-        targetBytes = 64L * 1024 * 1024)
+    timed("write_partitioned") {
+      Io.writeParquetPartitioned(ordered, corpusDir, Seq(partitionCol))
+    }
+    val sources = ordered.select(partitionCol).distinct()
+      .collect().map(_.get(0).toString).sorted
+    timed("compact") {
+      sources.foreach { src =>
+        Io.compactParquet(spark, s"$corpusDir/$partitionCol=$src",
+          targetBytes = 64L * 1024 * 1024)
+      }
     }
 
-    // accounting: per-stage counts + per-source token mixture
-    val counts = StageCounts(docs.count(), quality.count(), langOk.count(),
-      deduped.count(), nearKept.count(), semKept.count())
+    // accounting: per-stage counts + per-source token mixture, each stage
+    // timed so the manifest records where the wall-clock went
+    val counts = StageCounts(
+      timed("raw")(docs.count()),
+      timed("quality")(quality.count()),
+      timed("lang_ok")(langOk.count()),
+      timed("exact_dedup")(deduped.count()),
+      timed("near_dedup")(nearKept.count()),
+      timed("semantic_dedup")(semKept.count()))
     import spark.implicits._
     val stageDf = Seq((counts.raw, counts.quality, counts.langOk,
       counts.exactDedup, counts.nearDedup, counts.semanticDedup))
       .toDF("n_raw", "n_quality", "n_lang_ok", "n_exact_dedup",
         "n_near_dedup", "n_semantic_dedup")
-    val mixture = semKept.groupBy("source").agg(
+    val mixture = semKept.groupBy(partitionCol).agg(
       count(lit(1)).as("n_docs"),
       sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
     Io.writeJson(stageDf, s"$outDir/manifest_stages")
-    Io.writeJson(mixture.orderBy("source"), s"$outDir/manifest_mixture")
-    deduped.unpersist(); nearKept.unpersist()
+    Io.writeJson(mixture.orderBy(partitionCol), s"$outDir/manifest_mixture")
+    Io.writeJson(timings.toSeq.toDF("stage", "wall_ms"),
+      s"$outDir/manifest_timings")
+    // release EVERYTHING this run pinned — its own frames AND blocks
+    // persisted inside operators (semanticDedupKeep's assignment, the
+    // minhash signature index): a long-lived session running the pipeline
+    // repeatedly must not accumulate cached blocks
+    graft.ops.Leaks.sweep(spark)
     counts
   }
 

@@ -93,6 +93,32 @@ class ExpressionSpec extends AnyFunSuite {
     assert(tied == 2)
   }
 
+  test("zero-norm cosine mirrors Divide: error under ANSI, null in legacy") {
+    // NaN (raw Java division) would sort as the LARGEST double and put a
+    // zero vector at rank 1 of every cosine-DESC top-k — the fix mirrors
+    // Divide in both modes instead.
+    val df = Seq(
+      (1L, Array(0f, 0f, 0f), Array(1f, 2f, 3f)),
+      (2L, Array(1f, 0f, 0f), Array(1f, 2f, 3f))).toDF("id", "a", "b")
+    // ANSI (the Spark 4 default in this session): divide-by-zero error
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val ex = intercept[Exception] {
+      df.select(Similarity.cosine(col("a"), col("b"))).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(ex).contains("DIVIDE_BY_ZERO"))
+    // legacy: NULL for the zero-norm row, normal value for the other
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val rows = df.select(col("id"), Similarity.cosine(col("a"), col("b")))
+        .orderBy("id").collect()
+      assert(rows(0).isNullAt(1), "zero-norm cosine must be NULL in legacy mode")
+      assert(!rows(1).isNullAt(1) && !rows(1).getDouble(1).isNaN)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("native dot is substantially faster than the interpreted fold") {
     val e = graft.core.Tables(spark, "/root/testdata/sf0.01", "embeddings")
       .select(col("embedding").as("a"), col("embedding").as("b"))

@@ -64,6 +64,26 @@ class PipelinesSpec extends AnyFunSuite {
     assert(stages.getAs[Long]("n_semantic_dedup") == c.semanticDedup)
     val mixture = spark.read.json(s"$out/manifest_mixture")
     assert(mixture.agg(sum("n_docs")).head.getLong(0) == c.semanticDedup)
+    // per-stage wall-times made it into the manifest
+    val timings = spark.read.json(s"$out/manifest_timings")
+    val stagesTimed = timings.select("stage").collect().map(_.getString(0)).toSet
+    assert(Set("write_partitioned", "compact", "semantic_dedup")
+      .subsetOf(stagesTimed))
+    assert(timings.filter(col("wall_ms") < 0).count() == 0)
+    // the pipeline sweeps its own cached blocks before returning
+    assert(graft.ops.Leaks.persistentRddCount(spark) == 0)
+  }
+
+  test("EP4 refuses a high-cardinality partition key before any layout") {
+    val out = tmp("ep4guard")
+    val ex = intercept[IllegalArgumentException] {
+      CorpusBuild.run(spark, sfDir, out, partitionCol = "doc_id",
+        maxPartitionFanout = 16)
+    }
+    assert(ex.getMessage.contains("doc_id") &&
+      ex.getMessage.contains("low-cardinality"))
+    // nothing was written
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/corpus")))
     graft.ops.Leaks.sweep(spark)
   }
 }
