@@ -1,0 +1,193 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hash kernels (ladder step (b)) for the dedup blocking hot
+  * paths: the per-row tokenizer/md5 work stays a tight JVM loop (generated
+  * Java cannot express it more efficiently), but as Catalyst expressions
+  * the calls inline into the surrounding WholeStageCodegen span with NO
+  * ScalaUDF conversion boundary — no String↔UTF8String re-wrap through
+  * CatalystTypeConverters, no boxed Seq allocation, no codegen-span break.
+  * Each is BIT-IDENTICAL to the interpreted higher-order-function form in
+  * [[graft.text.TextOps]] (and to the Scala-UDF fast path it replaces), so
+  * every oracle written against those forms verifies these (TextSimSpec
+  * parity cases).
+  *
+  * One shared per-thread MessageDigest: `getInstance("MD5")` per row was
+  * measurable allocation churn in the UDF versions, and generated-class
+  * instances may be shared across threads in local mode, so the digest
+  * lives in a ThreadLocal rather than on the expression.
+  */
+private[graft] object TextKernels {
+  val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** MinHash signature: `numHashes` md5-permutation minima over the distinct
+  * `shingleN`-token shingles of the normalized text (the
+  * [[graft.text.TextOps.minhashSignature]] semantics, kernel form). */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
+    extends UnaryExpression {
+
+  require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
+  require(shingleN >= 1, s"shingleN must be positive, got $shingleN")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"MinHashSignature requires string input, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  def compute(t: UTF8String): ArrayData = {
+    val md = TextKernels.md5.get()
+    val sh = graft.text.TextOps.shingleSet(t.toString, shingleN)
+    val out = new Array[Any](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      var min: String = null
+      var j = 0
+      while (j < sh.length) {
+        val h = graft.text.TextOps.md5Hex(md, i + ":" + sh(j))
+        if (min == null || h < min) min = h
+        j += 1
+      }
+      out(i) = UTF8String.fromString(min)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash fingerprint: per distinct normalized token, bit b contributes
+  * ±1 by the token's 48-bit md5-prefix hash; fingerprint sets bit b iff
+  * the sum is positive ([[graft.text.TextOps.simhash]] semantics). */
+case class SimHash64(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 48, "token hash provides 48 bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"SimHash64 requires string input, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  def compute(t: UTF8String): Long = {
+    val md = TextKernels.md5.get()
+    val counts = new Array[Int](bits)
+    val toks = graft.text.TextOps.normTokens(t.toString).distinct
+    var i = 0
+    while (i < toks.length) {
+      val d = md.digest(toks(i).getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Language ID by stopword-profile hit ratio: score(lang) = |tokens ∩
+  * profile| / |tokens|, argmax with sorted-code tie-break, 'und' when all
+  * zero ([[graft.text.TextOps.langId]] semantics). Profiles are a
+  * constructor field (Seq — equals-friendly), sorted by code here so the
+  * tie-break never depends on caller map order. */
+case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+
+  require(profiles.nonEmpty, "at least one language profile required")
+
+  @transient private lazy val profs: Array[(UTF8String, Set[String])] =
+    profiles.sortBy(_._1).map { case (l, ws) =>
+      (UTF8String.fromString(l), ws.toSet)
+    }.toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"LangIdExpr requires string input, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  def compute(t: UTF8String): UTF8String = {
+    val toks = graft.text.TextOps.normTokens(t.toString)
+    val n = toks.length.toDouble
+    var best = 0.0
+    var bestIdx = -1
+    var p = 0
+    while (p < profs.length) {
+      val ws = profs(p)._2
+      var hits = 0
+      var i = 0
+      while (i < toks.length) { if (ws.contains(toks(i))) hits += 1; i += 1 }
+      val s = hits.toDouble / n
+      // strict > keeps the FIRST (lowest-sorted) code on ties, matching
+      // the expression form's foldRight chain
+      if (s > best) { best = s; bestIdx = p }
+      p += 1
+    }
+    if (bestIdx >= 0 && best > 0) profs(bestIdx)._1 else und
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langid", this, classOf[LangIdExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashExpressions {
+  def minhash(text: Column, numHashes: Int, shingleN: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(text), numHashes, shingleN))
+
+  def simhash(text: Column, bits: Int): Column =
+    Bridge.column(SimHash64(Bridge.expression(text), bits))
+
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    Bridge.column(LangIdExpr(Bridge.expression(text), profiles))
+}

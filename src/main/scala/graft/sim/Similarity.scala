@@ -197,30 +197,17 @@ object Similarity {
       lit(0L), (acc, v) => acc + v)
   }
 
-  /** JVM fast path for [[hyperplaneSignature]], BIT-IDENTICAL to the
-    * expression form: the same plane constants, the same left-to-right
-    * double accumulation, the same sign test — but a codegen-free tight
-    * loop instead of an interpreted higher-order-function chain (which
-    * dominated the LSH blocking stages' benchmark time). */
+  /** Fast path for [[hyperplaneSignature]], BIT-IDENTICAL to the
+    * higher-order-function form: the same plane constants, the same
+    * left-to-right double accumulation, the same sign test — generated as
+    * one primitive nPlanes × dim loop by the native
+    * [[graft.expressions.HyperplaneSignature]] expression (the former
+    * Scala UDF boxed a Seq[Float] per row and broke the codegen span; the
+    * interpreted HOF chain before it dominated the LSH blocking stages'
+    * benchmark time). */
   def hyperplaneSignatureFast(vec: Column, nPlanes: Int, dim: Int = 64,
-                              seed: Int = 42): Column = {
-    val planes = Array.tabulate(nPlanes, dim)((p, d) => planeConst(seed, p, d))
-    val f = udf { (v: Seq[Float]) =>
-      var sig = 0L
-      var p = 0
-      while (p < nPlanes) {
-        val plane = planes(p)
-        var dot = 0.0
-        var i = 0
-        val n = math.min(v.length, dim)
-        while (i < n) { dot += v(i).toDouble * plane(i); i += 1 }
-        if (dot > 0) sig += (1L << p)
-        p += 1
-      }
-      sig
-    }
-    f(vec)
-  }
+                              seed: Int = 42): Column =
+    graft.expressions.HyperplaneSignature.signature(vec, nPlanes, dim, seed)
 
   /** LSH candidate (query_id, neighbor_id) pairs: rows sharing any of the
     * `nTables` hyperplane buckets, deduped (a pair found by several tables

@@ -91,22 +91,14 @@ object TextOps {
     }
   }
 
-  /** JVM fast language ID, BIT-IDENTICAL to [[langId]]: same hit-ratio
+  /** Native fast language ID, BIT-IDENTICAL to [[langId]]: same hit-ratio
     * scores (int/double division), same argmax with sorted-code tie-break,
-    * same 'und' fallback — but one tight pass over the tokens instead of
-    * an interpreted per-profile filter chain (which also re-evaluates each
-    * score inside greatest() and every when() branch). */
-  def langIdFast(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Column = {
-    val profs = profiles.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toSet) }
-    val f = udf { (t: String) =>
-      val toks = normTokens(t)
-      val n = toks.length.toDouble
-      val scores = profs.map { case (_, ws) => toks.count(ws.contains).toDouble / n }
-      val best = scores.max
-      if (best > 0) profs(scores.indexOf(best))._1 else "und"
-    }
-    f(text)
-  }
+    * same 'und' fallback — one tight pass over the tokens instead of an
+    * interpreted per-profile filter chain, as a codegen'd Catalyst
+    * expression ([[graft.expressions.LangIdExpr]] — no ScalaUDF conversion
+    * boundary, stays inside the WholeStageCodegen span). */
+  def langIdFast(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Column =
+    graft.expressions.TextHashExpressions.langId(text, profiles.toSeq.sortBy(_._1))
 
   /** JVM mirror of `tokens(normalizeText(text))`, step for step: collapse
     * runs of regex whitespace to one space, strip leading/trailing SPACES
@@ -114,7 +106,7 @@ object TextOps {
     * also eats tabs/newlines and every control char ≤ U+0020 and would make
     * the fast paths diverge from the expression/oracle forms), lowercase
     * with the root locale (Spark's `lower` is locale-independent). */
-  private[text] def normTokens(t: String): Array[String] = {
+  private[graft] def normTokens(t: String): Array[String] = {
     var s = t.replaceAll("\\s+", " ")
     var lo = 0; var hi = s.length
     while (lo < hi && s.charAt(lo) == ' ') lo += 1
@@ -203,7 +195,7 @@ object TextOps {
   }
 
   /** JVM-side shingle set of a normalized text (shared by the fast paths). */
-  private def shingleSet(text: String, n: Int): Array[String] = {
+  private[graft] def shingleSet(text: String, n: Int): Array[String] = {
     val toks = normTokens(text)
     if (toks.length < n) Array(toks.mkString(" "))
     else {
@@ -227,8 +219,8 @@ object TextOps {
   }
 
   /** MD5 hex digest in a tight JVM loop (MessageDigest is per-call state;
-    * the caller reuses one instance per row). */
-  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    * the caller reuses one instance per row or per thread). */
+  private[graft] def md5Hex(md: java.security.MessageDigest, s: String): String = {
     val hex = "0123456789abcdef"
     val d = md.digest(s.getBytes("UTF-8"))
     val out = new Array[Char](32)
@@ -241,28 +233,17 @@ object TextOps {
     new String(out)
   }
 
-  /** Fast JVM minhash, BIT-IDENTICAL to the [[minhashSignature]] expression
-    * (same md5-string permutation minima) — so every oracle written against
-    * the expression form also verifies this one.
+  /** Fast native minhash, BIT-IDENTICAL to the [[minhashSignature]]
+    * expression (same md5-string permutation minima) — so every oracle
+    * written against the expression form also verifies this one.
     *
-    * Deliberately a UDF: the equivalent higher-order-function expression
-    * chain is INTERPRETED by Spark (no codegen, no CSE across lambdas) and
-    * measured ~100× slower (7 ms/doc). */
-  def minhashSignatureFast(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
-    val f = udf { (t: String) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val sh = shingleSet(t, shingleN)
-      Array.tabulate(numHashes) { i =>
-        var min: String = null
-        sh.foreach { s =>
-          val h = md5Hex(md, i + ":" + s)
-          if (min == null || h < min) min = h
-        }
-        min
-      }
-    }
-    f(text)
-  }
+    * The equivalent higher-order-function chain is INTERPRETED by Spark
+    * (no codegen, no CSE across lambdas) and measured ~100× slower
+    * (7 ms/doc); the kernel is a tight JVM loop exposed as a codegen'd
+    * Catalyst expression ([[graft.expressions.MinHashSignature]]), which
+    * drops the former Scala-UDF conversion boundary as well. */
+  def minhashSignatureFast(text: Column, numHashes: Int, shingleN: Int = 3): Column =
+    graft.expressions.TextHashExpressions.minhash(text, numHashes, shingleN)
 
   /** JVM fast signature-agreement estimate (matching minhash positions /
     * numHashes), BIT-IDENTICAL to the zip_with+aggregate expression form:
@@ -401,33 +382,15 @@ object TextOps {
       lit(0L), (a, x) => a + x)
   }
 
-  /** JVM fast simhash, BIT-IDENTICAL to the [[simhash]] expression (token
-    * hash = first 6 md5 bytes big-endian = first 12 md5 hex chars), so
-    * expression-form oracles verify it too. bits ≤ 48 (the 48-bit token
-    * hash bounds the usable fingerprint width, as in the expression). */
-  def simhashFast(text: Column, bits: Int = 32): Column = {
-    require(bits <= 48, "token hash provides 48 bits")
-    val f = udf { (t: String) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val counts = new Array[Int](bits)
-      normTokens(t).distinct.foreach { tok =>
-        val d = md.digest(tok.getBytes("UTF-8"))
-        val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
-        var b = 0
-        while (b < bits) {
-          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-      }
-      var out = 0L
-      var b = 0
-      while (b < bits) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-      out
-    }
-    f(text)
-  }
+  /** Fast native simhash, BIT-IDENTICAL to the [[simhash]] expression
+    * (token hash = first 6 md5 bytes big-endian = first 12 md5 hex chars),
+    * so expression-form oracles verify it too. bits ≤ 48 (the 48-bit token
+    * hash bounds the usable fingerprint width, as in the expression). A
+    * codegen'd Catalyst expression ([[graft.expressions.SimHash64]]) — the
+    * former Scala UDF paid a conversion boundary per row and broke the
+    * surrounding WholeStageCodegen span. */
+  def simhashFast(text: Column, bits: Int = 32): Column =
+    graft.expressions.TextHashExpressions.simhash(text, bits)
 
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
