@@ -275,16 +275,20 @@ object TextSimQueries {
     // ~100× costlier per pair, so only a top-(k+45) margin per query pays
     // it. Fast-vs-exact differences are sub-ulp; they cannot demote a true
     // top-k neighbor below rank k+45, so the final ranking is unaffected
-    // (the oracle exact-scores ALL candidates and still matches).
-    val fastW = Window.partitionBy("query_id")
-      .orderBy(col("__fc").desc, col("neighbor_id").asc)
+    // (the oracle exact-scores ALL candidates and still matches). Both this
+    // prune and the final ranking run through the bounded-heap TopKRows
+    // aggregate: map tasks emit ≤ k' entries per query before the exchange
+    // instead of a window plan shuffling and sorting every scored pair.
+    import graft.expressions.TopKRows
     val pruned = pairs
       .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("qv"), col("cv")).as("__fc"))
-      .withColumn("__pr", row_number().over(fastW)).filter(col("__pr") <= k + 45)
-      .select("query_id", "neighbor_id")
+      .groupBy("query_id")
+      .agg(TopKRows.topRows(col("__fc"), col("neighbor_id"), k + 45).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"))
     val dots = pruned
       .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
@@ -304,9 +308,12 @@ object TextSimQueries {
       .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("n2c")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("dot") / (sqrt(col("n2q")) * sqrt(col("n2c")))).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cos.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    cos.groupBy("query_id")
+      .agg(graft.expressions.TopKRows
+        .topRows(col("cosine"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
 

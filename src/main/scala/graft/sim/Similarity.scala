@@ -54,10 +54,28 @@ object Similarity {
   def cosineExact(a: Column, b: Column): Column =
     dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b)))
 
+  /** Per-query top-k ranking through the bounded-heap
+    * [[graft.expressions.TopKRows]] aggregate: each map task emits ≤ k
+    * (score, id) entries per query before the exchange — the shuffle
+    * carries O(queries · k · tasks) heap entries instead of every scored
+    * candidate, where a `row_number` window plan would sort and shuffle
+    * ALL of them. Kept set = `ORDER BY cosine DESC, neighbor_id ASC LIMIT
+    * k` per query (the aggregate's deterministic total order), identical
+    * to the window form it replaced — the ANN oracles pin the parity. */
+  private def topKByScore(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.expressions.TopKRows
+        .topRows(col("cosine"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Brute-force top-k cosine neighbors for each query vector: broadcast
-    * the (small) query set against the corpus, window top-k per query.
-    * This is the exact baseline; 100 TB plan = broadcast-nested-loop with
-    * map-side top-k (no shuffle of the corpus), then a k·|queries| shuffle.
+    * the (small) query set against the corpus, bounded-heap top-k per
+    * query. This is the exact baseline; 100 TB plan = broadcast-nested-
+    * loop with map-side per-query heaps (no shuffle of the corpus), then
+    * a ≤ k·|queries|·tasks shuffle of heap entries.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
@@ -67,9 +85,7 @@ object Similarity {
               else cosine(col("__qv"), col(vecCol))
     val scored = corpus.join(q, col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"), cos.as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKByScore(scored, k)
   }
 
   /** Symmetric per-dimension int8 quantization for embedding columns: fit
@@ -240,9 +256,7 @@ object Similarity {
         Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKByScore(cands, k)
   }
 
   /** LSH-blocked candidate ID pairs (id_a < id_b, deduped across tables) —
@@ -383,12 +397,21 @@ object Similarity {
       .agg(first("centroid").as("centroid"),
         (count(col("__h2")) + 1).cast("int").as("centroid_id"))
       .select(col("centroid_id"), col("centroid"))
+    // argmax through the bounded-heap aggregate (k=1): the former window
+    // plan hash-exchanged and SORTED all 16 × |corpus| scored rows; the
+    // partial-aggregating groupBy reduces each task to one row per vector
+    // BEFORE the exchange — same argmax, same (cosine DESC, centroid_id
+    // ASC) tie-break, 16× less shuffle and no sort.
     val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("__d", cosine(col(vecCol), col("centroid")))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("__d").desc, col("centroid_id"))))
-      .filter(col("__r") === 1)
-      .select(col("centroid_id"), col(idCol), col(vecCol))
+      .select(col(idCol), col(vecCol),
+        cosine(col(vecCol), col("centroid")).as("__d"), col("centroid_id"))
+      .groupBy(idCol)
+      .agg(first(vecCol).as(vecCol),
+        graft.expressions.TopKRows.topRows(col("__d"), col("centroid_id"), 1)
+          .as("__top"))
+      .select(element_at(col("__top"), 1).getField("id").cast("int")
+          .as("centroid_id"),
+        col(idCol), col(vecCol))
     (centroids, assigned)
   }
 
@@ -401,11 +424,13 @@ object Similarity {
                     vecCol: String = "embedding"): DataFrame = {
     val qc = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .crossJoin(broadcast(centroids))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("query_id").orderBy(cosine(col("__qv"), col("centroid")).desc,
-          col("centroid_id"))))
-      .filter(col("__r") <= nProbe)
-      .select(col("centroid_id"), col("query_id"))
+      .select(col("query_id"),
+        cosine(col("__qv"), col("centroid")).as("__d"), col("centroid_id"))
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKRows.topRows(col("__d"), col("centroid_id"), nProbe)
+        .as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("__e.id").cast("int").as("centroid_id"), col("query_id"))
     assigned.join(qc, Seq("centroid_id"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id")).distinct()
@@ -421,8 +446,6 @@ object Similarity {
         Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKByScore(cands, k)
   }
 }

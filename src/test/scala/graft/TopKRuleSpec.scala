@@ -70,6 +70,31 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(modes == Set("Partial", "Final"), s"modes were $modes")
   }
 
+  test("ANN top-k ranks through the partial-aggregating heap, not a window") {
+    // q_v_knn_brute's plan (Similarity/exactCosineTopK route every ANN
+    // ranking through TopKRows): partial+final ObjectHashAggregate present,
+    // no Window operator anywhere — each map task emits ≤ k candidates per
+    // query before the exchange instead of sorting every scored pair.
+    val df = SparkEntry.queries("q_v_knn_brute")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def collectAll[T](f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T],
+                      p: org.apache.spark.sql.execution.SparkPlan): Seq[T] =
+      p.collect(f) ++ p.subqueries.flatMap(collectAll(f, _))
+    val aggModes = collectAll(
+      { case a: ObjectHashAggregateExec => a }, plan)
+      .flatMap(_.aggregateExpressions
+        .filter(_.aggregateFunction.isInstanceOf[TopKRows]).map(_.mode.toString))
+    assert(aggModes.contains("Partial") && aggModes.contains("Final"),
+      s"expected partial+final TopKRows aggregation, got modes $aggModes in:\n$plan")
+    val windows = collectAll(
+      { case w: org.apache.spark.sql.execution.window.WindowExec => w }, plan)
+    assert(windows.isEmpty, s"ANN ranking must not use a window plan:\n$plan")
+  }
+
   test("topNPerGroupAgg carries full payloads and matches the window plan") {
     val sfDir = "/root/testdata/sf0.01"
     val orders = graft.core.Tables(spark, sfDir, "orders")
