@@ -24,7 +24,8 @@ object SparkEntry {
       TextSimQueries.queries ++ StreamQueries.queries ++ MlQueries.queries ++
       MultimodalQueries.queries ++ ExtQueries.queries ++ PipeQueries.queries ++
       R4Queries.queries ++ TpchPlusQueries.queries ++
-      WarehouseQueries.queries ++ R5Queries.queries ++ R6Queries.queries
+      WarehouseQueries.queries ++ R5Queries.queries ++ R6Queries.queries ++
+      R7Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
       TextSimQueries.oracles ++ StreamQueries.oracles ++ MlQueries.oracles ++
       MultimodalQueries.oracles ++ ExtQueries.oracles ++ PipeQueries.oracles ++
       R4Queries.oracles ++ TpchPlusQueries.oracles ++
-      WarehouseQueries.oracles ++ R5Queries.oracles ++ R6Queries.oracles
+      WarehouseQueries.oracles ++ R5Queries.oracles ++ R6Queries.oracles ++
+      R7Queries.oracles
 }

@@ -112,10 +112,28 @@ object KMeans {
     * @return (idCol, cluster) — one row per input vector. */
   def assignQuantized(emb: DataFrame, idCol: String, vecCol: String,
                       k: Int, dims: Int, iters: Int,
-                      quant: Double = 1e6): DataFrame = {
+                      quant: Double = 1e6): DataFrame =
+    assignUnder(emb, idCol, vecCol, dims,
+      fitQuantized(emb, idCol, vecCol, k, dims, iters, quant), quant)
+
+  /** The driver-side fitted integer-grid centroids [[assignQuantized]]
+    * assigns against: k × (1-based cid, dims grid values) after `iters - 1`
+    * collected updates — k·dims fitted integers, the only thing that ever
+    * reaches the driver. Exposed so multi-stage operators (the PQ-ADC
+    * search) can fit ONCE and derive both the code assignment and the
+    * asymmetric-distance lookup tables from the SAME centroids. */
+  def fitQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, dims: Int, iters: Int,
+                   quant: Double = 1e6): Seq[(Int, Seq[Long])] = {
     require(iters >= 1 && k >= 1)
-    val qvecs = quantized(emb, idCol, vecCol, dims, quant)
-    assignedTo(qvecs, fitCentroids(qvecs, k, iters))
-      .select(col("vid").as(idCol), col("cluster"))
+    fitCentroids(quantized(emb, idCol, vecCol, dims, quant), k, iters)
   }
+
+  /** Assignment under EXPLICIT fitted centroids (from [[fitQuantized]]) —
+    * same narrow codegen'd NearestCentroid expression, no refit. */
+  def assignUnder(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+                  centroids: Seq[(Int, Seq[Long])],
+                  quant: Double = 1e6): DataFrame =
+    assignedTo(quantized(emb, idCol, vecCol, dims, quant), centroids)
+      .select(col("vid").as(idCol), col("cluster"))
 }

@@ -101,6 +101,46 @@ object R6Queries {
     })
   )
 
+  /** Shared PQ-oracle building blocks (also composed by the round-7 PQ-ADC
+    * search oracle): `pqFitCtes` = the idx8 index + md5-ordered seed pick;
+    * `pqSubspaceCtes` = the eight per-subspace quantized-Lloyd's chains
+    * qe{s} → c0{s} → a1{s} → u1{s} → c1{s} (the codebook the codes are
+    * assigned against) → a2{s} (the codes). */
+  private[queries] def pqAssignSql(qe: String, cTab: String): String =
+    s"""(SELECT vec_id, cid FROM (
+       |    SELECT $qe.vec_id, c.cid,
+       |      SUM(($qe.q - c.cq) * ($qe.q - c.cq)) AS dist
+       |    FROM $qe JOIN $cTab c USING (dim)
+       |    GROUP BY $qe.vec_id, c.cid)
+       |  QUALIFY row_number()
+       |    OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""".stripMargin
+
+  private[queries] val pqFitCtes: String =
+    """idx8 AS (SELECT unnest(range(1, 9)) AS i),
+      |init AS (SELECT vec_id,
+      |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |    vec_id) AS INTEGER) AS cid
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |    vec_id) <= 16)""".stripMargin
+
+  private[queries] val pqSubspaceCtes: String = (0 until 8).map { s =>
+    s"""qe$s AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |  CAST(floor(CAST(embedding[i + ${s * 8}] AS DOUBLE) * 1e6 + 0.5)
+       |    AS BIGINT) AS q
+       |  FROM embeddings, idx8),
+       |c0$s AS (SELECT init.cid, qe$s.dim, qe$s.q AS cq
+       |  FROM init JOIN qe$s USING (vec_id)),
+       |a1$s AS ${pqAssignSql(s"qe$s", s"c0$s")},
+       |u1$s AS (SELECT a.cid, qe$s.dim,
+       |    CAST(SUM(qe$s.q) // COUNT(*) AS BIGINT) AS cq
+       |  FROM a1$s a JOIN qe$s USING (vec_id) GROUP BY a.cid, qe$s.dim),
+       |c1$s AS (SELECT c0$s.cid, c0$s.dim, COALESCE(u1$s.cq, c0$s.cq) AS cq
+       |  FROM c0$s LEFT JOIN u1$s
+       |    ON u1$s.cid = c0$s.cid AND u1$s.dim = c0$s.dim),
+       |a2$s AS ${pqAssignSql(s"qe$s", s"c1$s")}""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
     "q_w_topk_agg" ->
       """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rnk, o_orderkey, o_totalprice
@@ -228,41 +268,11 @@ object R6Queries {
     // subspace; the q_v_kmeans oracle pattern with k=16 over that
     // subspace's 8 components), unioned into the long-form code table.
     "q_v_pq_codes" -> {
-      def assign(qe: String, cTab: String): String =
-        s"""(SELECT vec_id, cid FROM (
-           |    SELECT $qe.vec_id, c.cid,
-           |      SUM(($qe.q - c.cq) * ($qe.q - c.cq)) AS dist
-           |    FROM $qe JOIN $cTab c USING (dim)
-           |    GROUP BY $qe.vec_id, c.cid)
-           |  QUALIFY row_number()
-           |    OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""".stripMargin
-      val subs = (0 until 8).map { s =>
-        s"""qe$s AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
-           |  CAST(floor(CAST(embedding[i + ${s * 8}] AS DOUBLE) * 1e6 + 0.5)
-           |    AS BIGINT) AS q
-           |  FROM embeddings, idx8),
-           |c0$s AS (SELECT init.cid, qe$s.dim, qe$s.q AS cq
-           |  FROM init JOIN qe$s USING (vec_id)),
-           |a1$s AS ${assign(s"qe$s", s"c0$s")},
-           |u1$s AS (SELECT a.cid, qe$s.dim,
-           |    CAST(SUM(qe$s.q) // COUNT(*) AS BIGINT) AS cq
-           |  FROM a1$s a JOIN qe$s USING (vec_id) GROUP BY a.cid, qe$s.dim),
-           |c1$s AS (SELECT c0$s.cid, c0$s.dim, COALESCE(u1$s.cq, c0$s.cq) AS cq
-           |  FROM c0$s LEFT JOIN u1$s
-           |    ON u1$s.cid = c0$s.cid AND u1$s.dim = c0$s.dim),
-           |a2$s AS ${assign(s"qe$s", s"c1$s")}""".stripMargin
-      }.mkString(",\n")
       val union = (0 until 8).map(s =>
         s"SELECT vec_id, $s AS subspace, cid AS code FROM a2$s")
         .mkString("\nUNION ALL ")
-      s"""WITH idx8 AS (SELECT unnest(range(1, 9)) AS i),
-         |init AS (SELECT vec_id,
-         |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-         |    vec_id) AS INTEGER) AS cid
-         |  FROM embeddings
-         |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-         |    vec_id) <= 16),
-         |$subs
+      s"""WITH $pqFitCtes,
+         |$pqSubspaceCtes
          |$union
          |ORDER BY vec_id, subspace""".stripMargin
     },

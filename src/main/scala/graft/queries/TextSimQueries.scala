@@ -351,8 +351,9 @@ object TextSimQueries {
     }.mkString("(", " + ", ")")
 
   /** Fast double cosine in SQL (assignment/probe argmax only — margins
-    * there are far above float-summation ulp differences). */
-  private def fastCosSql(a: String, b: String): String =
+    * there are far above float-summation ulp differences). Shared with the
+    * round-7 PQ-ADC oracle's IVF probe. */
+  private[queries] def fastCosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, 65),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        |  / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))

@@ -279,6 +279,35 @@ class TextSimSpec extends AnyFunSuite {
       s"PQ-ADC missed planted duplicates: $top1Hits/${queries.size}")
   }
 
+  test("IVF-PQ ADC search surfaces planted duplicates; recall vs brute measured") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    // recall of the full compressed search (IVF probe + 32× PQ + ADC)
+    // against exact float brute force — a MEASUREMENT (organic neighbors
+    // on this synthetic corpus sit inside the quantization error, so the
+    // floor is a sanity bound, not parity; the oracle checks the ADC
+    // ranking itself exactly)
+    val brute = Similarity.bruteForceTopK(e, q, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.pqAdcTopK(e, q, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & adc).size.toDouble / brute.size
+    info(f"IVF-PQ ADC recall@5 vs float brute force = $recall%.2f")
+    assert(recall >= 0.1, f"ADC recall collapsed: $recall%.2f")
+    // the retrieval a dedup/index pipeline actually needs through the
+    // compression: a planted exact duplicate must surface in the top-5
+    // (same embedding → same IVF list and same codes → maximal ADC score)
+    val doubled = e.unionByName(e.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding"), col("label")))
+    val hits = Similarity.pqAdcTopK(doubled, e.filter(col("vec_id") < 20), k = 5)
+      .filter(col("neighbor_id") === col("query_id") + 100000).count()
+    info(s"planted duplicate in ADC top-5: $hits/20 (32x compression)")
+    assert(hits >= 16, s"ADC missed planted duplicates: $hits/20")
+    graft.ops.Leaks.sweep(spark)
+  }
+
   test("directional ingest dedup surfaces every planted corpus copy") {
     val docs = graft.core.Tables(spark, sfDir, "documents")
     val corpus = docs.filter(col("source") =!= "src0")
