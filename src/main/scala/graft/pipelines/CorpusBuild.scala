@@ -68,9 +68,12 @@ object CorpusBuild {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // semantic dedup: embeddings are keyed by the same ids; drop docs
-    // whose vector is a non-representative member of a near-dup component
+    // whose vector is a non-representative member of a near-dup component.
+    // k auto-sizes with the corpus (k ∝ n / targetClusterSize) so the
+    // within-cluster pair search stays linear as the corpus grows
     val semKeep = Similarity
-      .semanticDedupKeep(emb, threshold = 0.999, k = 8, iters = 2)
+      .semanticDedupKeepAuto(emb, threshold = 0.999, targetClusterSize = 500,
+        iters = 2)
       .filter(col("keep")).select(col("vec_id").as("doc_id"))
     val semKept = nearKept.join(semKeep, Seq("doc_id"), "left_semi")
 

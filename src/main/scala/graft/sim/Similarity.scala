@@ -418,6 +418,26 @@ object Similarity {
     *
     * @return (idCol, cluster, keep) — keep=false exactly for non-minimal
     *         members of a near-duplicate component. */
+  /** k for [[semanticDedupKeepAuto]]: enough clusters that the EXPECTED
+    * cluster holds `targetClusterSize` vectors, floored at 16. The
+    * within-cluster pair search is Σ C(size, 2); with k ∝ n the expected
+    * per-cluster size is constant and total candidates grow LINEARLY with
+    * the corpus — at a fixed k they grow quadratically (the sf1 sweep
+    * measured exactly that foot-gun at k=16). */
+  def semDedupAutoK(n: Long, targetClusterSize: Long): Int =
+    math.max(16L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+
+  /** [[semanticDedupKeep]] with k auto-sized from one distributed COUNT —
+    * the default entry point for a corpus whose size the caller doesn't
+    * pin. The explicit-k overload stays for reproducing a fixed clustering
+    * (the oracle query pins k=16). */
+  def semanticDedupKeepAuto(df: DataFrame, threshold: Double,
+                            targetClusterSize: Long = 1000, iters: Int = 2,
+                            dim: Int = 64, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame =
+    semanticDedupKeep(df, threshold, semDedupAutoK(df.count(), targetClusterSize),
+      iters, dim, idCol, vecCol)
+
   def semanticDedupKeep(df: DataFrame, threshold: Double, k: Int = 16,
                         iters: Int = 2, dim: Int = 64,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -279,6 +279,50 @@ class TextSimSpec extends AnyFunSuite {
       s"PQ-ADC missed planted duplicates: $top1Hits/${queries.size}")
   }
 
+  test("auto-sized SemDeDup k bounds within-cluster candidate growth at 10x input") {
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    // 10× corpus of genuinely DISTINCT vectors: rotate each copy's
+    // dimensions so the copies spread like the originals instead of
+    // collapsing onto them (which would inflate pair counts legitimately)
+    val tenX = (0 until 10).map { c =>
+      e.select((col("vec_id") + c * 1000000L).as("vec_id"),
+        concat(slice(col("embedding"), c + 1, 64 - c),
+          slice(col("embedding"), 1, c)).as("embedding"))
+    }.reduce(_ unionByName _)
+    // candidate volume = Σ C(cluster size, 2) under the blocking k-means
+    def candidatePairs(df: org.apache.spark.sql.DataFrame, k: Int): Long =
+      graft.ml.KMeans.assignQuantized(df, "vec_id", "embedding", k, 64, 2)
+        .groupBy("cluster").agg(count(lit(1)).as("s"))
+        .agg(sum(col("s") * (col("s") - 1))).head.getLong(0) / 2
+    val n = e.count(); val n10 = tenX.count()
+    val target = 100L
+    val k1 = Similarity.semDedupAutoK(n, target)
+    val k10 = Similarity.semDedupAutoK(n10, target)
+    // k1 sits on the floor (16 > n/target); at 10× the corpus the auto-k
+    // must leave the floor and keep the EXPECTED cluster at ≤ target
+    assert(k10 > k1 && k10 * target >= n10,
+      s"auto-k must scale with the corpus: $k1 -> $k10 (n10=$n10)")
+    val p1 = candidatePairs(e, k1)
+    val p10auto = candidatePairs(tenX, k10)
+    val p10fixed = candidatePairs(tenX, k1)
+    info(s"candidate pairs: n=$n k=$k1 -> $p1; 10n auto k=$k10 -> $p10auto; " +
+      s"10n FIXED k=$k1 -> $p10fixed")
+    // fixed k grows ~quadratically (100×); auto-k must stay near-linear
+    assert(p10auto < p10fixed,
+      s"auto-k should beat fixed k at 10x input: $p10auto vs $p10fixed")
+    assert(p10auto <= p1 * 35,
+      s"auto-k candidate growth not bounded: $p1 -> $p10auto at 10x input")
+    // and the auto entry point reproduces the pinned-k operator when the
+    // floor applies (n / target <= 16)
+    val auto = Similarity.semanticDedupKeepAuto(e, 0.999,
+      targetClusterSize = 1000).orderBy("vec_id").collect()
+    val pinned = Similarity.semanticDedupKeep(e, 0.999, k = 16)
+      .orderBy("vec_id").collect()
+    assert(auto.sameElements(pinned))
+    graft.ops.Leaks.sweep(spark)
+  }
+
   test("IVF-PQ ADC search surfaces planted duplicates; recall vs brute measured") {
     val e = graft.core.Tables(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 10)
