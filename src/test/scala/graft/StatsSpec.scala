@@ -100,4 +100,45 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(PValues.twoSidedFromT(2.0, 60) - 0.0499) < 2e-3)
     assert(PValues.stars(0.0001) == "***" && PValues.stars(0.2) == "ns")
   }
+
+  test("exact tails match closed-form references to 1e-12 at small df") {
+    // references are EXACT finite formulas evaluated independently:
+    // A&S 26.7.3/4 trig forms for integer-df t, the finite e^{-x/2}·poly /
+    // erfc forms for chi², erfc for the normal, and the integer-parameter
+    // binomial form of I_x(a,b) — the same values scipy returns.
+    def ≈(a: Double, b: Double, tol: Double = 1e-12) =
+      assert(math.abs(a - b) < tol, s"$a vs $b")
+    // Student t two-sided, df 1…19 — the small-n region where the old
+    // Hill approximation drifted in the 3rd decimal
+    ≈(PValues.twoSidedFromT(2.5, 1), 0.24223788318168682)
+    ≈(PValues.twoSidedFromT(2.0, 2), 0.18350341907227397)
+    ≈(PValues.twoSidedFromT(1.3, 4), 0.26345159647122396)
+    ≈(PValues.twoSidedFromT(0.7, 5), 0.5151489483148164)
+    ≈(PValues.twoSidedFromT(2.0, 10), 0.0733880347707403)
+    ≈(PValues.twoSidedFromT(4.2, 17), 0.0006016232046723857)
+    ≈(PValues.twoSidedFromT(2.1, 19), 0.04931439824327344)
+    // chi² upper tail, odd and even dof
+    ≈(PValues.chi2Sf(3.5, 2), 0.17377394345044514)
+    ≈(PValues.chi2Sf(10.2, 4), 0.03719015404964539)
+    ≈(PValues.chi2Sf(0.8, 7), 0.9974439534153424)
+    ≈(PValues.chi2Sf(25.0, 9), 0.002971180485917622)
+    ≈(PValues.chi2Sf(5.99, 1), 0.014387202374007146)
+    ≈(PValues.chi2Sf(12.3, 6), 0.055601201779395225)
+    // normal CDF through Q(1/2, z²/2)
+    ≈(PValues.normalCdf(1.96), 0.9750021048517795)
+    ≈(PValues.normalCdf(-0.5), 0.3085375387259869)
+    ≈(PValues.normalCdf(3.1), 0.9990323967867817)
+    ≈(PValues.normalCdf(-2.575), 0.005012004331761337)
+    ≈(PValues.normalCdf(0.0), 0.5)
+    // incomplete beta at integer parameters (binomial closed form)
+    ≈(PValues.regBetaI(0.3, 2, 4), 0.47178)
+    ≈(PValues.regBetaI(0.5, 3, 3), 0.5)
+    ≈(PValues.regBetaI(0.7, 5, 2), 0.420175)
+    ≈(PValues.regBetaI(0.25, 1, 6), 0.822021484375)
+    // F upper tail consistency: F(1, d2) ≡ t²(d2) two-sided
+    ≈(PValues.fSf(4.0, 1, 10), PValues.twoSidedFromT(2.0, 10))
+    ≈(PValues.fSf(2.5 * 2.5, 1, 1), PValues.twoSidedFromT(2.5, 1))
+    // complementarity
+    ≈(PValues.regGammaP(4.5, 3.0) + PValues.regGammaQ(4.5, 3.0), 1.0)
+  }
 }
