@@ -181,7 +181,72 @@ case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** Signature-agreement Jaccard estimate: |matching minhash positions| /
+  * numHashes ([[graft.text.TextOps.estJaccardFast]] semantics) — fully
+  * codegen'd; runs once per CANDIDATE pair out of the band join, which
+  * emits far more candidates than survivors. */
+case class EstJaccard(left: Expression, right: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"EstJaccard requires array<string> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val xi = x.getUTF8String(i)
+      val yi = y.getUTF8String(i)
+      if (xi == null) { if (yi == null) c += 1 }
+      else if (xi.equals(yi)) c += 1
+      i += 1
+    }
+    c.toDouble / numHashes
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  UTF8String $xi = $a.isNullAt($i) ? null : $a.getUTF8String($i);
+         |  UTF8String $yi = $b.isNullAt($i) ? null : $b.getUTF8String($i);
+         |  if ($xi == null ? $yi == null : $xi.equals($yi)) $c++;
+         |}
+         |${ev.value} = (double) $c / $numHashes;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextHashExpressions {
+  def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    Bridge.column(EstJaccard(Bridge.expression(a), Bridge.expression(b), numHashes))
+
   def minhash(text: Column, numHashes: Int, shingleN: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(text), numHashes, shingleN))
 

@@ -148,13 +148,29 @@ object Similarity {
     * step is integer-exact, so the code assignment is bit-reproducible in
     * SQL (same Lloyd's replayed per block).
     * @return (idCol, subspace, code) — long form, one row per block. */
+  /** Run one independent task per subspace CONCURRENTLY: each per-subspace
+    * Lloyd's fit is a short chain of driver-coordinated Spark jobs (seed
+    * TakeOrdered + one update aggregation per iteration), and the jobs of
+    * different subspaces have no dependency — submitting them from
+    * parallel driver threads lets the scheduler overlap them instead of
+    * serializing 8 × jobs-per-fit rounds of latency. Results are
+    * deterministic regardless (each fit is a pure function of its own
+    * subspace's data). */
+  private def perSubspace[T](subspaces: Int)(f: Int => T): Seq[T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.traverse((0 until subspaces).toList)(s => Future(f(s))),
+      Duration.Inf)
+  }
+
   def pqCodes(df: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding", dims: Int = 64,
               subspaces: Int = 8, codewords: Int = 16,
               iters: Int = 2): DataFrame = {
     require(dims % subspaces == 0, "dims must divide into equal subspaces")
     val subDims = dims / subspaces
-    (0 until subspaces).map { s =>
+    perSubspace(subspaces) { s =>
       val sub = df.select(col(idCol),
         slice(col(vecCol), s * subDims + 1, subDims).as("__sub"))
       graft.ml.KMeans
@@ -172,7 +188,7 @@ object Similarity {
                   iters: Int = 2): DataFrame = {
     require(dims % subspaces == 0, "dims must divide into equal subspaces")
     val subDims = dims / subspaces
-    (0 until subspaces).map { s =>
+    perSubspace(subspaces) { s =>
       val sub = df.select(col(idCol),
         slice(col(vecCol), s * subDims + 1, subDims).as("__sub"))
       graft.ml.KMeans
@@ -218,9 +234,10 @@ object Similarity {
     import spark.implicits._
     val (centroids, assigned) = ivfIndex(corpus, nCentroids, idCol, vecCol)
     val cands = ivfCandidates(assigned, centroids, queries, nProbe, idCol, vecCol)
-    // one fit per subspace; codes AND lookup tables derive from the SAME
-    // centroids (a refit would be deterministic-identical but 2× the cost)
-    val fits = (0 until subspaces).map { s =>
+    // one fit per subspace, all 8 submitted concurrently; codes AND lookup
+    // tables derive from the SAME centroids (a refit would be
+    // deterministic-identical but 2× the cost)
+    val fits = perSubspace(subspaces) { s =>
       val sub = corpus.select(col(idCol),
         slice(col(vecCol), s * subDims + 1, subDims).as("__sub"))
       (s, sub, graft.ml.KMeans

@@ -245,20 +245,14 @@ object TextOps {
   def minhashSignatureFast(text: Column, numHashes: Int, shingleN: Int = 3): Column =
     graft.expressions.TextHashExpressions.minhash(text, numHashes, shingleN)
 
-  /** JVM fast signature-agreement estimate (matching minhash positions /
+  /** Fast signature-agreement estimate (matching minhash positions /
     * numHashes), BIT-IDENTICAL to the zip_with+aggregate expression form:
-    * integer match count, one double division. A UDF because the
-    * higher-order-function form is interpreted per candidate pair — the
-    * band join emits far more candidates than survivors. */
-  def estJaccardFast(a: Column, b: Column, numHashes: Int): Column = {
-    val f = udf { (x: Seq[String], y: Seq[String]) =>
-      var i = 0; var c = 0
-      val n = math.min(x.length, y.length)
-      while (i < n) { if (x(i) == y(i)) c += 1; i += 1 }
-      c.toDouble / numHashes
-    }
-    f(a, b)
-  }
+    * integer match count, one double division. Fully codegen'd
+    * ([[graft.expressions.EstJaccard]]) — the interpreted HOF form paid a
+    * lambda chain per candidate pair and the band join emits far more
+    * candidates than survivors. */
+  def estJaccardFast(a: Column, b: Column, numHashes: Int): Column =
+    graft.expressions.TextHashExpressions.estJaccard(a, b, numHashes)
 
   /** JVM fast path for exact shingle-Jaccard (pipeline verify step). */
   def jaccardShinglesFast(a: Column, b: Column, n: Int): Column = {

@@ -119,6 +119,43 @@ class ExpressionSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
 
+  test("round-7 native kernels are SQL-callable and match the column API") {
+    graft.expressions.GraftExtensions.register(spark)
+    graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(25).createOrReplaceTempView("docs_k_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, lang_id(text) AS l, simhash48(text, 16) AS sh,
+        |  minhash_signature(text, 4, 3) AS mh
+        |FROM docs_k_sql""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getSeq[String](3))).toMap
+    val t = spark.table("docs_k_sql")
+    val viaCol = t.select(col("doc_id"),
+        graft.text.TextOps.langIdFast(col("text")).as("l"),
+        graft.text.TextOps.simhashFast(col("text"), 16).as("sh"),
+        graft.text.TextOps.minhashSignatureFast(col("text"), 4).as("mh"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getSeq[String](3))).toMap
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    // hyperplane signature + est_jaccard over embeddings
+    graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(25).createOrReplaceTempView("emb_k_sql")
+    val hs = spark.sql(
+      """SELECT vec_id, hyperplane_signature(embedding, 8, 64, 42) AS s
+        |FROM emb_k_sql""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hc = spark.table("emb_k_sql")
+      .select(col("vec_id"),
+        graft.sim.Similarity.hyperplaneSignatureFast(col("embedding"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs == hc && hs.nonEmpty)
+    val ej = spark.sql(
+      """SELECT est_jaccard(minhash_signature(text, 8, 3),
+        |                   minhash_signature(text, 8, 3), 8) AS j
+        |FROM docs_k_sql""".stripMargin).collect().map(_.getDouble(0))
+    assert(ej.nonEmpty && ej.forall(_ == 1.0))
+  }
+
   test("native dot is substantially faster than the interpreted fold") {
     val e = graft.core.Tables(spark, "/root/testdata/sf0.01", "embeddings")
       .select(col("embedding").as("a"), col("embedding").as("b"))
