@@ -181,6 +181,77 @@ case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** Distinct n-token shingle set of the normalized text
+  * ([[graft.text.TextOps.shingleSet]] — SET order, use only where element
+  * order is irrelevant: explode-then-aggregate/join pipelines like the
+  * decontamination gram scan). */
+case class DistinctShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle n must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"DistinctShingles requires string input, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(t: UTF8String): ArrayData = {
+    val sh = graft.text.TextOps.shingleSet(t.toString, n)
+    val out = new Array[Any](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = UTF8String.fromString(sh(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[DistinctShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard of the distinct n-token shingle sets of two texts — the
+  * verify stage of minhash near-dup, which runs ONLY on est-pruned
+  * survivors ([[graft.text.TextOps.jaccardShingles]] semantics). */
+case class JaccardShingles(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(n >= 1, s"shingle n must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"JaccardShingles requires string inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+
+  def compute(a: UTF8String, b: UTF8String): Double = {
+    val sa = graft.text.TextOps.shingleSet(a.toString, n).toSet
+    val sb = graft.text.TextOps.shingleSet(b.toString, n).toSet
+    (sa & sb).size.toDouble / (sa | sb).size
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccard", this, classOf[JaccardShingles].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Signature-agreement Jaccard estimate: |matching minhash positions| /
   * numHashes ([[graft.text.TextOps.estJaccardFast]] semantics) — fully
   * codegen'd; runs once per CANDIDATE pair out of the band join, which
@@ -246,6 +317,12 @@ case class EstJaccard(left: Expression, right: Expression, numHashes: Int)
 object TextHashExpressions {
   def estJaccard(a: Column, b: Column, numHashes: Int): Column =
     Bridge.column(EstJaccard(Bridge.expression(a), Bridge.expression(b), numHashes))
+
+  def distinctShingles(text: Column, n: Int): Column =
+    Bridge.column(DistinctShingles(Bridge.expression(text), n))
+
+  def jaccardShingles(a: Column, b: Column, n: Int): Column =
+    Bridge.column(JaccardShingles(Bridge.expression(a), Bridge.expression(b), n))
 
   def minhash(text: Column, numHashes: Int, shingleN: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(text), numHashes, shingleN))

@@ -21,58 +21,98 @@ object R7Queries {
       val e = Tables(s, d, "embeddings")
       Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 5), k = 5)
         .orderBy("query_id", "rnk")
+    }),
+
+    // Two-stage retrieval: ADC recalls top-20 through the compressed
+    // index, exact decimal cosine rescoring of ONLY those survivors ranks
+    // the final 5 — the production search shape (recall from codes,
+    // precision from a per-query-constant float read-back).
+    "q_v_pqadc_rerank" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      Similarity.pqAdcRerank(e, e.filter(col("vec_id") < 5), k = 5,
+        rerankFrom = 20).orderBy("query_id", "rnk")
     }))
 
+  /** Shared ADC CTE chain (WITH-body through `score`): the q_v_ivf_ann
+    * probe CTEs (fast-float cosine argmax — margins far above summation
+    * ulp), the q_v_pq_codes per-subspace Lloyd's chains (c1{s} = the
+    * codebook the codes in a2{s} were assigned against), then integer LUT
+    * sums — BIGINT-exact end to end. */
+  private val pqAdcCoreCtes: String = {
+    val cosEC = TextSimQueries.fastCosSql("e.embedding", "c.centroid")
+    val cbUnion = (0 until 8).map(s =>
+      s"SELECT $s AS subspace, cid AS code, dim, cq FROM c1$s")
+      .mkString("\n  UNION ALL ")
+    val codesUnion = (0 until 8).map(s =>
+      s"SELECT vec_id, $s AS subspace, cid AS code FROM a2$s")
+      .mkString("\n  UNION ALL ")
+    s"""${R6Queries.pqFitCtes},
+       |${R6Queries.pqSubspaceCtes},
+       |idx AS (SELECT unnest(range(1, 65)) AS i),
+       |cent AS (SELECT * FROM (SELECT ROW_NUMBER() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id,
+       |    embedding AS centroid FROM embeddings) t WHERE centroid_id <= 16),
+       |assign AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |    PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.centroid_id) AS r
+       |  FROM embeddings e CROSS JOIN cent c) t WHERE r = 1),
+       |probe AS (SELECT query_id, centroid_id FROM (
+       |  SELECT e.vec_id AS query_id, c.centroid_id, ROW_NUMBER() OVER (
+       |    PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.centroid_id) AS r
+       |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) t WHERE r <= 4),
+       |pairs AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
+       |    AND a.vec_id != p.query_id),
+       |cb AS ($cbUnion),
+       |codes AS ($codesUnion),
+       |qgrid AS (SELECT vec_id AS query_id,
+       |  CAST((i - 1) // 8 AS INTEGER) AS subspace,
+       |  CAST((i - 1) % 8 AS INTEGER) AS dim,
+       |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qq
+       |  FROM embeddings, idx WHERE vec_id < 5),
+       |lut AS (SELECT query_id, subspace, code,
+       |    CAST(SUM(qq * cq) AS BIGINT) AS lut
+       |  FROM qgrid JOIN cb USING (subspace, dim) GROUP BY 1, 2, 3),
+       |score AS (SELECT p.query_id, p.neighbor_id,
+       |    CAST(SUM(l.lut) AS BIGINT) AS adc
+       |  FROM pairs p JOIN codes c ON c.vec_id = p.neighbor_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.subspace = c.subspace
+       |    AND l.code = c.code
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    // Composes the verified pieces verbatim: the q_v_ivf_ann probe CTEs
-    // (fast-float cosine argmax — margins far above summation ulp), the
-    // q_v_pq_codes per-subspace Lloyd's chains (c1{s} = the codebook the
-    // codes in a2{s} were assigned against), then integer LUT sums and the
-    // (adc DESC, neighbor_id ASC) ranking — BIGINT-exact end to end.
-    "q_v_pqadc_ann" -> {
-      val cosEC = TextSimQueries.fastCosSql("e.embedding", "c.centroid")
-      val cbUnion = (0 until 8).map(s =>
-        s"SELECT $s AS subspace, cid AS code, dim, cq FROM c1$s")
-        .mkString("\n  UNION ALL ")
-      val codesUnion = (0 until 8).map(s =>
-        s"SELECT vec_id, $s AS subspace, cid AS code FROM a2$s")
-        .mkString("\n  UNION ALL ")
-      s"""WITH ${R6Queries.pqFitCtes},
-         |${R6Queries.pqSubspaceCtes},
-         |idx AS (SELECT unnest(range(1, 65)) AS i),
-         |cent AS (SELECT * FROM (SELECT ROW_NUMBER() OVER (
-         |    ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id,
-         |    embedding AS centroid FROM embeddings) t WHERE centroid_id <= 16),
-         |assign AS (SELECT vec_id, centroid_id FROM (
-         |  SELECT e.vec_id, c.centroid_id, ROW_NUMBER() OVER (
-         |    PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.centroid_id) AS r
-         |  FROM embeddings e CROSS JOIN cent c) t WHERE r = 1),
-         |probe AS (SELECT query_id, centroid_id FROM (
-         |  SELECT e.vec_id AS query_id, c.centroid_id, ROW_NUMBER() OVER (
-         |    PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.centroid_id) AS r
-         |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) t WHERE r <= 4),
-         |pairs AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-         |  FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
-         |    AND a.vec_id != p.query_id),
-         |cb AS ($cbUnion),
-         |codes AS ($codesUnion),
-         |qgrid AS (SELECT vec_id AS query_id,
-         |  CAST((i - 1) // 8 AS INTEGER) AS subspace,
-         |  CAST((i - 1) % 8 AS INTEGER) AS dim,
-         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qq
-         |  FROM embeddings, idx WHERE vec_id < 5),
-         |lut AS (SELECT query_id, subspace, code,
-         |    CAST(SUM(qq * cq) AS BIGINT) AS lut
-         |  FROM qgrid JOIN cb USING (subspace, dim) GROUP BY 1, 2, 3),
-         |score AS (SELECT p.query_id, p.neighbor_id,
-         |    CAST(SUM(l.lut) AS BIGINT) AS adc
-         |  FROM pairs p JOIN codes c ON c.vec_id = p.neighbor_id
-         |  JOIN lut l ON l.query_id = p.query_id AND l.subspace = c.subspace
-         |    AND l.code = c.code
-         |  GROUP BY 1, 2)
+    "q_v_pqadc_ann" ->
+      s"""WITH $pqAdcCoreCtes
          |SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |  ORDER BY adc DESC, neighbor_id) AS rn FROM score)
-         |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin
-    })
+         |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // The ADC chain recalls top-20, then decimal-exact cosine (the
+    // q_v_knn_brute discipline) rescores ONLY those survivors to the
+    // final 5 — replayed verbatim.
+    "q_v_pqadc_rerank" ->
+      s"""WITH $pqAdcCoreCtes,
+         |coarse AS (SELECT query_id, neighbor_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc DESC, neighbor_id) AS rn FROM score)
+         |  WHERE rn <= 20),
+         |n2x AS (SELECT vec_id, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+         |    * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS n2
+         |  FROM embeddings, idx GROUP BY vec_id),
+         |dotsx AS (SELECT query_id, neighbor_id,
+         |  CAST(SUM(CAST(CAST(qe.embedding[i] AS DOUBLE)
+         |    * CAST(ce.embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM coarse JOIN embeddings qe ON qe.vec_id = query_id
+         |    JOIN embeddings ce ON ce.vec_id = neighbor_id, idx
+         |  GROUP BY 1, 2),
+         |cosx AS (SELECT query_id, neighbor_id,
+         |  dot / (SQRT(nq.n2) * SQRT(nc.n2)) AS cosine
+         |  FROM dotsx JOIN n2x nq ON nq.vec_id = query_id
+         |    JOIN n2x nc ON nc.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rnk
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id) AS rn FROM cosx)
+         |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin)
 }

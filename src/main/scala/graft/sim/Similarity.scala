@@ -279,6 +279,54 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Two-stage compressed retrieval — the complete production shape:
+    * [[pqAdcTopK]] recalls `rerankFrom` candidates per query through the
+    * 32× compressed index (8 bytes of codes per candidate), then ONLY
+    * those ≤ rerankFrom·|queries| survivors pay an exact decimal-cosine
+    * rescore against the float originals (order-independent DECIMAL(30,12)
+    * accumulation — the oracle discipline), ranked to the final k by the
+    * bounded heap. ADC buys the recall at index cost; the exact stage buys
+    * the precision at survivor cost — at 100 TB the floats are read back
+    * for a per-query constant, never for the corpus.
+    * @return (query_id, neighbor_id, cosine, rnk) */
+  def pqAdcRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+                  rerankFrom: Int,
+                  dims: Int = 64, subspaces: Int = 8, codewords: Int = 16,
+                  iters: Int = 2, nCentroids: Int = 16, nProbe: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  quant: Double = 1e6): DataFrame = {
+    require(rerankFrom >= k, "rerankFrom must be at least k")
+    import graft.ops.Num.dsum12
+    val coarse = pqAdcTopK(corpus, queries, rerankFrom, dims, subspaces,
+        codewords, iters, nCentroids, nProbe, idCol, vecCol, quant)
+      .select("query_id", "neighbor_id")
+    def n2Of(df: DataFrame) = df.select(col(idCol),
+        explode(transform(col(vecCol), x => x.cast("double") * x.cast("double"))).as("p"))
+      .groupBy(idCol).agg(dsum12(col("p")).as("n2"))
+    val dots = coarse
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(zip_with(col("__qv"), col("__cv"),
+          (x, y) => x.cast("double") * y.cast("double"))))
+      .groupBy("query_id", "neighbor_id").agg(dsum12(col("col")).as("dot"))
+    dots
+      .join(n2Of(queries).select(col(idCol).as("query_id"), col("n2").as("n2q")),
+        Seq("query_id"))
+      .join(n2Of(corpus).select(col(idCol).as("neighbor_id"), col("n2").as("n2c")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("dot") / (sqrt(col("n2q")) * sqrt(col("n2c")))).as("cosine"))
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKRows
+        .topRows(col("cosine"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * md5-derived uniform in [-0.5, 0.5). Computed ONCE on the driver and
     * embedded as a literal — the generated per-row code is pure mult-adds

@@ -208,15 +208,14 @@ object TextOps {
     }
   }
 
-  /** JVM fast path for the DISTINCT shingle set (SAME elements as
+  /** Fast path for the DISTINCT shingle set (SAME elements as
     * `array_distinct(shingles(text, n))` — set order differs, so use only
     * where order is irrelevant: explode-then-aggregate/join pipelines).
-    * The expression form is an interpreted HOF chain (no codegen) and
-    * dominates wide scans; this is one tight tokenizer pass per row. */
-  def distinctShinglesFast(text: Column, n: Int): Column = {
-    val f = udf { (t: String) => shingleSet(t, n) }
-    f(text)
-  }
+    * The HOF expression form is interpreted (no codegen) and dominates
+    * wide scans; this is one tight tokenizer pass per row, as a native
+    * expression ([[graft.expressions.DistinctShingles]]). */
+  def distinctShinglesFast(text: Column, n: Int): Column =
+    graft.expressions.TextHashExpressions.distinctShingles(text, n)
 
   /** MD5 hex digest in a tight JVM loop (MessageDigest is per-call state;
     * the caller reuses one instance per row or per thread). */
@@ -254,14 +253,10 @@ object TextOps {
   def estJaccardFast(a: Column, b: Column, numHashes: Int): Column =
     graft.expressions.TextHashExpressions.estJaccard(a, b, numHashes)
 
-  /** JVM fast path for exact shingle-Jaccard (pipeline verify step). */
-  def jaccardShinglesFast(a: Column, b: Column, n: Int): Column = {
-    val f = udf { (x: String, y: String) =>
-      val sa = shingleSet(x, n).toSet; val sb = shingleSet(y, n).toSet
-      (sa & sb).size.toDouble / (sa | sb).size
-    }
-    f(a, b)
-  }
+  /** Fast path for exact shingle-Jaccard (the verify step — survivors
+    * only), as a native expression ([[graft.expressions.JaccardShingles]]). */
+  def jaccardShinglesFast(a: Column, b: Column, n: Int): Column =
+    graft.expressions.TextHashExpressions.jaccardShingles(a, b, n)
 
   /** LSH band keys from a minhash signature: md5 of each band's rows.
     * Docs sharing any band key are near-dup candidates. */

@@ -349,6 +349,16 @@ class TextSimSpec extends AnyFunSuite {
       .filter(col("neighbor_id") === col("query_id") + 100000).count()
     info(s"planted duplicate in ADC top-5: $hits/20 (32x compression)")
     assert(hits >= 16, s"ADC missed planted duplicates: $hits/20")
+    // two-stage retrieval: exact rescoring of the ADC top-20 must not
+    // lose recall vs raw ADC@5 — the exact stage can only fix orderings
+    // inside the recalled set
+    val rerank = Similarity.pqAdcRerank(e, q, k = 5, rerankFrom = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerankRecall = (brute & rerank).size.toDouble / brute.size
+    info(f"ADC->exact rerank recall@5 vs brute = $rerankRecall%.2f (ADC alone: $recall%.2f)")
+    assert(rerankRecall >= recall,
+      f"exact rerank must not lose recall: $rerankRecall%.2f < $recall%.2f")
     graft.ops.Leaks.sweep(spark)
   }
 
