@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc profiling entry (not part of the driver contract; removed or kept
-  * idle between investigations). */
+  * idle between investigations). Current subject: the round-7 substring /
+  * edit-distance near-dup stages. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,79 +31,48 @@ object Scratch {
       }
     }
 
+    import graft.text.TextOps
     val docs = graft.core.Tables(spark, sfDir, "documents")
-    val docs2 = docs.unionByName(
-      docs.select(col("doc_id") + 100000, col("text"), col("lang"),
-        col("source"), col("n_chars")).toDF(docs.columns: _*))
+    val k = 8
 
-    // --- corpus pipeline stages ---
-    time("cp.quality") {
-      graft.text.TextOps.qualityFeatures(docs)
-        .filter(col("alpha_ratio") > 0.7 && col("n_tokens").between(20, 2000)).count()
-    }
-    time("cp.langFilter") {
-      val q = graft.text.TextOps.qualityFeatures(docs)
-        .filter(col("alpha_ratio") > 0.7 && col("n_tokens").between(20, 2000))
-      q.filter(graft.text.TextOps.langIdFast(col("text")) === col("lang")).count()
-    }
-    time("cp.exactDedup") {
-      val q = graft.text.TextOps.qualityFeatures(docs)
-        .filter(col("alpha_ratio") > 0.7 && col("n_tokens").between(20, 2000))
-        .filter(graft.text.TextOps.langIdFast(col("text")) === col("lang"))
-        .select(docs.columns.map(col): _*)
-      graft.text.TextOps.exactDedup(q, "doc_id", "text").count()
-    }
-    time("cp.full") {
-      graft.queries.TextSimQueries.queries("q_x_corpus_pipeline")(spark, sfDir).count()
-    }
+    val toks = TextOps.tokens(TextOps.normalizeText(col("text")))
+    val grams = when(size(toks) < k, array(md5(concat_ws(" ", toks))))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(k)))))))
 
-    // --- minhash neardup stages ---
-    time("mh.sigsOnly") {
-      docs2.select(col("doc_id"),
-        graft.text.TextOps.minhashSignatureFast(col("text"), 16, 3).as("s")).count()
+    time("ss.gramsOnly") {
+      docs.select(col("doc_id"), grams.as("g")).count()
     }
-    time("mh.full") {
-      graft.queries.TextSimQueries.queries("q_x_minhash_neardup")(spark, sfDir).count()
+    time("ss.gramsExplode") {
+      docs.select(col("doc_id").as("id"), explode(grams).as("gram")).count()
     }
-
-    // --- simhash neardup stages ---
-    time("sh.sigsOnly") {
-      docs2.select(col("doc_id"),
-        graft.text.TextOps.simhashFast(col("text"), 32).as("s")).count()
+    time("ss.keptCount") {
+      val g = docs.select(col("doc_id").as("id"), explode(grams).as("gram"))
+      g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf").between(2, 16)).count()
     }
-    time("sh.full") {
-      graft.queries.TextSimQueries.queries("q_x_simhash_neardup")(spark, sfDir).count()
+    time("ss.full") {
+      TextOps.sharedSpanPairs(docs, "doc_id", "text", 8, 16).count()
     }
-
-    // --- embed neardup ---
-    time("em.full") {
-      graft.queries.TextSimQueries.queries("q_x_embed_neardup")(spark, sfDir).count()
+    time("ed.normOnly") {
+      docs.select(TextOps.normalizeText(col("text")).as("n")).count()
     }
-
-    // --- corr prune / spearman / best_per_type / yeojohnson ---
-    time("corr.full") {
-      graft.queries.MlQueries.queries("q_a16_corr_prune")(spark, sfDir).count()
+    time("ed.candOnly") {
+      val bw = 33
+      val norm = docs.select(col("lang"), col("doc_id").as("id"),
+        TextOps.normalizeText(col("text")).as("norm"))
+        .withColumn("len", length(col("norm")))
+      val keyed = norm.select(col("lang"), col("id"),
+        explode(array((col("len") / bw).cast("long"),
+          (col("len") / bw).cast("long") + lit(1L))).as("band"))
+      keyed.withColumnRenamed("id", "doc_a")
+        .join(keyed.withColumnRenamed("id", "doc_b"), Seq("lang", "band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct().count()
     }
-    time("spearman.full") {
-      graft.queries.StatsQueries.queries("q_t8_spearman")(spark, sfDir).count()
-    }
-    time("bestPerType.full") {
-      graft.queries.MlQueries.queries("q_e_best_per_type")(spark, sfDir).count()
-    }
-    time("yj.full") {
-      graft.queries.MlQueries.queries("q_m4_yeojohnson_lambda")(spark, sfDir).count()
-    }
-    time("ntile.full") {
-      graft.queries.ExtQueries.queries("q_w_ntile")(spark, sfDir).count()
-    }
-    time("j1.full") {
-      graft.queries.CoreQueries.queries("q_j1_top_revenue")(spark, sfDir).count()
-    }
-    time("exceptIntersect.full") {
-      graft.queries.ExtQueries.queries("q_u_except_intersect")(spark, sfDir).count()
-    }
-    time("clusters.full") {
-      graft.queries.TextSimQueries.queries("q_x_neardup_clusters")(spark, sfDir).count()
+    time("ed.full") {
+      TextOps.editNearDupPairs(docs, "doc_id", "text", 32, Seq("lang")).count()
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering for
@@ -38,4 +38,39 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Per-file min/max statistics for `cols` over a parquet table — the
+    * poor-man's Delta/Iceberg manifest. ONE distributed pass: group by
+    * `input_file_name()`, min/max each column; the result is file-count-
+    * sized (metadata scale, not data scale) and is the index
+    * [[prunedRead]] skips files with. Rebuild after compaction/append —
+    * like any manifest, it describes the files it was built from. */
+  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+  /** File-skipping scan: read ONLY the files whose [min,max] envelope for
+    * `statCol` intersects [lo, hi], then apply the row-level filter. With
+    * a clustered layout (sorted or [[writeZOrdered]]), most files fall
+    * wholly outside the envelope and are never opened — the I/O win
+    * row-group pruning can't deliver once a table's files are unsorted
+    * internally but disjoint externally. The stats frame is metadata-sized,
+    * so the driver-side collect is file-count-bounded (same altitude as
+    * Spark's own file listing); row correctness NEVER depends on the
+    * stats — the row filter still runs, so stale stats can only lose the
+    * skip, not rows... which is why `fileStats` must cover a superset of
+    * the live files (guarded here). */
+  def prunedRead(spark: SparkSession, path: String, stats: DataFrame,
+                 statCol: String, lo: Long, hi: Long): DataFrame = {
+    val live = stats
+      .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+      .select("file").collect().map(_.getString(0))
+    if (live.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(live.toIndexedSeq: _*)
+        .filter(col(statCol).between(lo, hi))
+  }
 }

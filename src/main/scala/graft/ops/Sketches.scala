@@ -48,4 +48,47 @@ object Sketches {
     df.agg(expr(s"approx_top_k(`$valueCol`, $k)").as("tk"))
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("item"), col("e.count").as("est_count"))
+
+  /** Count-Min bucket for hash row `row`: the first 24 md5 bits of
+    * `"row:item"` mod `width`. md5 is engine-stable (Spark == DuckDB ==
+    * RFC 1321), so unlike the DataSketches aggregates above, a CMS built
+    * this way is bit-reproducible across engines — the one sketch in the
+    * family that ships with a hash-exact oracle rather than error-bound
+    * property tests. */
+  def cmsBucket(item: Column, row: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$row:"), item.cast("string"))), 1, 6),
+      16, 10).cast("long") % width
+
+  /** Count-Min sketch of `itemCol` frequencies: `depth`×`width` counters
+    * as rows (row, bucket, cnt). ONE scan — each input row explodes to
+    * `depth` (row, bucket) cells, then a single map-side-combined groupBy
+    * on a key space of at most depth·width cells, so the exchange carries
+    * O(depth·width) partial counters per task no matter the input size.
+    * Like the HLL sketches, CMS cells merge by addition — per-partition /
+    * per-day sketches roll up without re-reading data. */
+  def countMinSketch(df: DataFrame, itemCol: String,
+                     depth: Int = 4, width: Int = 512): DataFrame = {
+    val cells = array((0 until depth).map(r =>
+      struct(lit(r).as("row"), cmsBucket(col(itemCol), r, width).as("bucket"))): _*)
+    df.select(explode(cells).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate item frequencies from a CMS: min over the `depth`
+    * counters each item hashes to. Never underestimates; overestimates by
+    * collision mass ≤ e·N/width with prob ≥ 1−e^−depth (Cormode &
+    * Muthukrishnan 2005). The query side explodes to (row, bucket) probes
+    * and joins the sketch on its tiny (row, bucket) key — with the sketch
+    * broadcast, estimation is a map-only pass over the queries. */
+  def cmsEstimate(sketch: DataFrame, queries: DataFrame, itemCol: String,
+                  depth: Int = 4, width: Int = 512): DataFrame = {
+    val cells = array((0 until depth).map(r =>
+      struct(lit(r).as("row"), cmsBucket(col(itemCol), r, width).as("bucket"))): _*)
+    queries.select(col(itemCol), explode(cells).as("c"))
+      .select(col(itemCol), col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col(itemCol))
+      .agg(min(col("cnt")).as("est_count"))
+  }
 }

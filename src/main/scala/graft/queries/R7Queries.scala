@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.ops.Sketches
 import graft.sim.Similarity
+import graft.text.TextOps
 
 /** Round-7 additions: the end-to-end IVF-PQ ADC search — the last stage of
   * the billion-scale index story (codes + codebooks existed since round 6;
@@ -31,6 +33,37 @@ object R7Queries {
       val e = Tables(s, d, "embeddings")
       Similarity.pqAdcRerank(e, e.filter(col("vec_id") < 5), k = 5,
         rerankFrom = 20).orderBy("query_id", "rnk")
+    }),
+
+    // Exact-substring dedup (Lee et al. 2022): pairs sharing a run of ≥8
+    // consecutive normalized tokens, via df-pruned k-gram fingerprints —
+    // the dedup modality MinHash/SimHash miss (a verbatim quote inside
+    // otherwise-different docs).
+    "q_x_substring_dedup" -> ((s, d) => {
+      TextOps.sharedSpanPairs(Tables(s, d, "documents"), "doc_id", "text",
+        k = 8, maxDocFreq = 16).orderBy("doc_a", "doc_b")
+    }),
+
+    // Edit-distance near-dup: lang × length-band blocking, thresholded
+    // levenshtein verify (banded O(d·L), not the full DP table).
+    "q_x_edit_neardup" -> ((s, d) => {
+      TextOps.editNearDupPairs(Tables(s, d, "documents"), "doc_id", "text",
+        maxDist = 32, blockCols = Seq("lang")).orderBy("doc_a", "doc_b")
+    }),
+
+    // Count-Min sketch frequency estimates for the true top-20 users:
+    // md5-bucketed counters are engine-stable, so the whole sketch (build
+    // + probe) is hash-exact against the SQL replay — est_count ≥
+    // true_count always, with visible collision overestimates.
+    "q_u_cms_freq" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val tru = ev.groupBy("user_id").agg(count(lit(1)).as("true_count"))
+      val top = tru.orderBy(desc("true_count"), col("user_id")).limit(20)
+      val est = Sketches.cmsEstimate(
+        Sketches.countMinSketch(ev, "user_id"), top.select("user_id"), "user_id")
+      top.join(est, Seq("user_id"))
+        .select(col("user_id"), col("true_count"), col("est_count"))
+        .orderBy(desc("true_count"), col("user_id"))
     }))
 
   /** Shared ADC CTE chain (WITH-body through `score`): the q_v_ivf_ann
@@ -81,7 +114,62 @@ object R7Queries {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.ops.Sketches.cmsBucket]]: first 24 md5 bits
+    * of "row:item" via explicit nibble arithmetic (DuckDB has no conv()),
+    * mod width — exact integer math, identical to Spark's conv(...,16,10). */
+  private def cmsBucketSql(item: String, row: Int, width: Int): String = {
+    val h = s"substr(md5('$row:' || CAST($item AS VARCHAR)), 1, 6)"
+    val nib = (1 to 6).map(p =>
+      s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * ${1L << (4 * (6 - p))}")
+      .mkString(" + ")
+    s"(CAST($nib AS BIGINT) % $width)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_x_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${TextSimQueries.normToksSql} AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8
+         |    THEN [md5(array_to_string(t, ' '))]
+         |    ELSE list_distinct(list_transform(range(0, len(t) - 7),
+         |      i -> md5(array_to_string(t[i+1:i+8], ' ')))) END) AS gram
+         |  FROM t),
+         |kept AS (SELECT gram FROM g GROUP BY gram
+         |  HAVING count(*) BETWEEN 2 AND 16),
+         |gj AS (SELECT doc_id, gram FROM g JOIN kept USING (gram))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS shared_grams
+         |FROM gj a JOIN gj b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_x_edit_neardup" ->
+      s"""WITH n AS (SELECT doc_id, lang, ${TextSimQueries.normSql} AS norm,
+         |    length(${TextSimQueries.normSql}) AS len FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS dist
+         |FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  AND abs(a.len - b.len) <= 32
+         |WHERE levenshtein(a.norm, b.norm) <= 32
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_u_cms_freq" -> {
+      val cmsUnion = (0 until 4).map(r =>
+        s"SELECT $r AS r, ${cmsBucketSql("user_id", r, 512)} AS b, " +
+          "count(*) AS cnt FROM events GROUP BY 1, 2").mkString("\n  UNION ALL ")
+      val probeUnion = (0 until 4).map(r =>
+        s"SELECT user_id, $r AS r, ${cmsBucketSql("user_id", r, 512)} AS b FROM top")
+        .mkString("\n  UNION ALL ")
+      s"""WITH cms AS ($cmsUnion),
+         |tru AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY 1),
+         |top AS (SELECT user_id, true_count FROM tru
+         |  ORDER BY true_count DESC, user_id LIMIT 20),
+         |probes AS ($probeUnion),
+         |est AS (SELECT user_id, min(cnt) AS est_count
+         |  FROM probes JOIN cms USING (r, b) GROUP BY 1)
+         |SELECT t.user_id, t.true_count, e.est_count
+         |FROM top t JOIN est e USING (user_id)
+         |ORDER BY true_count DESC, user_id""".stripMargin
+    },
+
     "q_v_pqadc_ann" ->
       s"""WITH $pqAdcCoreCtes
          |SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rnk

@@ -22,8 +22,8 @@ object TextSimQueries {
   private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
   private val toksLowerSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   /** normalized text + its tokens, as in TextOps.normalizeText/tokens. */
-  private val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
-  private val normToksSql = s"""regexp_split_to_array(trim($normSql), '\\s+')"""
+  private[queries] val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  private[queries] val normToksSql = s"""regexp_split_to_array(trim($normSql), '\\s+')"""
   /** distinct 3-token shingles of normalized text; the <3-token branch
     * mirrors TextOps.shingles' whole-string fallback (without it, range()
     * is empty for short docs, minhash minima go NULL, and band equality

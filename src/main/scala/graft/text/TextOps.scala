@@ -461,6 +461,103 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact-substring duplicate pairs: documents sharing at least one run
+    * of `k` consecutive normalized tokens (the substring-dedup modality of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — distinct from set-based MinHash/SimHash, which miss a long
+    * verbatim quote embedded in otherwise-different documents).
+    *
+    * Shape: each doc emits its DISTINCT k-gram md5 fingerprints (docs
+    * shorter than k tokens fall back to one whole-string gram, the
+    * [[shingles]] discipline), stop-grams with document frequency >
+    * `maxDocFreq` are pruned BEFORE the pair join (boilerplate k-grams —
+    * license headers, templates — would otherwise go quadratic), and the
+    * self-join carries only (id, gram). `shared_grams` counts distinct
+    * shared k-grams — a shared run of L≥k tokens contributes L−k+1, so it
+    * monotonically tracks overlap span length. At 100 TB: grams hash-
+    * partition like LSH bands, candidates are df-bounded per gram, and
+    * text never crosses the exchange. */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, maxDocFreq: Int = 16): DataFrame = {
+    // One native tokenizer pass per row (the HOF form re-evaluates the
+    // regex split inside every lambda element — measured 20× slower);
+    // md5 runs codegen'd on the exploded gram rows, once per gram.
+    val g = df
+      .select(col(idCol).as("id"),
+        explode(distinctShinglesFast(col(textCol), k)).as("sh"))
+      .select(col("id"), md5(col("sh")).as("gram"))
+    val kept = g.groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf").between(2, maxDocFreq))
+      .select("gram")
+    val gj = g.join(kept, Seq("gram"))
+    gj.toDF("gram", "id_a")
+      .join(gj.toDF("gram", "id_b"), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** Character-level near-dup pairs under an edit-distance budget:
+    * candidates blocked by `blockCols` (lang/source — keeps the join from
+    * going n² on corpus size) × a length band of width maxDist+1, so any
+    * pair with |len_a − len_b| ≤ maxDist shares a band key (each doc emits
+    * bands {b, b+1}); survivors verified with Spark's THRESHOLDED
+    * `levenshtein(a, b, maxDist)` — the banded O(maxDist·L) algorithm that
+    * abandons a row as soon as the budget is exceeded, not the full O(L²)
+    * table. Candidate-pair ids are deduped BEFORE the text joins back
+    * (band-join discipline: the exchange carries ids + band keys only).
+    * Length-banding alone is weak blocking at corpus scale — compose with
+    * a real partition key via `blockCols`. */
+  /** Character classes for the histogram lower bound: merging all chars
+    * outside [a-z0-9 space] into one class keeps lev ≥ L1/2 valid (a
+    * class-collapsed string is an image under a char map, which can only
+    * shrink edit distance). */
+  private val HistChars = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+  /** 38-bucket character histogram of a normalized string: one count per
+    * [[HistChars]] class + an everything-else bucket. Built from 37
+    * `replace` passes — O(alphabet·L) per DOC (not per pair), fully
+    * codegen'd. */
+  private def charHist(norm: Column): Column = {
+    val counts = HistChars.map(c =>
+      length(norm) - length(replace(norm, lit(c.toString), lit(""))))
+    array((counts :+ (length(norm) - counts.reduce(_ + _))): _*)
+  }
+
+  def editNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                       maxDist: Int, blockCols: Seq[String] = Nil): DataFrame = {
+    val bw = maxDist + 1
+    val norm = df.select((blockCols.map(col) :+ col(idCol).as("id") :+
+      normalizeText(col(textCol)).as("norm")): _*)
+      .withColumn("len", length(col("norm")))
+      .withColumn("hist", charHist(col("norm")))
+    val keyed = norm.select((blockCols.map(col) :+ col("id") :+
+      explode(array((col("len") / bw).cast("long"),
+        (col("len") / bw).cast("long") + lit(1L))).as("band")): _*)
+    val joinKeys = blockCols :+ "band"
+    val cand = keyed.withColumnRenamed("id", "doc_a")
+      .join(keyed.withColumnRenamed("id", "doc_b"), joinKeys)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // lev(a,b) ≥ max(|len_a−len_b|, Σ|hist_a−hist_b|/2): both bounds are
+    // O(1)/O(alphabet) per pair vs the O(maxDist·L) DP — on random-corpus
+    // candidates they prune ~everything, so levenshtein (already the
+    // banded thresholded form, not the full table) runs only on genuine
+    // near-dup suspects. Pure pruning by a provable lower bound: the
+    // result set — and the oracle replay — is unchanged.
+    cand
+      .join(norm.select(col("id").as("doc_a"), col("norm").as("na"),
+        col("len").as("la"), col("hist").as("ha")), Seq("doc_a"))
+      .join(norm.select(col("id").as("doc_b"), col("norm").as("nb"),
+        col("len").as("lb"), col("hist").as("hb")), Seq("doc_b"))
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      .filter(graft.expressions.IntL1Capped.l1Capped(
+        col("ha"), col("hb"), 2L * maxDist) <= 2L * maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("na"), col("nb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   /** PMI bigram collocation scores over a corpus, log-free: PMI =
     * log2(n_ab·N / (n_a·n_b)) is strictly monotone in the integer ratio,
     * so `pmi_ratio` carries the exact ranking without ever calling libm

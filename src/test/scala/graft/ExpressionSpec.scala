@@ -156,6 +156,39 @@ class ExpressionSpec extends AnyFunSuite {
     assert(ej.nonEmpty && ej.forall(_ == 1.0))
   }
 
+  test("IntL1Capped matches the HOF L1 under the cap, abandons above it") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1, 5, 3), Seq(2, 2, 3)),     // L1 = 4
+      (Seq(0, 0, 0), Seq(0, 0, 0)),     // L1 = 0
+      (Seq(10, 0), Seq(0, 10)),         // L1 = 20
+      (Seq(1, 2, 3, 4), Seq(1, 2)),     // ragged: tail counts whole, L1 = 7
+      (Seq(100, 100, 100), Seq(0, 0, 0))// L1 = 300, abandoned at cap
+    ).toDF("a", "b")
+    // zip_with pads the short side with nulls — coalesce to 0 to mirror
+    // the expression's absent-tail semantics
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+        (x, y) => abs(coalesce(x, lit(0)) - coalesce(y, lit(0)))),
+        lit(0L), (acc, v) => acc + v)).as[Long].collect()
+    val cap = 20L
+    val capped = df.select(
+      graft.expressions.IntL1Capped.l1Capped(col("a"), col("b"), cap))
+      .as[Long].collect()
+    // exact while <= cap; any value > cap is a valid "pruned" verdict
+    hof.zip(capped).foreach { case (h, c) =>
+      if (h <= cap) assert(c == h) else assert(c > cap)
+    }
+    // the <= cap FILTER verdict is identical to the exact HOF's
+    assert(hof.map(_ <= cap).toSeq == capped.map(_ <= cap).toSeq)
+    // interpreted eval path agrees with codegen (ragged + capped cases)
+    val viaEval = graft.expressions.IntL1Capped(
+      org.apache.spark.sql.graftbridge.Bridge.expression(col("a")),
+      org.apache.spark.sql.graftbridge.Bridge.expression(col("b")), cap)
+    assert(viaEval.nullSafeEval(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1, 2, 3, 4)),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1, 2))) == 7L)
+  }
+
   test("native dot is substantially faster than the interpreted fold") {
     val e = graft.core.Tables(spark, "/root/testdata/sf0.01", "embeddings")
       .select(col("embedding").as("a"), col("embedding").as("b"))

@@ -41,4 +41,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(avgSpan(xdir, "x") < 10, "x-sort x-span")
     assert(avgSpan(xdir, "y") > 55, "x-sort y-span stays wide")
   }
+
+  test("fileStats + prunedRead skip files and return exactly the filtered rows") {
+    val df = spark.range(4096).select(
+      expr("id div 64").as("x"), pmod(col("id"), lit(64L)).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("skip").toString
+    // x-sorted layout: 8 files, each covering ~8 consecutive x values
+    df.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(dir)
+    val stats = Layout.fileStats(spark, dir, Seq("x", "y"))
+    assert(stats.count() == 8)
+    // rows metadata reconciles with the table
+    assert(stats.agg(sum("rows")).as[Long].head() == 4096L)
+    val pruned = Layout.prunedRead(spark, dir, stats, "x", 10, 12)
+    val expect = df.filter(col("x").between(10, 12))
+    assert(pruned.count() == expect.count())
+    assert(pruned.select(sum(col("x") * lit(1000) + col("y"))).as[Long].head() ==
+      expect.select(sum(col("x") * lit(1000) + col("y"))).as[Long].head())
+    // the skip actually happened: a 3-value x-range touches ≤2 of 8 files
+    val touched = pruned.select(input_file_name()).distinct().count()
+    assert(touched <= 2, s"expected ≤2 files read, got $touched")
+    // empty envelope: schema preserved, zero rows, zero files opened
+    assert(Layout.prunedRead(spark, dir, stats, "x", 999, 1000).count() == 0L)
+  }
 }

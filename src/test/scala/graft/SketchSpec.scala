@@ -46,4 +46,34 @@ class SketchSpec extends AnyFunSuite {
     // five distinct types, no capacity pressure: estimates are exact here
     assert(top.toSeq == exact.toSeq)
   }
+
+  test("CMS never underestimates and bounds collision overestimate") {
+    val e = graft.core.Tables(spark, sfDir, "events")
+    val n = e.count()
+    val sketch = Sketches.countMinSketch(e, "user_id")
+    val exact = e.groupBy("user_id").agg(count(lit(1)).as("true_count"))
+    val est = Sketches.cmsEstimate(sketch, exact.select("user_id"), "user_id")
+    val joined = exact.join(est, Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(joined.nonEmpty)
+    joined.foreach { case (u, t, s) =>
+      assert(s >= t, s"user $u: est $s < true $t — CMS must never undercount")
+      // standard guarantee: overestimate ≤ eN/w with prob ≥ 1−e^−d per
+      // item; deterministic hashes here, so assert the 3× slack bound
+      assert(s - t <= math.max(1L, 3L * n / 512),
+        s"user $u: est $s vs true $t exceeds collision bound")
+    }
+  }
+
+  test("CMS cells merge by addition (partitioned maintenance)") {
+    val e = graft.core.Tables(spark, sfDir, "events")
+    val a = Sketches.countMinSketch(e.filter(col("event_id") % 2 === 0), "user_id")
+    val b = Sketches.countMinSketch(e.filter(col("event_id") % 2 === 1), "user_id")
+    val merged = a.unionByName(b).groupBy("row", "bucket")
+      .agg(sum("cnt").as("cnt"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val whole = Sketches.countMinSketch(e, "user_id")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(merged == whole)
+  }
 }

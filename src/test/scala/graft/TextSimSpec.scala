@@ -382,4 +382,49 @@ class TextSimSpec extends AnyFunSuite {
       batchIds.contains(b) && corpusIds.contains(c) })
     graft.ops.Leaks.sweep(spark)
   }
+
+  test("sharedSpanPairs finds embedded verbatim runs and prunes stop-grams") {
+    val quote = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (0L, s"opening words here $quote closing words here"),
+      (1L, s"completely different frame $quote and another ending"),
+      (2L, "no overlap with anything at all in this document body text"),
+      // a MinHash-style near-dup of doc 2 with most tokens changed would
+      // NOT pair: substring dedup needs a verbatim k-run, not set overlap
+      (3L, "no overlap with anything at all gets cut well before k run")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.sharedSpanPairs(docs, "doc_id", "text", k = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // the shared 10-token run contributes 10-8+1 = 3 shared 8-grams
+    assert(pairs.keySet == Set((0L, 1L)), s"got ${pairs.keySet}")
+    assert(pairs((0L, 1L)) == 3L)
+    // boilerplate pruning: a template gram pasted into > maxDocFreq docs
+    // produces ZERO pairs instead of a quadratic blow-up
+    val boiler = (0L until 8L).map(i => (i, s"$quote unique$i")).toDF("doc_id", "text")
+    val pruned = TextOps.sharedSpanPairs(boiler, "doc_id", "text",
+      k = 8, maxDocFreq = 4).count()
+    assert(pruned == 0L)
+  }
+
+  test("editNearDupPairs: exact distances, band-boundary pairs not lost") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("quick", "quack")),        // distance 1
+      (2L, base + " " + ("x" * 40)),               // len diff 41 > maxDist
+      (3L, "an entirely different sentence about structured streaming state")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val out = TextOps.editNearDupPairs(docs, "doc_id", "text",
+      maxDist = 8, blockCols = Seq("lang"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out.keySet == Set((0L, 1L)), s"got ${out.keySet}")
+    assert(out((0L, 1L)) == 1)
+    // blocking completeness: lengths chosen to straddle a band boundary
+    // (bw = maxDist+1 = 9: len 8 -> band 0, len 12 -> band 1) — the
+    // two-key emission must still produce the candidate
+    val edge = Seq((0L, "aaaabbbb"), (1L, "aaaabbbbcccc")).toDF("doc_id", "text")
+    val e = TextOps.editNearDupPairs(edge, "doc_id", "text", maxDist = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(e == Map((0L, 1L) -> 4))
+  }
 }
