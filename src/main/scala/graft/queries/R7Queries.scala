@@ -51,6 +51,20 @@ object R7Queries {
         maxDist = 32, blockCols = Seq("lang")).orderBy("doc_a", "doc_b")
     }),
 
+    // Declarative data-quality constraint suite (the Deequ shape): five
+    // checks over lineitem in ONE aggregation pass — completeness, two
+    // ranges, a domain, and key uniqueness; report is (check, violations,
+    // total, pass), the gate an ingest runs before publishing a partition.
+    "q_q_constraints" -> ((s, d) => {
+      import graft.ops.Checks
+      Checks.constraintReport(Tables(s, d, "lineitem"), Seq(
+        Checks.complete("l_orderkey"),
+        Checks.inRange("l_quantity", 1, 50),
+        Checks.inRange("l_discount", 0.0, 0.1),
+        Checks.inSet("l_returnflag", Seq("A", "N", "R")),
+        Checks.unique(Seq("l_orderkey", "l_linenumber"))))
+    }),
+
     // Count-Min sketch frequency estimates for the true top-20 users:
     // md5-bucketed counters are engine-stable, so the whole sketch (build
     // + probe) is hash-exact against the SQL replay — est_count ≥
@@ -150,6 +164,24 @@ object R7Queries {
          |  AND abs(a.len - b.len) <= 32
          |WHERE levenshtein(a.norm, b.norm) <= 32
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_q_constraints" ->
+      s"""WITH t AS (SELECT count(*) AS total,
+         |  CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+         |  CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+         |  CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+         |  CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+         |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v5
+         |  FROM lineitem)
+         |SELECT * FROM (
+         |  SELECT 'complete_l_orderkey' AS check_name, v1 AS violations,
+         |    total, v1 = 0 AS pass FROM t
+         |  UNION ALL SELECT 'range_l_quantity', v2, total, v2 = 0 FROM t
+         |  UNION ALL SELECT 'range_l_discount', v3, total, v3 = 0 FROM t
+         |  UNION ALL SELECT 'domain_l_returnflag', v4, total, v4 = 0 FROM t
+         |  UNION ALL SELECT 'unique_l_orderkey_l_linenumber', v5, total,
+         |    v5 = 0 FROM t)
+         |ORDER BY check_name""".stripMargin,
 
     "q_u_cms_freq" -> {
       val cmsUnion = (0 until 4).map(r =>

@@ -76,6 +76,24 @@ object StreamOps {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("approx_users"))
 
+  /** Streaming Count-Min sketch maintenance: CMS cells are an additive
+    * groupBy on a ≤ depth·width key space, so the streaming state IS the
+    * sketch — bounded regardless of stream volume or item cardinality
+    * (the reason a sketch, not an exact per-item count, is what a
+    * 100 TB/day stream can afford to keep). Cells hash exactly like the
+    * batch [[graft.ops.Sketches.countMinSketch]], so a complete-mode
+    * table equals the batch sketch of everything ingested, and a
+    * persisted snapshot merges with historical sketches by addition. */
+  def streamingCmsCells(stream: DataFrame, itemCol: String,
+                        depth: Int = 4, width: Int = 512): DataFrame = {
+    val cells = array((0 until depth).map(r =>
+      struct(lit(r).as("row"),
+        graft.ops.Sketches.cmsBucket(col(itemCol), r, width).as("bucket"))): _*)
+    stream.select(explode(cells).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming per-window top-k through the bounded-heap
     * [[graft.expressions.TopKRows]] aggregate: the per-(window, type)
     * state IS the k-entry heap buffer, merged incrementally across

@@ -503,4 +503,28 @@ class StreamingSpec extends AnyFunSuite {
     val k = StreamOps.withPropsField(df, "k", "k").head.getAs[Long]("k")
     assert(k == 42L)
   }
+
+  test("streaming CMS cells equal the batch sketch across micro-batches") {
+    val stream = MemoryStream[EvU](spark)
+    val q = StreamOps.streamingCmsCells(stream.toDF(), "user_id",
+        depth = 2, width = 32)
+      .writeStream.format("memory").queryName("t_cms")
+      .outputMode("complete")
+      .start()
+    val batch1 = (1 to 40).map(i => EvU(ts(i), "a", (i % 7).toLong))
+    val batch2 = (1 to 25).map(i => EvU(ts(100 + i), "b", (i % 5).toLong))
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_cms")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val batch = graft.ops.Sketches.countMinSketch(
+        (batch1 ++ batch2).toDF(), "user_id", depth = 2, width = 32)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streamed == batch && batch.nonEmpty)
+    // bounded state: cells never exceed depth × width no matter the volume
+    assert(streamed.size <= 2 * 32)
+  }
 }
