@@ -136,4 +136,24 @@ object KMeans {
                   quant: Double = 1e6): DataFrame =
     assignedTo(quantized(emb, idCol, vecCol, dims, quant), centroids)
       .select(col("vid").as(idCol), col("cluster"))
+
+  /** Lloyd's fit over an ALREADY-integer grid column (`array<long>`) —
+    * the residual-PQ path, where the training points are differences of
+    * two quantized grids and must NOT be re-quantized (q(x) − q(c) is
+    * exact; q(x − c) would re-round). Same seed, assignment, and update
+    * discipline as [[fitQuantized]], so the fixpoint stays bit-identical
+    * under any partitioning and SQL-replayable. */
+  def fitGrid(grid: DataFrame, idCol: String, gridCol: String,
+              k: Int, iters: Int): Seq[(Int, Seq[Long])] = {
+    require(iters >= 1 && k >= 1)
+    fitCentroids(grid.select(col(idCol).as("vid"), col(gridCol).as("qa")),
+      k, iters)
+  }
+
+  /** [[assignUnder]] for an already-integer grid column. */
+  def assignGridUnder(grid: DataFrame, idCol: String, gridCol: String,
+                      centroids: Seq[(Int, Seq[Long])]): DataFrame =
+    assignedTo(grid.select(col(idCol).as("vid"), col(gridCol).as("qa")),
+      centroids)
+      .select(col("vid").as(idCol), col("cluster"))
 }

@@ -51,6 +51,15 @@ object R7Queries {
         maxDist = 32, blockCols = Seq("lang")).orderBy("doc_a", "doc_b")
     }),
 
+    // Residual-encoded IVF-PQ (the form FAISS ships): codebooks train on
+    // q(x) − q(centroid(x)), scoring = exact integer dot(q, centroid) +
+    // residual lookup-table sum — BIGINT-exact, hash-checkable.
+    "q_v_pqr_ann" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      Similarity.pqResidualAdcTopK(e, e.filter(col("vec_id") < 5), k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Declarative data-quality constraint suite (the Deequ shape): five
     // checks over lineitem in ONE aggregation pass — completeness, two
     // ranges, a domain, and key uniqueness; report is (check, violations,
@@ -85,17 +94,12 @@ object R7Queries {
     * ulp), the q_v_pq_codes per-subspace Lloyd's chains (c1{s} = the
     * codebook the codes in a2{s} were assigned against), then integer LUT
     * sums — BIGINT-exact end to end. */
-  private val pqAdcCoreCtes: String = {
+  /** The coarse IVF structure shared by every compressed-search oracle:
+    * md5-picked centroids, full-corpus assignment, per-query probe lists,
+    * candidate pairs. */
+  private val ivfCtes: String = {
     val cosEC = TextSimQueries.fastCosSql("e.embedding", "c.centroid")
-    val cbUnion = (0 until 8).map(s =>
-      s"SELECT $s AS subspace, cid AS code, dim, cq FROM c1$s")
-      .mkString("\n  UNION ALL ")
-    val codesUnion = (0 until 8).map(s =>
-      s"SELECT vec_id, $s AS subspace, cid AS code FROM a2$s")
-      .mkString("\n  UNION ALL ")
-    s"""${R6Queries.pqFitCtes},
-       |${R6Queries.pqSubspaceCtes},
-       |idx AS (SELECT unnest(range(1, 65)) AS i),
+    s"""idx AS (SELECT unnest(range(1, 65)) AS i),
        |cent AS (SELECT * FROM (SELECT ROW_NUMBER() OVER (
        |    ORDER BY md5(CAST(vec_id AS VARCHAR))) AS centroid_id,
        |    embedding AS centroid FROM embeddings) t WHERE centroid_id <= 16),
@@ -109,7 +113,19 @@ object R7Queries {
        |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) t WHERE r <= 4),
        |pairs AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
        |  FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
-       |    AND a.vec_id != p.query_id),
+       |    AND a.vec_id != p.query_id)""".stripMargin
+  }
+
+  private val pqAdcCoreCtes: String = {
+    val cbUnion = (0 until 8).map(s =>
+      s"SELECT $s AS subspace, cid AS code, dim, cq FROM c1$s")
+      .mkString("\n  UNION ALL ")
+    val codesUnion = (0 until 8).map(s =>
+      s"SELECT vec_id, $s AS subspace, cid AS code FROM a2$s")
+      .mkString("\n  UNION ALL ")
+    s"""${R6Queries.pqFitCtes},
+       |${R6Queries.pqSubspaceCtes},
+       |$ivfCtes,
        |cb AS ($cbUnion),
        |codes AS ($codesUnion),
        |qgrid AS (SELECT vec_id AS query_id,
@@ -139,7 +155,76 @@ object R7Queries {
     s"(CAST($nib AS BIGINT) % $width)"
   }
 
+  /** Residual-PQ CTE chain: IVF assignment → residual grids (integer
+    * difference of the embedding grid and the assigned centroid's grid) →
+    * the SAME eight Lloyd's chains as q_v_pq_codes, trained on residuals
+    * (rq{s} → rc0{s} → ra1{s} → ru1{s} → rc1{s} → ra2{s}) → base-plus-LUT
+    * scoring. BIGINT end to end: `//` and Spark's `div` both truncate
+    * toward zero, so negative residual means stay bit-identical. */
+  private val pqResidualCtes: String = {
+    val rChains = (0 until 8).map { s =>
+      s"""rq$s AS (SELECT vec_id, CAST(d64 - ${s * 8} AS INTEGER) AS dim, q
+         |  FROM rgrid WHERE d64 >= ${s * 8} AND d64 < ${s * 8 + 8}),
+         |rc0$s AS (SELECT init.cid, rq$s.dim, rq$s.q AS cq
+         |  FROM init JOIN rq$s USING (vec_id)),
+         |ra1$s AS ${R6Queries.pqAssignSql(s"rq$s", s"rc0$s")},
+         |ru1$s AS (SELECT a.cid, rq$s.dim,
+         |    CAST(SUM(rq$s.q) // COUNT(*) AS BIGINT) AS cq
+         |  FROM ra1$s a JOIN rq$s USING (vec_id) GROUP BY a.cid, rq$s.dim),
+         |rc1$s AS (SELECT rc0$s.cid, rc0$s.dim, COALESCE(ru1$s.cq, rc0$s.cq) AS cq
+         |  FROM rc0$s LEFT JOIN ru1$s
+         |    ON ru1$s.cid = rc0$s.cid AND ru1$s.dim = rc0$s.dim),
+         |ra2$s AS ${R6Queries.pqAssignSql(s"rq$s", s"rc1$s")}""".stripMargin
+    }.mkString(",\n")
+    val rcbUnion = (0 until 8).map(s =>
+      s"SELECT $s AS subspace, cid AS code, dim, cq FROM rc1$s")
+      .mkString("\n  UNION ALL ")
+    val rcodesUnion = (0 until 8).map(s =>
+      s"SELECT vec_id, $s AS subspace, cid AS code FROM ra2$s")
+      .mkString("\n  UNION ALL ")
+    s"""${R6Queries.pqFitCtes},
+       |$ivfCtes,
+       |cgrid AS (SELECT centroid_id, CAST(i - 1 AS INTEGER) AS d64,
+       |  CAST(floor(CAST(centroid[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS cg
+       |  FROM cent, idx),
+       |egrid AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS d64,
+       |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, idx),
+       |rgrid AS (SELECT e.vec_id, e.d64, e.q - g.cg AS q
+       |  FROM egrid e JOIN assign a USING (vec_id)
+       |  JOIN cgrid g ON g.centroid_id = a.centroid_id AND g.d64 = e.d64),
+       |$rChains,
+       |rcb AS ($rcbUnion),
+       |rcodes AS ($rcodesUnion),
+       |qgrid64 AS (SELECT vec_id AS query_id, d64, q AS qq FROM egrid
+       |  WHERE vec_id < 5),
+       |rlut AS (SELECT query_id, CAST(d64 // 8 AS INTEGER) AS subspace,
+       |    code, CAST(SUM(qq * cq) AS BIGINT) AS lut
+       |  FROM qgrid64 JOIN rcb ON rcb.subspace = CAST(d64 // 8 AS INTEGER)
+       |    AND rcb.dim = CAST(d64 % 8 AS INTEGER)
+       |  GROUP BY 1, 2, code),
+       |qcent AS (SELECT q.query_id, g.centroid_id,
+       |    CAST(SUM(q.qq * g.cg) AS BIGINT) AS base
+       |  FROM qgrid64 q JOIN cgrid g USING (d64) GROUP BY 1, 2),
+       |rscore AS (SELECT p.query_id, p.neighbor_id,
+       |    qc.base + CAST(SUM(l.lut) AS BIGINT) AS adc
+       |  FROM pairs p JOIN assign a ON a.vec_id = p.neighbor_id
+       |  JOIN qcent qc ON qc.query_id = p.query_id
+       |    AND qc.centroid_id = a.centroid_id
+       |  JOIN rcodes c ON c.vec_id = p.neighbor_id
+       |  JOIN rlut l ON l.query_id = p.query_id AND l.subspace = c.subspace
+       |    AND l.code = c.code
+       |  GROUP BY p.query_id, p.neighbor_id, qc.base)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_v_pqr_ann" ->
+      s"""WITH $pqResidualCtes
+         |SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY adc DESC, neighbor_id) AS rn FROM rscore)
+         |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "q_x_substring_dedup" ->
       s"""WITH t AS (SELECT doc_id, ${TextSimQueries.normToksSql} AS t FROM documents),
          |g AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8

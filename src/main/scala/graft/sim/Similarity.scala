@@ -279,6 +279,107 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Residual-encoded IVF-PQ ADC search — the form FAISS actually ships
+    * (IVFPQ encodes x − centroid(x), not x): after the coarse IVF
+    * assignment, each vector's RESIDUAL grid q(x) − q(c(x)) is what the
+    * per-subspace codebooks are trained on and what the 8 codes encode.
+    * When the corpus CLUSTERS around the IVF centroids, residuals are
+    * tighter-spread than raw vectors and the same 16 codewords quantize
+    * them with less error — the classical FAISS recall win at identical
+    * index bytes. The win is data-dependent: on an unclustered corpus
+    * var(x−c) ≈ var(x)+var(c) and residual codes measure WORSE than raw
+    * codes (TextSimSpec measures both honestly on the synthetic
+    * embeddings: 0.10 vs 0.18 recall@5) — which is why this ships as a
+    * second index form next to [[pqAdcTopK]], not a replacement.
+    *
+    * Scoring uses the inner-product decomposition dot(q, x) = dot(q, c(x))
+    * + dot(q, r(x)): the base term is an exact integer dot of the query
+    * grid with each PROBED centroid grid (nProbe·|queries| pairs — tiny),
+    * and the residual term is the usual per-subspace lookup-table sum over
+    * the candidate's codes. Residual grids are integer differences of two
+    * quantized grids (never re-rounded), so the whole search — coarse
+    * assign, 8 residual Lloyd's fits, LUTs, base + table-sum, ranking —
+    * is BIGINT-exact and hash-reproducible in SQL.
+    * @return (query_id, neighbor_id, adc, rnk) */
+  def pqResidualAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        dims: Int = 64, subspaces: Int = 8,
+                        codewords: Int = 16, iters: Int = 2,
+                        nCentroids: Int = 16, nProbe: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        quant: Double = 1e6): DataFrame = {
+    require(dims % subspaces == 0, "dims must divide into equal subspaces")
+    val subDims = dims / subspaces
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (centroids, assigned) = ivfIndex(corpus, nCentroids, idCol, vecCol)
+    val cands = ivfCandidates(assigned, centroids, queries, nProbe, idCol, vecCol)
+    val cgrid = centroids.select(col("centroid_id"),
+      graft.ml.KMeans.quantize(col("centroid"), dims, quant).as("cg"))
+    // residual grid per corpus vector (one broadcast join on the
+    // nCentroids-row grid — rides the assignment relation, no extra scan).
+    // PERSISTED: every per-subspace Lloyd's collect would otherwise
+    // re-run the upstream IVF assignment (crossJoin + heap argmax) —
+    // 8 subspaces × (seed + updates + final assign) recomputations
+    // (measured 3.8 → ~1.5 s at sf0.1). Freed by the caller's
+    // Leaks.sweep, the catalog-wide cache discipline.
+    val resid = assigned.select(col(idCol), col("centroid_id"),
+        graft.ml.KMeans.quantize(col(vecCol), dims, quant).as("qx"))
+      .join(broadcast(cgrid), Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col("qx"), col("cg"), (a, b) => a - b).as("rq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the concurrent fits: racing threads would each
+    // recompute the un-built cache instead of sharing it
+    resid.count()
+    val fits = perSubspace(subspaces) { s =>
+      val sub = resid.select(col(idCol),
+        slice(col("rq"), s * subDims + 1, subDims).as("__sub"))
+      (s, sub, graft.ml.KMeans.fitGrid(sub, idCol, "__sub", codewords, iters))
+    }
+    val codes = fits.map { case (s, sub, cents) =>
+      graft.ml.KMeans.assignGridUnder(sub, idCol, "__sub", cents)
+        .select(col(idCol).as("neighbor_id"), lit(s).as("subspace"),
+          col("cluster").as("code"))
+    }.reduce(_ unionByName _)
+    val rcb = fits.flatMap { case (s, _, cents) =>
+      cents.flatMap { case (cid, arr) =>
+        arr.indices.map(d => (s, cid, d, arr(d)))
+      }
+    }.toDF("subspace", "code", "dim", "cq")
+    val qgrid = queries.select(col(idCol).as("query_id"),
+      posexplode(graft.ml.KMeans.quantize(col(vecCol), dims, quant))
+        .as(Seq("d64", "qq")))
+    val lut = qgrid
+      .select(col("query_id"), (col("d64") / subDims).cast("int").as("subspace"),
+        (col("d64") % subDims).as("dim"), col("qq"))
+      .join(broadcast(rcb), Seq("subspace", "dim"))
+      .groupBy("query_id", "subspace", "code")
+      .agg(sum(col("qq") * col("cq")).as("lut"))
+    // base term dot(q, centroid) for the probed lists only
+    val qcent = qgrid
+      .join(broadcast(cgrid.select(col("centroid_id"),
+        posexplode(col("cg")).as(Seq("d64", "cgv")))), Seq("d64"))
+      .groupBy("query_id", "centroid_id")
+      .agg(sum(col("qq") * col("cgv")).as("base"))
+    cands
+      .join(assigned.select(col(idCol).as("neighbor_id"), col("centroid_id")),
+        Seq("neighbor_id"))
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .groupBy("query_id", "neighbor_id", "centroid_id")
+      .agg(sum("lut").as("rsum"))
+      .join(broadcast(qcent), Seq("query_id", "centroid_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("base") + col("rsum")).as("adc"))
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKRows
+        .topRows(col("adc").cast("double"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").cast("long").as("adc"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Two-stage compressed retrieval — the complete production shape:
     * [[pqAdcTopK]] recalls `rerankFrom` candidates per query through the
     * 32× compressed index (8 bytes of codes per candidate), then ONLY
