@@ -3,13 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc profiling entry (not part of the driver contract; removed or kept
-  * idle between investigations). Current subject: residual-PQ oracle
-  * divergence. */
+/** Ad-hoc profiling entry (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,41 +16,60 @@ object Scratch {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.sim.Similarity
-    val e = graft.core.Tables(spark, sfDir, "embeddings")
-    val (centroids, assigned) = Similarity.ivfIndex(e, 16)
-    println("DBG assign sample: " + assigned.select("vec_id", "centroid_id")
-      .filter(col("vec_id") < 10).orderBy("vec_id")
-      .collect().map(r => s"${r.getLong(0)}->${r.getInt(0 max r.fieldIndex("centroid_id"))}").mkString(" "))
-    val cgrid = centroids.select(col("centroid_id"),
-      graft.ml.KMeans.quantize(col("centroid"), 64, 1e6).as("cg"))
-    val resid = assigned.select(col("vec_id"), col("centroid_id"),
-        graft.ml.KMeans.quantize(col("embedding"), 64, 1e6).as("qx"))
-      .join(broadcast(cgrid), Seq("centroid_id"))
-      .select(col("vec_id"), col("centroid_id"),
-        zip_with(col("qx"), col("cg"), (a, b) => a - b).as("rq"))
-    println("DBG resid vec 0: " + resid.filter(col("vec_id") === 0)
-      .select(col("centroid_id"), slice(col("rq"), 1, 8))
-      .collect().map(r => r.getInt(0) + " " + r.getSeq[Long](1).mkString(",")).mkString)
-    // subspace-0 fit
-    val sub0 = resid.select(col("vec_id"), slice(col("rq"), 1, 8).as("__sub"))
-    val cents0 = graft.ml.KMeans.fitGrid(sub0, "vec_id", "__sub", 16, 2)
-    println("DBG rc1_0 cid=1: " + cents0.head._2.mkString(","))
-    val codes0 = graft.ml.KMeans.assignGridUnder(sub0, "vec_id", "__sub", cents0)
-    println("DBG ra2_0 first 10: " + codes0.filter(col("vec_id") < 10)
-      .orderBy("vec_id").collect().map(r => s"${r.getLong(0)}:${r.getInt(1)}").mkString(" "))
-    // base term for query 0 vs its probed centroids
-    val qgrid = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
-      posexplode(graft.ml.KMeans.quantize(col("embedding"), 64, 1e6))
-        .as(Seq("d64", "qq")))
-    val qcent = qgrid
-      .join(broadcast(cgrid.select(col("centroid_id"),
-        posexplode(col("cg")).as(Seq("d64", "cgv")))), Seq("d64"))
-      .groupBy("query_id", "centroid_id")
-      .agg(sum(col("qq") * col("cgv")).as("base"))
-    println("DBG qcent q0: " + qcent.filter(col("query_id") === 0)
-      .orderBy("centroid_id")
-      .collect().map(r => s"${r.getInt(1)}:${r.getLong(2)}").mkString(" "))
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def time(tag: String)(f: => Long): Unit = {
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"PROF $tag%-28s rep$i $dt%7.3f s  rows=$n")
+        spark.catalog.clearCache()
+      }
+    }
+
+    import graft.text.TextOps
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val maxDist = 32; val bw = 33
+    val blockCols = Seq("lang")
+    val norm = docs.select((blockCols.map(col) :+ col("doc_id").as("id") :+
+      TextOps.normalizeText(col("text")).as("norm")): _*)
+      .withColumn("len", length(col("norm")))
+
+    // A: narrow band join -> filter len only after ids (no hist anywhere)
+    time("A.narrowJoinCount") {
+      val keyed = norm.select((blockCols.map(col) :+ col("id") :+ col("len") :+
+        explode(array((col("len") / bw).cast("long"),
+          (col("len") / bw).cast("long") + lit(1L))).as("band")): _*)
+      val l = keyed.select(col("lang"), col("band"), col("id").as("doc_a"), col("len").as("la"))
+      val r = keyed.select(col("lang"), col("band"), col("id").as("doc_b"), col("len").as("lb"))
+      l.join(r, Seq("lang", "band")).filter(col("doc_a") < col("doc_b"))
+        .filter(abs(col("la") - col("lb")) <= maxDist)
+        .select("doc_a", "doc_b").distinct().count()
+    }
+    // B: same + hist carried + L1 filter in-stage
+    time("B.histJoinCount") {
+      val n2 = norm.withColumn("hist",
+        array(("abcdefghijklmnopqrstuvwxyz0123456789 ").map(c =>
+          length(col("norm")) - length(replace(col("norm"), lit(c.toString), lit("")))): _*))
+      val keyed = n2.select((blockCols.map(col) :+ col("id") :+ col("len") :+
+        col("hist") :+
+        explode(array((col("len") / bw).cast("long"),
+          (col("len") / bw).cast("long") + lit(1L))).as("band")): _*)
+      val l = keyed.select(col("lang"), col("band"), col("id").as("doc_a"),
+        col("len").as("la"), col("hist").as("ha"))
+      val r = keyed.select(col("lang"), col("band"), col("id").as("doc_b"),
+        col("len").as("lb"), col("hist").as("hb"))
+      l.join(r, Seq("lang", "band")).filter(col("doc_a") < col("doc_b"))
+        .filter(abs(col("la") - col("lb")) <= maxDist)
+        .filter(graft.expressions.IntL1Capped.l1Capped(col("ha"), col("hb"),
+          2L * maxDist) <= 2L * maxDist)
+        .select("doc_a", "doc_b").distinct().count()
+    }
+    // C: current operator end-to-end
+    time("C.operator") {
+      TextOps.editNearDupPairs(docs, "doc_id", "text", maxDist, blockCols).count()
+    }
     spark.stop()
   }
 }

@@ -531,28 +531,36 @@ object TextOps {
       normalizeText(col(textCol)).as("norm")): _*)
       .withColumn("len", length(col("norm")))
       .withColumn("hist", charHist(col("norm")))
-    val keyed = norm.select((blockCols.map(col) :+ col("id") :+
+    // Both lower-bound prefilters run INSIDE the band-join stage, before
+    // the pair set ever hits a shuffle: lev(a,b) ≥ max(|len_a−len_b|,
+    // Σ|hist_a−hist_b|/2), with the L1 as the codegen'd early-abandon
+    // IntL1Capped (O(alphabet) primitive ops/pair, no allocation). Block
+    // sizes grow linearly with the corpus, so raw banded pairs grow
+    // quadratically within blocks — filtering BEFORE the distinct means
+    // the exchange only ever carries the survivors (measured at sf1:
+    // 17.8 s with pairs distinct-ed first, 4× less with prune-then-
+    // distinct). Pure pruning by provable lower bounds: the result — and
+    // the oracle replay — is unchanged. At corpus scale, compose with a
+    // recall-typed candidate generator (minhash/simhash blocks) via
+    // blockCols; the length band alone is the minimal complete cover.
+    val keyed = norm.select((blockCols.map(col) :+ col("id") :+ col("len") :+
+      col("hist") :+
       explode(array((col("len") / bw).cast("long"),
         (col("len") / bw).cast("long") + lit(1L))).as("band")): _*)
     val joinKeys = blockCols :+ "band"
-    val cand = keyed.withColumnRenamed("id", "doc_a")
-      .join(keyed.withColumnRenamed("id", "doc_b"), joinKeys)
+    val left = keyed.select((blockCols.map(col) :+ col("band") :+
+      col("id").as("doc_a") :+ col("len").as("la") :+ col("hist").as("ha")): _*)
+    val right = keyed.select((blockCols.map(col) :+ col("band") :+
+      col("id").as("doc_b") :+ col("len").as("lb") :+ col("hist").as("hb")): _*)
+    val cand = left.join(right, joinKeys)
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // lev(a,b) ≥ max(|len_a−len_b|, Σ|hist_a−hist_b|/2): both bounds are
-    // O(1)/O(alphabet) per pair vs the O(maxDist·L) DP — on random-corpus
-    // candidates they prune ~everything, so levenshtein (already the
-    // banded thresholded form, not the full table) runs only on genuine
-    // near-dup suspects. Pure pruning by a provable lower bound: the
-    // result set — and the oracle replay — is unchanged.
-    cand
-      .join(norm.select(col("id").as("doc_a"), col("norm").as("na"),
-        col("len").as("la"), col("hist").as("ha")), Seq("doc_a"))
-      .join(norm.select(col("id").as("doc_b"), col("norm").as("nb"),
-        col("len").as("lb"), col("hist").as("hb")), Seq("doc_b"))
       .filter(abs(col("la") - col("lb")) <= maxDist)
       .filter(graft.expressions.IntL1Capped.l1Capped(
         col("ha"), col("hb"), 2L * maxDist) <= 2L * maxDist)
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(norm.select(col("id").as("doc_a"), col("norm").as("na")), Seq("doc_a"))
+      .join(norm.select(col("id").as("doc_b"), col("norm").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("na"), col("nb"), maxDist).as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
