@@ -113,8 +113,33 @@ object Bench {
     val metricsJson = results.map { case (k, (t, (sr, sw, sp))) =>
       s""""$k":{"time":$t,"shuffle_read":$sr,"shuffle_write":$sw,"spill":$sp}"""
     }.mkString("{", ",", "}")
+    // Shuffle-budget regression gate: shuffle_budget.json holds committed
+    // per-query shuffle_read ceilings (seeded from the accepted idle bench
+    // of the prior round). A query reading > 2× its budget (and > 16 MB
+    // over — tiny queries jitter) is flagged in bench_full.json and on
+    // stderr: either the plan regressed, or the change is intentional and
+    // the budget must be re-seeded WITH a SCALE.md note in the same commit.
+    val budget: Map[String, Long] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("shuffle_budget.json")), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      } catch { case _: Throwable => Map.empty }
+    val shuffleRegressions = results.toSeq.collect {
+      case (k, (_, (sr, _, _)))
+        if budget.get(k).exists(b => sr > 2 * b && sr - b > 16L * 1024 * 1024) =>
+          (k, budget(k), sr)
+    }.sortBy(-_._3)
+    if (shuffleRegressions.nonEmpty)
+      System.err.println("[bench] SHUFFLE BUDGET EXCEEDED: " +
+        shuffleRegressions.map { case (k, b, sr) => s"$k ($b -> $sr B)" }
+          .mkString("; "))
+    val regressJson = shuffleRegressions
+      .map { case (k, b, sr) => s""""$k":{"budget":$b,"measured":$sr}""" }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"iterations":$iterations,"queries":${toJson(times)},"metrics":$metricsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"iterations":$iterations,"queries":${toJson(times)},"metrics":$metricsJson,"shuffle_regressions":$regressJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()

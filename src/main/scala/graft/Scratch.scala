@@ -6,69 +6,71 @@ import org.apache.spark.sql.functions._
 /** Ad-hoc profiling entry (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000).selectExpr("sum(id)").collect()
+    import graft.text.TextOps
 
     def time(tag: String)(f: => Long): Unit = {
-      (1 to 3).foreach { i =>
+      (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         val n = f
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"PROF $tag%-28s rep$i $dt%7.3f s  rows=$n")
-        spark.catalog.clearCache()
+        graft.ops.Leaks.sweep(spark)
       }
     }
 
-    import graft.text.TextOps
-    val docs = graft.core.Tables(spark, sfDir, "documents")
-    val maxDist = 32; val bw = 33
-    val blockCols = Seq("lang")
-    val norm = docs.select((blockCols.map(col) :+ col("doc_id").as("id") :+
-      TextOps.normalizeText(col("text")).as("norm")): _*)
-      .withColumn("len", length(col("norm")))
-
-    // A: narrow band join -> filter len only after ids (no hist anywhere)
-    time("A.narrowJoinCount") {
-      val keyed = norm.select((blockCols.map(col) :+ col("id") :+ col("len") :+
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text", "lang")
+    time("A1.normalize_only") {
+      docs.select(TextOps.normalizeText(col("text")).as("n"))
+        .select(sum(length(col("n")))).head; 5000L
+    }
+    time("A2.plus_hist") {
+      val n = docs.select(TextOps.normalizeText(col("text")).as("norm"))
+      n.select(length(col("norm")).as("l"))
+        .select(sum(col("l"))).head; 5000L
+    }
+    time("A3.sigs_only") {
+      docs.select(TextOps.minhashSignatureFast(col("text"), 16, 3).as("s"))
+        .select(count(element_at(col("s"), 1))).head.getLong(0)
+    }
+    time("A4.bands_only") {
+      docs.select(TextOps.lshBandKeys(
+          TextOps.minhashSignatureFast(col("text"), 16, 3), 4, 4).as("mh"))
+        .select(count(element_at(col("mh"), 1))).head.getLong(0)
+    }
+    time("A5.norm_nopersist_count") {
+      docs.select(col("lang"), col("doc_id").as("id"),
+          TextOps.normalizeText(col("text")).as("norm"),
+          TextOps.lshBandKeys(
+            TextOps.minhashSignatureFast(col("text"), 16, 3), 4, 4).as("mh"))
+        .withColumn("len", length(col("norm")))
+        .count()
+    }
+    time("E.noPersist_exhaustive_like_r7") {
+      // replicate the r7 unpersisted exhaustive operator inline
+      val bw = 33
+      val norm = docs.select(col("lang"), col("doc_id").as("id"),
+          TextOps.normalizeText(col("text")).as("norm"))
+        .withColumn("len", length(col("norm")))
+      val keyed = norm.select(col("lang"), col("id"), col("len"),
         explode(array((col("len") / bw).cast("long"),
-          (col("len") / bw).cast("long") + lit(1L))).as("band")): _*)
+          (col("len") / bw).cast("long") + lit(1L))).as("band"))
       val l = keyed.select(col("lang"), col("band"), col("id").as("doc_a"), col("len").as("la"))
       val r = keyed.select(col("lang"), col("band"), col("id").as("doc_b"), col("len").as("lb"))
-      l.join(r, Seq("lang", "band")).filter(col("doc_a") < col("doc_b"))
-        .filter(abs(col("la") - col("lb")) <= maxDist)
-        .select("doc_a", "doc_b").distinct().count()
-    }
-    // B: same + hist carried + L1 filter in-stage
-    time("B.histJoinCount") {
-      val n2 = norm.withColumn("hist",
-        array(("abcdefghijklmnopqrstuvwxyz0123456789 ").map(c =>
-          length(col("norm")) - length(replace(col("norm"), lit(c.toString), lit("")))): _*))
-      val keyed = n2.select((blockCols.map(col) :+ col("id") :+ col("len") :+
-        col("hist") :+
-        explode(array((col("len") / bw).cast("long"),
-          (col("len") / bw).cast("long") + lit(1L))).as("band")): _*)
-      val l = keyed.select(col("lang"), col("band"), col("id").as("doc_a"),
-        col("len").as("la"), col("hist").as("ha"))
-      val r = keyed.select(col("lang"), col("band"), col("id").as("doc_b"),
-        col("len").as("lb"), col("hist").as("hb"))
-      l.join(r, Seq("lang", "band")).filter(col("doc_a") < col("doc_b"))
-        .filter(abs(col("la") - col("lb")) <= maxDist)
-        .filter(graft.expressions.IntL1Capped.l1Capped(col("ha"), col("hb"),
-          2L * maxDist) <= 2L * maxDist)
-        .select("doc_a", "doc_b").distinct().count()
-    }
-    // C: current operator end-to-end
-    time("C.operator") {
-      TextOps.editNearDupPairs(docs, "doc_id", "text", maxDist, blockCols).count()
+      val cand = l.join(r, Seq("lang", "band")).filter(col("doc_a") < col("doc_b"))
+        .filter(abs(col("la") - col("lb")) <= 32)
+        .select("doc_a", "doc_b").distinct()
+      cand.join(norm.select(col("id").as("doc_a"), col("norm").as("na")), Seq("doc_a"))
+        .join(norm.select(col("id").as("doc_b"), col("norm").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("na"), col("nb"), 32).as("dist"))
+        .filter(col("dist") >= 0 && col("dist") <= 32).count()
     }
     spark.stop()
   }

@@ -19,7 +19,12 @@ import org.apache.spark.sql.types._
   * HOF form, which is interpreted and boxes every element (measured: the
   * HOF filter cost MORE than the thresholded levenshtein it was saving).
   * Mismatched lengths count the missing tail as all-absent (|x| each) so
-  * the bound stays valid for any caller.
+  * the bound stays valid for any caller. Null ELEMENTS are treated as 0
+  * (same as absent) — the input type may carry containsNull=true from
+  * builders like `array(length(...) - ...)` whose children are nullable
+  * even when no null is ever produced, so rejecting the type would break
+  * valid callers; counting null as "no occurrences" keeps the lower
+  * bound conservative.
   */
 case class IntL1Capped(left: Expression, right: Expression, cap: Long)
     extends BinaryExpression {
@@ -45,8 +50,8 @@ case class IntL1Capped(left: Expression, right: Expression, cap: Long)
     var acc = 0L
     var i = 0
     while (i < n && acc <= cap) {
-      val xv = if (i < nx) x.getInt(i).toLong else 0L
-      val yv = if (i < ny) y.getInt(i).toLong else 0L
+      val xv = if (i < nx && !x.isNullAt(i)) x.getInt(i).toLong else 0L
+      val yv = if (i < ny && !y.isNullAt(i)) y.getInt(i).toLong else 0L
       acc += math.abs(xv - yv)
       i += 1
     }
@@ -68,8 +73,8 @@ case class IntL1Capped(left: Expression, right: Expression, cap: Long)
          |int $n = java.lang.Math.max($nx, $ny);
          |long $acc = 0L;
          |for (int $i = 0; $i < $n && $acc <= ${cap}L; $i++) {
-         |  long $xv = $i < $nx ? (long) $a.getInt($i) : 0L;
-         |  long $yv = $i < $ny ? (long) $b.getInt($i) : 0L;
+         |  long $xv = ($i < $nx && !$a.isNullAt($i)) ? (long) $a.getInt($i) : 0L;
+         |  long $yv = ($i < $ny && !$b.isNullAt($i)) ? (long) $b.getInt($i) : 0L;
          |  $acc += java.lang.Math.abs($xv - $yv);
          |}
          |${ev.value} = $acc;

@@ -46,8 +46,14 @@ object Layout {
     * [[prunedRead]] skips files with. Rebuild after compaction/append —
     * like any manifest, it describes the files it was built from. */
   def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+    fileStatsOf(spark.read.parquet(path), cols)
+
+  /** Same manifest over an already-constructed scan — the building block
+    * incremental maintenance uses ([[graft.streaming.StreamOps
+    * .appendSinkWithStats]] stats ONLY a micro-batch's newly written
+    * files and appends those rows to the manifest). */
+  def fileStatsOf(scan: DataFrame, cols: Seq[String]): DataFrame =
+    scan.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"),
         cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
 
@@ -58,19 +64,54 @@ object Layout {
     * row-group pruning can't deliver once a table's files are unsorted
     * internally but disjoint externally. The stats frame is metadata-sized,
     * so the driver-side collect is file-count-bounded (same altitude as
-    * Spark's own file listing); row correctness NEVER depends on the
-    * stats — the row filter still runs, so stale stats can only lose the
-    * skip, not rows... which is why `fileStats` must cover a superset of
-    * the live files (guarded here). */
+    * Spark's own file listing).
+    *
+    * Stale-stats guard: the stats manifest is reconciled against the
+    * CURRENT file listing before any skip decision. A file present on
+    * disk but absent from the stats (appended after the stats build) is
+    * read UNPRUNED — only the row filter applies, so its rows can never
+    * be silently dropped. A file listed in the stats but gone from disk
+    * (compacted away) is ignored — its rows live in the newer, unlisted
+    * files, which the first rule already reads. The row-level filter
+    * always runs, so stale stats cost I/O, never correctness. */
   def prunedRead(spark: SparkSession, path: String, stats: DataFrame,
                  statCol: String, lo: Long, hi: Long): DataFrame = {
-    val live = stats
-      .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
-      .select("file").collect().map(_.getString(0))
-    if (live.isEmpty)
+    import org.apache.hadoop.fs.Path
+    // Normalize "file:///p" (input_file_name form) and "file:/p" (Hadoop
+    // Path form) to a bare path so the two listings compare equal.
+    def norm(s: String): String =
+      try { val u = new java.net.URI(s); if (u.getPath != null) u.getPath else s }
+      catch { case _: Exception => s }
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        val rel = p.toUri.getPath
+        if (!p.getName.startsWith("_") && !p.getName.startsWith(".") &&
+          !rel.contains("/_") && !rel.contains("/."))
+          b += p
+      }
+      b.result()
+    }
+    val statRows = stats
+      .select(col("file"), col(s"min_$statCol").cast("long"),
+        col(s"max_$statCol").cast("long")).collect()
+    val listed = statRows.map(r => norm(r.getString(0))).toSet
+    val envelope = statRows.filter { r =>
+      !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getLong(2) >= lo && r.getLong(1) <= hi
+    }.map(r => norm(r.getString(0))).toSet
+    val toRead = onDisk.filter { p =>
+      val n = norm(p.toUri.getPath)
+      !listed.contains(n) || envelope.contains(n)
+    }.map(_.toString)
+    if (toRead.isEmpty)
       spark.read.parquet(path).filter(lit(false))
     else
-      spark.read.parquet(live.toIndexedSeq: _*)
+      spark.read.parquet(toRead.toIndexedSeq: _*)
         .filter(col(statCol).between(lo, hi))
   }
 }

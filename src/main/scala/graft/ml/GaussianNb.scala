@@ -1,0 +1,144 @@
+package graft.ml
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.param.{Param, ParamMap}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** L8 — Gaussian naive Bayes, from scratch, sklearn-faithful.
+  *
+  * MLlib's `NaiveBayes(modelType="gaussian")` diverges measurably from
+  * sklearn's `GaussianNB` on the reference's wine tournament (measured
+  * ~0.372 vs the published 0.4515 five-fold mean — an 8-point gap, far
+  * outside fold-RNG noise, while the tree models match within a point).
+  * The reference's number is the sklearn algorithm, so the engine ships
+  * the sklearn algorithm: per-class mean + BIASED per-class variance
+  * (`np.var`, /n), class priors = empirical frequencies, and the exact
+  * `var_smoothing` rule — every class variance gets
+  * `varSmoothing · max_i Var_all(x_i)` added, where the max is over the
+  * WHOLE training relation, not per class (sklearn's `GaussianNB.fit`,
+  * epsilon_). Prediction = argmax_k [log π_k − ½Σ_i(log 2πσ²_ki +
+  * (x_i−μ_ki)²/σ²_ki)], ties to the lowest label like `np.argmax`.
+  *
+  * Scale design: fit is ONE map-side-combined groupBy over the label —
+  * 2d+1 moment aggregates per class, the only driver-side state is the
+  * O(k·d) parameter table. Scoring is a generated Column expression over
+  * literal parameters: no UDF, no broadcast join, stays inside
+  * whole-stage codegen (k·d arithmetic nodes — wine: 7×12, trivially
+  * within codegen limits).
+  *
+  * Ref: cross-validation/wine_analysis.py:81 (GaussianNB()),
+  * assignment_report.md:158 (0.4515 ± 0.0121).
+  */
+object GaussianNb {
+
+  case class GnbStats(label: Double, prior: Double,
+                      mean: Array[Double], variance: Array[Double])
+
+  /** Fit over an `array<double>` feature column: one aggregation pass
+    * producing per-class (n, Σx_i, Σx_i²) — biased variances + the
+    * sklearn smoothing epsilon derived from the same moments. */
+  def fitArray(df: DataFrame, arrCol: String, labelCol: String, d: Int,
+               varSmoothing: Double = 1e-9): Seq[GnbStats] = {
+    def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
+    val aggs = (0 until d).flatMap(i =>
+      Seq(sum(el(i)).as(s"s_$i"), sum(el(i) * el(i)).as(s"ss_$i"))) :+
+      count(lit(1)).cast("double").as("n")
+    val rows = df.groupBy(col(labelCol).cast("double").as("label"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val total = rows.map(_.getAs[Double]("n")).sum
+    // sklearn: epsilon = var_smoothing * max variance over ALL samples,
+    // recoverable from the per-class moments already collected.
+    val globalVar = (0 until d).map { i =>
+      val s = rows.map(_.getAs[Double](s"s_$i")).sum
+      val ss = rows.map(_.getAs[Double](s"ss_$i")).sum
+      math.max(ss / total - (s / total) * (s / total), 0.0)
+    }
+    val eps = varSmoothing * globalVar.max
+    rows.map { r =>
+      val n = r.getAs[Double]("n")
+      val mean = Array.tabulate(d)(i => r.getAs[Double](s"s_$i") / n)
+      val variance = Array.tabulate(d) { i =>
+        math.max(r.getAs[Double](s"ss_$i") / n - mean(i) * mean(i), 0.0) + eps
+      }
+      GnbStats(r.getAs[Double]("label"), n / total, mean, variance)
+    }.toSeq.sortBy(_.label)
+  }
+
+  /** Generated argmax-of-log-likelihood expression: the per-class constant
+    * (log prior − ½Σ log 2πσ²) folds to one literal; only the quadratic
+    * term is per-row work. Argmax folds over (score, label) structs so
+    * each score expression appears exactly once in the plan (the QDA
+    * discipline); ties resolve to the lowest label. */
+  def predictExpr(stats: Seq[GnbStats], arrCol: String): Column = {
+    def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
+    val d = stats.head.mean.length
+    val scores = stats.map { cs =>
+      val const = math.log(cs.prior) -
+        0.5 * (0 until d).map(i => math.log(2 * math.Pi * cs.variance(i))).sum
+      val quad = (0 until d).map { i =>
+        val diff = el(i) - lit(cs.mean(i))
+        diff * diff * lit(1.0 / cs.variance(i))
+      }.reduce(_ + _)
+      (cs.label, lit(const) - quad * 0.5)
+    }
+    val arr = array(scores.map { case (label, s) =>
+      struct(s.as("s"), lit(label).as("l"))
+    }: _*)
+    aggregate(arr, element_at(arr, 1),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+      .getField("l")
+  }
+}
+
+/** MLlib-pipeline adapter so the registry / `Models.pipelineFor` can use
+  * the sklearn-faithful NB as a drop-in `Estimator` (exposes `labelCol` /
+  * `featuresCol` params under the standard names). */
+class GaussianNbEstimator(override val uid: String)
+    extends Estimator[GaussianNbModel] {
+  def this() = this(Identifiable.randomUID("gnb"))
+
+  final val labelCol = new Param[String](this, "labelCol", "label column")
+  final val featuresCol = new Param[String](this, "featuresCol", "features column")
+  final val varSmoothing = new Param[Double](this, "varSmoothing", "variance smoothing")
+  setDefault(labelCol -> "label", featuresCol -> "features", varSmoothing -> 1e-9)
+
+  override def fit(ds: Dataset[_]): GaussianNbModel = {
+    val arr = ds.toDF().withColumn("__gnb_x", vector_to_array(col($(featuresCol))))
+    val d = arr.select(size(col("__gnb_x"))).head().getInt(0)
+    val stats = GaussianNb.fitArray(arr, "__gnb_x", $(labelCol), d, $(varSmoothing))
+    val m = new GaussianNbModel(uid, stats)
+    m.set(m.featuresCol, $(featuresCol))
+    m
+  }
+
+  override def copy(extra: ParamMap): GaussianNbEstimator = defaultCopy(extra)
+
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField("prediction", DoubleType))
+}
+
+class GaussianNbModel(override val uid: String,
+                      val stats: Seq[GaussianNb.GnbStats])
+    extends Model[GaussianNbModel] {
+
+  final val featuresCol = new Param[String](this, "featuresCol", "features column")
+  setDefault(featuresCol -> "features")
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.toDF()
+      .withColumn("__gnb_x", vector_to_array(col($(featuresCol))))
+      .withColumn("prediction", GaussianNb.predictExpr(stats, "__gnb_x"))
+      .drop("__gnb_x")
+
+  override def copy(extra: ParamMap): GaussianNbModel = {
+    val m = new GaussianNbModel(uid, stats)
+    copyValues(m, extra)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField("prediction", DoubleType))
+}

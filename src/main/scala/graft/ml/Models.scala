@@ -31,7 +31,10 @@ object Models {
       "decision_tree" -> (() => new DecisionTreeClassifier().setMaxDepth(8).setSeed(42)),
       "random_forest" -> (() => new RandomForestClassifier()
         .setNumTrees(100).setMaxDepth(8).setSeed(42)),
-      "naive_bayes" -> (() => new NaiveBayes().setModelType("gaussian")),
+      // from-scratch sklearn-faithful gaussian NB (GaussianNb.scala) — the
+      // reference's GaussianNB numbers are the sklearn algorithm, and the
+      // from-scratch form carries its exact var_smoothing rule
+      "naive_bayes" -> (() => new GaussianNbEstimator()),
       "mlp" -> (() => new MultilayerPerceptronClassifier()
         .setLayers(Array(nFeatures, 32, numClasses)).setMaxIter(60).setSeed(42)))
     val binaryOnly = Map[String, () => Estimator[_ <: Transformer]](

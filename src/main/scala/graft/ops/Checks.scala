@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Checks {
 
-  /** violations = rows where `cond` is false or null. */
+  /** violations = rows where `cond` is false or null. Coalesced to 0 on
+    * an empty input — an ingest gate may legitimately see an empty
+    * partition, and it should pass, not report null. */
   def violations(cond: Column): Column =
-    sum(when(cond, 0L).otherwise(1L))
+    coalesce(sum(when(cond, 0L).otherwise(1L)), lit(0L))
 
   /** Not-null completeness check on a column. */
   def complete(c: String): (String, Column) =

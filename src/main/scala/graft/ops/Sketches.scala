@@ -80,15 +80,19 @@ object Sketches {
     * collision mass ≤ e·N/width with prob ≥ 1−e^−depth (Cormode &
     * Muthukrishnan 2005). The query side explodes to (row, bucket) probes
     * and joins the sketch on its tiny (row, bucket) key — with the sketch
-    * broadcast, estimation is a map-only pass over the queries. */
+    * broadcast, estimation is a map-only pass over the queries. The join
+    * is LEFT outer with missing cells coalesced to 0: an item none of
+    * whose cells were ever incremented must estimate 0 (the true CMS
+    * semantics), and an item with SOME empty cells must take those 0s
+    * into its min rather than min-ing only the populated counters. */
   def cmsEstimate(sketch: DataFrame, queries: DataFrame, itemCol: String,
                   depth: Int = 4, width: Int = 512): DataFrame = {
     val cells = array((0 until depth).map(r =>
       struct(lit(r).as("row"), cmsBucket(col(itemCol), r, width).as("bucket"))): _*)
     queries.select(col(itemCol), explode(cells).as("c"))
       .select(col(itemCol), col("c.row").as("row"), col("c.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("row", "bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy(col(itemCol))
-      .agg(min(col("cnt")).as("est_count"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 }

@@ -13,9 +13,17 @@ import graft.text.TextOps
   * operators end to end:
   *
   *   quality gate → language agreement → exact dedup → minhash near-dup
-  *   removal → SEMANTIC near-dup removal (embedding cluster blocking) →
+  *   removal → exact-substring (shared verbatim k-run) removal →
+  *   edit-distance near-dup removal (composed minhash × length-band
+  *   blocking) → SEMANTIC near-dup removal (embedding cluster blocking) →
   *   deterministic epoch shuffle → partitioned write → small-file
   *   compaction → JSON manifest with per-stage and per-source accounting.
+  *
+  * The three syntactic near-dup modalities catch DIFFERENT duplicates:
+  * minhash = set-overlap (shuffled/reordered content), substring =
+  * verbatim quoted runs inside otherwise-different docs, edit-distance =
+  * small character-level revisions; the substring/edit stages are on by
+  * default and individually switchable.
   *
   * Every stage is an already-verified operator; what this main adds is
   * the COMPOSITION and the output contract (a layout + manifest a
@@ -27,6 +35,7 @@ object CorpusBuild {
 
   case class StageCounts(raw: Long, quality: Long, langOk: Long,
                          exactDedup: Long, nearDedup: Long,
+                         substringDedup: Long, editDedup: Long,
                          semanticDedup: Long)
 
   /** @param partitionCol layout key for the partitioned write + compaction;
@@ -40,7 +49,9 @@ object CorpusBuild {
     *                     pulling a huge domain through the driver */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           partitionCol: String = "source",
-          maxPartitionFanout: Int = 256): StageCounts = {
+          maxPartitionFanout: Int = 256,
+          withSubstringDedup: Boolean = true,
+          withEditDedup: Boolean = true): StageCounts = {
     val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def timed[T](stage: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -67,6 +78,30 @@ object CorpusBuild {
       pairs.select(col("id_b").as("doc_id")), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // exact-substring dedup: drop the larger id of any pair still sharing
+    // a verbatim ≥8-token run (the modality set-overlap dedup misses —
+    // a quoted paragraph inside otherwise-different docs)
+    val subKept =
+      if (withSubstringDedup) {
+        val spanPairs = TextOps.sharedSpanPairs(nearKept, "doc_id", "text",
+          k = 8, maxDocFreq = 16)
+        nearKept.join(spanPairs.select(col("doc_b").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else nearKept
+
+    // edit-distance near-dup removal: small character-level revisions the
+    // shingle-set stages under-weigh; composed minhash × lang × length-band
+    // blocking (the operator default) keeps candidates corpus-linear
+    val editKept =
+      if (withEditDedup) {
+        val editPairs = TextOps.editNearDupPairs(subKept, "doc_id", "text",
+          maxDist = 32, blockCols = Seq("lang"))
+        subKept.join(editPairs.select(col("doc_b").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else subKept
+
     // semantic dedup: embeddings are keyed by the same ids; drop docs
     // whose vector is a non-representative member of a near-dup component.
     // k auto-sizes with the corpus (k ∝ n / targetClusterSize) so the
@@ -75,7 +110,7 @@ object CorpusBuild {
       .semanticDedupKeepAuto(emb, threshold = 0.999, targetClusterSize = 500,
         iters = 2)
       .filter(col("keep")).select(col("vec_id").as("doc_id"))
-    val semKept = nearKept.join(semKeep, Seq("doc_id"), "left_semi")
+    val semKept = editKept.join(semKeep, Seq("doc_id"), "left_semi")
 
     // deterministic epoch shuffle: a cluster-size-independent order
     // column (distributed md5 rank — no global sort)
@@ -115,12 +150,16 @@ object CorpusBuild {
       timed("lang_ok")(langOk.count()),
       timed("exact_dedup")(deduped.count()),
       timed("near_dedup")(nearKept.count()),
+      timed("substring_dedup")(subKept.count()),
+      timed("edit_dedup")(editKept.count()),
       timed("semantic_dedup")(semKept.count()))
     import spark.implicits._
     val stageDf = Seq((counts.raw, counts.quality, counts.langOk,
-      counts.exactDedup, counts.nearDedup, counts.semanticDedup))
+      counts.exactDedup, counts.nearDedup, counts.substringDedup,
+      counts.editDedup, counts.semanticDedup))
       .toDF("n_raw", "n_quality", "n_lang_ok", "n_exact_dedup",
-        "n_near_dedup", "n_semantic_dedup")
+        "n_near_dedup", "n_substring_dedup", "n_edit_dedup",
+        "n_semantic_dedup")
     val mixture = semKept.groupBy(partitionCol).agg(
       count(lit(1)).as("n_docs"),
       sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
@@ -141,7 +180,8 @@ object CorpusBuild {
     val spark = PipelineSession.build()
     val c = run(spark, sfDir, outDir)
     println(s"[corpus] raw=${c.raw} quality=${c.quality} lang=${c.langOk} " +
-      s"exact=${c.exactDedup} near=${c.nearDedup} semantic=${c.semanticDedup}")
+      s"exact=${c.exactDedup} near=${c.nearDedup} substr=${c.substringDedup} " +
+      s"edit=${c.editDedup} semantic=${c.semanticDedup}")
     spark.stop()
   }
 }

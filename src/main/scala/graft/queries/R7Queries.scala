@@ -44,8 +44,11 @@ object R7Queries {
         k = 8, maxDocFreq = 16).orderBy("doc_a", "doc_b")
     }),
 
-    // Edit-distance near-dup: lang × length-band blocking, thresholded
-    // levenshtein verify (banded O(d·L), not the full DP table).
+    // Edit-distance near-dup: lang × minhash-band × length-band composed
+    // blocking (the default — within-block candidates stay corpus-linear),
+    // thresholded levenshtein verify (banded O(d·L), not the full DP
+    // table). Minhash candidacy is part of the contract; the oracle
+    // replays it.
     "q_x_edit_neardup" -> ((s, d) => {
       TextOps.editNearDupPairs(Tables(s, d, "documents"), "doc_id", "text",
         maxDist = 32, blockCols = Seq("lang")).orderBy("doc_a", "doc_b")
@@ -240,15 +243,32 @@ object R7Queries {
          |FROM gj a JOIN gj b ON a.gram = b.gram AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_x_edit_neardup" ->
+    // Replays the operator's full contract: minhash 4×4 band candidacy
+    // (identical signature spec to q_x_minhash_*) AND the length window
+    // AND the thresholded levenshtein — band candidacy is part of the
+    // semantics, so the oracle is exact at ANY scale factor, not just
+    // where the blocker happens to lose nothing.
+    "q_x_edit_neardup" -> {
+      val mins = (0 until 16).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
+        .mkString(",\n   ")
+      val bandEq = (0 until 4).map(b =>
+        s"sa.sg[${4 * b + 1}:${4 * b + 4}] = sb.sg[${4 * b + 1}:${4 * b + 4}]")
+        .mkString(" OR ")
       s"""WITH n AS (SELECT doc_id, lang, ${TextSimQueries.normSql} AS norm,
-         |    length(${TextSimQueries.normSql}) AS len FROM documents)
+         |    length(${TextSimQueries.normSql}) AS len FROM documents),
+         |shx AS (SELECT doc_id, ${TextSimQueries.shinglesSql} AS sh FROM documents),
+         |sig AS (SELECT doc_id, [$mins] AS sg FROM shx)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS dist
          |FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |  AND abs(a.len - b.len) <= 32
-         |WHERE levenshtein(a.norm, b.norm) <= 32
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |JOIN sig sa ON sa.doc_id = a.doc_id
+         |JOIN sig sb ON sb.doc_id = b.doc_id
+         |WHERE ($bandEq)
+         |  AND levenshtein(a.norm, b.norm) <= 32
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q_q_constraints" ->
       s"""WITH t AS (SELECT count(*) AS total,
@@ -280,8 +300,8 @@ object R7Queries {
          |top AS (SELECT user_id, true_count FROM tru
          |  ORDER BY true_count DESC, user_id LIMIT 20),
          |probes AS ($probeUnion),
-         |est AS (SELECT user_id, min(cnt) AS est_count
-         |  FROM probes JOIN cms USING (r, b) GROUP BY 1)
+         |est AS (SELECT user_id, min(coalesce(cnt, 0)) AS est_count
+         |  FROM probes LEFT JOIN cms USING (r, b) GROUP BY 1)
          |SELECT t.user_id, t.true_count, e.est_count
          |FROM top t JOIN est e USING (user_id)
          |ORDER BY true_count DESC, user_id""".stripMargin

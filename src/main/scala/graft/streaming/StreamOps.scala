@@ -231,6 +231,47 @@ object StreamOps {
         tmp.renameTo(dir): Unit
     }
 
+  /** Append-mode parquet sink that maintains the [[graft.io.Layout]]
+    * per-file min/max manifest INCREMENTALLY: each micro-batch appends its
+    * rows as new files, stats ONLY those files (one scan of the batch's
+    * output, never the table), and appends the rows to the stats manifest
+    * — the Delta/Iceberg add-file discipline on plain parquet. Every
+    * `compactEvery` batches the table is small-file-compacted and the
+    * manifest rebuilt (compaction invalidates per-file stats by
+    * construction). A reader prunes with `Layout.prunedRead(table,
+    * stats)`; its stale-stats guard means even a reader racing a
+    * compaction stays correct — files missing from the manifest are read
+    * unpruned.
+    * `compactEvery = 0` disables compaction (append + manifest only). */
+  def appendSinkWithStats(stream: DataFrame, tablePath: String,
+                          statsPath: String, statCols: Seq[String],
+                          compactEvery: Int = 0,
+                          targetBytes: Long = 64L * 1024 * 1024): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        def dataFiles(p: String): Set[String] = {
+          val d = new java.io.File(p)
+          if (!d.exists) Set.empty
+          else d.listFiles
+            .filter(f => f.isFile && !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+            .map(_.getAbsolutePath).toSet
+        }
+        val before = dataFiles(tablePath)
+        batch.write.mode("append").parquet(tablePath)
+        val added = (dataFiles(tablePath) -- before).toSeq.sorted
+        if (added.nonEmpty)
+          graft.io.Layout
+            .fileStatsOf(spark.read.parquet(added: _*), statCols)
+            .write.mode("append").parquet(statsPath)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.io.Io.compactParquet(spark, tablePath, targetBytes)
+          graft.io.Layout.fileStats(spark, tablePath, statCols)
+            .write.mode("overwrite").parquet(statsPath)
+        }
+    }
+
   /** Wire a streaming aggregation to an in-memory sink (demo/test). */
   def toMemorySink(df: DataFrame, queryName: String): DataStreamWriter[Row] =
     df.writeStream

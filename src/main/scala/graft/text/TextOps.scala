@@ -297,10 +297,17 @@ object TextOps {
       // touching any document text
       .filter(col("est_jaccard") >= threshold * 0.5)
       .distinct()
-    // exact-verify ONLY the survivors: join texts back by id
+    // exact-verify ONLY the survivors: join texts back by id, with the
+    // est-pruned candidate ID relation BROADCAST — (id_a, id_b, est) is
+    // ~24 bytes/row and survivor-pair-sized by construction, so both text
+    // joins run map-side and document text never crosses an exchange
+    // (measured at sf1: 14.1 s → 2.5 s for the whole operator; the
+    // shuffle-join form moved every text twice). If a corpus's survivor
+    // set ever outgrows broadcast (≈ most docs near-dup of something),
+    // the pipeline upstream is wrong before this join is.
     val a = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
     val b = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
-    candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    a.join(broadcast(candidates), Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
         jaccardShinglesFast(col("text_a"), col("text_b"), shingleN).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -337,9 +344,12 @@ object TextOps {
         estJaccardFast(col("__sig_b"), col("__sig"), numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold * 0.5)
       .distinct()
+    // candidate IDs broadcast into both text joins (batch-bounded by the
+    // directional join, so always the small side): corpus text never
+    // crosses an exchange — the same map-side verify as the self-join form
     val bt = batch.select(col(idCol).as("batch_id"), col(textCol).as("text_b"))
     val ct = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("text_c"))
-    candidates.join(bt, Seq("batch_id")).join(ct, Seq("corpus_id"))
+    ct.join(broadcast(candidates), Seq("corpus_id")).join(broadcast(bt), Seq("batch_id"))
       .select(col("batch_id"), col("corpus_id"), col("est_jaccard"),
         jaccardShinglesFast(col("text_b"), col("text_c"), shingleN).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -497,17 +507,6 @@ object TextOps {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
-  /** Character-level near-dup pairs under an edit-distance budget:
-    * candidates blocked by `blockCols` (lang/source — keeps the join from
-    * going n² on corpus size) × a length band of width maxDist+1, so any
-    * pair with |len_a − len_b| ≤ maxDist shares a band key (each doc emits
-    * bands {b, b+1}); survivors verified with Spark's THRESHOLDED
-    * `levenshtein(a, b, maxDist)` — the banded O(maxDist·L) algorithm that
-    * abandons a row as soon as the budget is exceeded, not the full O(L²)
-    * table. Candidate-pair ids are deduped BEFORE the text joins back
-    * (band-join discipline: the exchange carries ids + band keys only).
-    * Length-banding alone is weak blocking at corpus scale — compose with
-    * a real partition key via `blockCols`. */
   /** Character classes for the histogram lower bound: merging all chars
     * outside [a-z0-9 space] into one class keeps lev ≥ L1/2 valid (a
     * class-collapsed string is an image under a char map, which can only
@@ -524,29 +523,32 @@ object TextOps {
     array((counts :+ (length(norm) - counts.reduce(_ + _))): _*)
   }
 
+  /** Edit-distance near-dup pairs. The DEFAULT composes three blockers:
+    * caller `blockCols` (e.g. lang) × a minhash-LSH band key × the
+    * length band — so within-block candidate growth is bounded by
+    * near-dup bucket sizes, not corpus size (the round-7 form's
+    * length-band-only blocking left within-block pairs quadratic in the
+    * corpus). The minhash blocker is RECALL-TYPED and part of the
+    * operator's contract: the result is "pairs within `maxDist` edits
+    * AMONG minhash band candidates" (`minhashBands` bands over
+    * `minhashSigs` md5-permutation minima — the exact q_x_minhash
+    * banding, so the DuckDB oracle replays it verbatim). Banding is
+    * provably complete w.r.t. that contract: a pair sharing a band key by
+    * definition shares it. Pass `minhashBands = 0` for the exhaustive
+    * semantics (every pair within blockCols and the length band —
+    * provably complete for lev ≤ maxDist, quadratic within blocks; fine
+    * for bounded blocks, not for an open corpus). Survivors are verified
+    * with Spark's THRESHOLDED `levenshtein(a, b, maxDist)` — the banded
+    * O(maxDist·L) algorithm that abandons a row once the budget is
+    * exceeded, not the full O(L²) table — and candidate-pair ids are
+    * deduped BEFORE the text joins back (band-join discipline: the
+    * exchange carries ids + band keys only, never document text). */
   def editNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                       maxDist: Int, blockCols: Seq[String] = Nil): DataFrame = {
-    val bw = maxDist + 1
-    val norm = df.select((blockCols.map(col) :+ col(idCol).as("id") :+
-      normalizeText(col(textCol)).as("norm")): _*)
-      .withColumn("len", length(col("norm")))
-      .withColumn("hist", charHist(col("norm")))
-    // Both lower-bound prefilters run INSIDE the band-join stage, before
-    // the pair set ever hits a shuffle: lev(a,b) ≥ max(|len_a−len_b|,
-    // Σ|hist_a−hist_b|/2), with the L1 as the codegen'd early-abandon
-    // IntL1Capped (O(alphabet) primitive ops/pair, no allocation). Block
-    // sizes grow linearly with the corpus, so raw banded pairs grow
-    // quadratically within blocks — filtering BEFORE the distinct means
-    // the exchange only ever carries the survivors (measured at sf1:
-    // 17.8 s with pairs distinct-ed first, 4× less with prune-then-
-    // distinct). Pure pruning by provable lower bounds: the result — and
-    // the oracle replay — is unchanged. At corpus scale, compose with a
-    // recall-typed candidate generator (minhash/simhash blocks) via
-    // blockCols; the length band alone is the minimal complete cover.
-    val keyed = norm.select((blockCols.map(col) :+ col("id") :+ col("len") :+
-      col("hist") :+
-      explode(array((col("len") / bw).cast("long"),
-        (col("len") / bw).cast("long") + lit(1L))).as("band")): _*)
+                       maxDist: Int, blockCols: Seq[String] = Nil,
+                       minhashBands: Int = 4, minhashSigs: Int = 16,
+                       shingleN: Int = 3): DataFrame = {
+    val (norm, keyed) = editBlockKeyed(df, idCol, textCol, maxDist, blockCols,
+      minhashBands, minhashSigs, shingleN)
     val joinKeys = blockCols :+ "band"
     val left = keyed.select((blockCols.map(col) :+ col("band") :+
       col("id").as("doc_a") :+ col("len").as("la") :+ col("hist").as("ha")): _*)
@@ -564,6 +566,57 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("na"), col("nb"), maxDist).as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
+  /** The (norm, keyed) relations behind [[editNearDupPairs]] — exposed so
+    * tests can measure raw within-block candidate growth directly from the
+    * band keys, without re-deriving the blocking spec. */
+  private[graft] def editBlockKeyed(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int, blockCols: Seq[String],
+      minhashBands: Int, minhashSigs: Int,
+      shingleN: Int): (DataFrame, DataFrame) = {
+    val bw = maxDist + 1
+    val composed = minhashBands > 0
+    // The RAW signature is the persisted column and the band keys are
+    // derived AFTER the persist barrier (the minhashNearDupPairs
+    // discipline): `lshBandKeys` is an interpreted higher-order transform
+    // that references the signature once per band, and without the
+    // barrier projection collapse inlines the whole tokenizer+16-hash
+    // pipeline into every band slot — measured at sf0.1: the banded key
+    // projection alone cost 3.6 s inlined vs 1.0 s for the signature
+    // pass it multiplies.
+    val normCols = (blockCols.map(col) :+ col(idCol).as("id") :+
+      normalizeText(col(textCol)).as("norm")) ++
+      (if (composed)
+        Seq(minhashSignatureFast(col(textCol), minhashSigs, shingleN).as("__sig"))
+      else Nil)
+    val norm = df.select(normCols: _*)
+      .withColumn("len", length(col("norm")))
+      .withColumn("hist", charHist(col("norm")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Both lower-bound prefilters run INSIDE the band-join stage, before
+    // the pair set ever hits a shuffle: lev(a,b) ≥ max(|len_a−len_b|,
+    // Σ|hist_a−hist_b|/2), with the L1 as the codegen'd early-abandon
+    // IntL1Capped (O(alphabet) primitive ops/pair, no allocation).
+    // Filtering BEFORE the distinct means the exchange only ever carries
+    // the survivors (measured at sf1: 17.8 s with pairs distinct-ed
+    // first, 4× less with prune-then-distinct). Pure pruning by provable
+    // lower bounds: the result — and the oracle replay — is unchanged.
+    // The composed band key = minhash band ⊗ length band: each doc emits
+    // minhashBands × 2 keys; a pair sharing a minhash band AND within
+    // maxDist length difference shares ≥1 composed key (the length bands
+    // of width maxDist+1 are a complete cover for |Δlen| ≤ maxDist).
+    val lenBands = array((col("len") / bw).cast("long"),
+      (col("len") / bw).cast("long") + lit(1L))
+    val bandExpr =
+      if (composed)
+        explode(flatten(transform(
+          lshBandKeys(col("__sig"), minhashBands, minhashSigs / minhashBands),
+          m => transform(lenBands, lb => concat(m, lit(":"), lb.cast("string"))))))
+      else explode(lenBands.cast("array<string>"))
+    val keyed = norm.select((blockCols.map(col) :+ col("id") :+ col("len") :+
+      col("hist") :+ bandExpr.as("band")): _*)
+    (norm, keyed)
   }
 
   /** PMI bigram collocation scores over a corpus, log-free: PMI =

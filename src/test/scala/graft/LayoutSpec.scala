@@ -64,4 +64,40 @@ class LayoutSpec extends AnyFunSuite {
     // empty envelope: schema preserved, zero rows, zero files opened
     assert(Layout.prunedRead(spark, dir, stats, "x", 999, 1000).count() == 0L)
   }
+
+  test("prunedRead stale-stats guard: appended files are read unpruned, compacted files dropped") {
+    val df = spark.range(4096).select(
+      expr("id div 64").as("x"), pmod(col("id"), lit(64L)).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("stale").toString
+    df.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(dir)
+    // Materialize the manifest, then mutate the table under it.
+    val stats = Layout.fileStats(spark, dir, Seq("x", "y")).cache()
+    assert(stats.count() == 8)
+    // APPEND rows in the probe range AFTER the stats build: a naive
+    // pruner would silently drop them; the guard reads unlisted files.
+    Seq((11L, 999L), (500L, 1L)).toDF("x", "y")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val pruned = Layout.prunedRead(spark, dir, stats, "x", 10, 12)
+    assert(pruned.count() == 64L * 3 + 1,
+      "appended row in range must survive stale stats")
+    assert(pruned.filter(col("y") === 999).count() == 1L)
+    // the skip still happens for LISTED files: ≤2 old + 1 appended
+    val touched = pruned.select(input_file_name()).distinct().count()
+    assert(touched <= 3, s"expected ≤3 files read, got $touched")
+    // COMPACT: rewrite the whole table; every stats-listed file is gone.
+    // prunedRead must not fail on vanished files — all live files are
+    // unlisted, so the scan degrades to an unpruned-but-correct read.
+    val dir2 = java.nio.file.Files.createTempDirectory("stale2").toString
+    df.write.mode("overwrite").parquet(dir2)
+    val stats2 = Layout.fileStats(spark, dir2, Seq("x")).cache()
+    stats2.count()
+    spark.read.parquet(dir2).repartition(2)
+      .write.mode("overwrite").parquet(dir2 + "_c")
+    // simulate in-place compaction: point the read at the new files with
+    // the old manifest
+    val afterCompact = Layout.prunedRead(spark, dir2 + "_c", stats2, "x", 10, 12)
+    assert(afterCompact.count() == df.filter(col("x").between(10, 12)).count())
+    stats.unpersist(); stats2.unpersist()
+  }
 }

@@ -85,6 +85,36 @@ class MlSpec extends AnyFunSuite {
     assert(summary.forall(r => r.getDouble(1) > 0.05 && r.getDouble(1) <= 1.0))
   }
 
+  test("GaussianNb matches hand-computed sklearn parameters and posteriors") {
+    import graft.ml.GaussianNb
+    // two classes, two features; moments small enough to verify by hand
+    val df = Seq(
+      (0.0, 1.0, 2.0), (0.0, 2.0, 4.0), (0.0, 3.0, 6.0),
+      (1.0, 10.0, 1.0), (1.0, 12.0, 3.0)
+    ).toDF("y", "a", "b").withColumn("x", array(col("a"), col("b")))
+    val stats = GaussianNb.fitArray(df, "x", "y", d = 2)
+    assert(stats.map(_.label) == Seq(0.0, 1.0))
+    val s0 = stats(0); val s1 = stats(1)
+    assert(math.abs(s0.prior - 0.6) < 1e-12 && math.abs(s1.prior - 0.4) < 1e-12)
+    assert(s0.mean.toSeq == Seq(2.0, 4.0) && s1.mean.toSeq == Seq(11.0, 2.0))
+    // BIASED variances (np.var): class0 a: ((1+4+9)/3 - 4) = 2/3
+    val globalMaxVar = {
+      // feature a over all 5: mean 5.6, E[x²] = (1+4+9+100+144)/5 = 51.6
+      val va = 51.6 - 5.6 * 5.6
+      val vb = (4.0 + 16 + 36 + 1 + 9) / 5 - math.pow(16.0 / 5, 2)
+      math.max(va, vb)
+    }
+    val eps = 1e-9 * globalMaxVar
+    assert(math.abs(s0.variance(0) - (2.0 / 3 + eps)) < 1e-12)
+    assert(math.abs(s1.variance(0) - (1.0 + eps)) < 1e-12)
+    // posterior argmax: a point near class 1's mean classifies as 1,
+    // near class 0's as 0; ties impossible here
+    val probe = Seq((10.5, 2.0), (2.5, 4.0)).toDF("a", "b")
+      .withColumn("x", array(col("a"), col("b")))
+    val preds = probe.select(GaussianNb.predictExpr(stats, "x")).as[Double].collect()
+    assert(preds.toSeq == Seq(1.0, 0.0))
+  }
+
   test("QDA expression scorer separates classes (d=12)") {
     val df = featured(12).cache()
     val feats = (0 until 12).map(i => s"f$i")

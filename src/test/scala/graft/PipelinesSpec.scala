@@ -45,10 +45,12 @@ class PipelinesSpec extends AnyFunSuite {
   test("EP4 corpus build composes hygiene, dedup, shuffle, layout, manifest") {
     val out = tmp("ep4")
     val c = CorpusBuild.run(spark, sfDir, out)
-    // each stage can only shrink the corpus
+    // each stage can only shrink the corpus — monotone through ALL of the
+    // hygiene + four-modality dedup chain
     assert(c.raw >= c.quality && c.quality >= c.langOk &&
       c.langOk >= c.exactDedup && c.exactDedup >= c.nearDedup &&
-      c.nearDedup >= c.semanticDedup && c.semanticDedup > 0)
+      c.nearDedup >= c.substringDedup && c.substringDedup >= c.editDedup &&
+      c.editDedup >= c.semanticDedup && c.semanticDedup > 0)
     // partitioned + compacted output holds exactly the surviving docs
     val corpus = spark.read.parquet(s"$out/corpus")
     assert(corpus.count() == c.semanticDedup)
@@ -67,8 +69,8 @@ class PipelinesSpec extends AnyFunSuite {
     // per-stage wall-times made it into the manifest
     val timings = spark.read.json(s"$out/manifest_timings")
     val stagesTimed = timings.select("stage").collect().map(_.getString(0)).toSet
-    assert(Set("write_partitioned", "compact", "semantic_dedup")
-      .subsetOf(stagesTimed))
+    assert(Set("write_partitioned", "compact", "substring_dedup",
+      "edit_dedup", "semantic_dedup").subsetOf(stagesTimed))
     assert(timings.filter(col("wall_ms") < 0).count() == 0)
     // the pipeline sweeps its own cached blocks before returning
     assert(graft.ops.Leaks.persistentRddCount(spark) == 0)

@@ -73,6 +73,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("edit-dedup plan: band equi-join, L1 prefilter below the pair exchange") {
+    // AQE off so the executed plan is a plain tree (AdaptiveSparkPlanExec
+    // is a leaf and hides its subtree from collect)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q_x_edit_neardup")(spark, sfDir)
+        .queryExecution.executedPlan
+      val s = exec.toString
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        "edit-dedup blocking must stay an equi-join")
+      assert(s.toLowerCase.contains("intl1capped"),
+        "the codegen'd L1 lower-bound prefilter is missing from the plan")
+      // the prefilter must run BELOW an exchange (map side of the pair
+      // distinct), so only surviving candidate ids cross the shuffle
+      val exchanges = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.exists(_.toString.toLowerCase.contains("intl1capped")),
+        "IntL1Capped must filter on the map side, below the dedup exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("as-of join plan contains no physical join at all") {
     // the operator is union + window — a Join node would mean the
     // per-row-range-probe shape it exists to avoid

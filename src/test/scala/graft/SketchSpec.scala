@@ -65,6 +65,33 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS estimates unseen items as 0 and includes empty cells in the min") {
+    val seen = Seq("a", "a", "b").toDF("k")
+    val sketch = Sketches.countMinSketch(seen, "k", depth = 4, width = 512)
+    // probe one seen and one never-inserted item: the unseen item's cells
+    // are all empty → est 0 (not a dropped row, not an inner-join miss)
+    val probes = Seq("a", "zzz_never_inserted").toDF("k")
+    val est = Sketches.cmsEstimate(sketch, probes, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == Set("a", "zzz_never_inserted"))
+    assert(est("a") >= 2L)
+    assert(est("zzz_never_inserted") == 0L,
+      "all-empty cells must estimate 0, not vanish from the output")
+  }
+
+  test("constraintReport on an empty table passes every non-uniqueness check") {
+    import graft.ops.Checks
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val rep = Checks.constraintReport(empty, Seq(
+        Checks.complete("k"), Checks.inRange("v", 0, 1),
+        Checks.unique(Seq("k"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rep.length == 3)
+    rep.foreach { case (n, viol, total, pass) =>
+      assert(viol == 0L && total == 0L && pass, s"$n must pass on empty input")
+    }
+  }
+
   test("CMS cells merge by addition (partitioned maintenance)") {
     val e = graft.core.Tables(spark, sfDir, "events")
     val a = Sketches.countMinSketch(e.filter(col("event_id") % 2 === 0), "user_id")

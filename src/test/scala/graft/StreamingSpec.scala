@@ -527,4 +527,66 @@ class StreamingSpec extends AnyFunSuite {
     // bounded state: cells never exceed depth × width no matter the volume
     assert(streamed.size <= 2 * 32)
   }
+
+  test("appendSinkWithStats maintains a pruning manifest across micro-batches") {
+    import graft.io.Layout
+    val table = java.nio.file.Files.createTempDirectory("sink_t").toString + "/t"
+    val stats = java.nio.file.Files.createTempDirectory("sink_s").toString + "/s"
+    val stream = MemoryStream[(Long, Double)](spark)
+    val q = StreamOps.appendSinkWithStats(
+        stream.toDF().toDF("event_id", "value"),
+        table, stats, Seq("event_id")).start()
+    // four micro-batches with DISJOINT event_id ranges — each batch's
+    // files carry a tight [min,max] envelope
+    def run(lo: Long): Unit = {
+      stream.addData((lo until lo + 100).map(i => (i, i * 0.5)))
+      q.processAllAvailable()
+    }
+    run(0); run(100); run(200); run(300)
+    q.stop()
+    val statsDf = spark.read.parquet(stats)
+    val full = spark.read.parquet(table)
+    // one manifest row per data file, written incrementally (no full-table
+    // stats pass ever ran)
+    val nFiles = full.select(input_file_name()).distinct().count()
+    assert(statsDf.count() == nFiles, s"manifest ${statsDf.count()} != files $nFiles")
+    assert(full.count() == 400)
+    // pruning: a probe inside batches 2-3's range opens only their files
+    val pruned = Layout.prunedRead(spark, table, statsDf, "event_id", 150, 250)
+    val expect = full.filter(col("event_id").between(150, 250))
+    assert(pruned.count() == expect.count())
+    assert(pruned.agg(sum("value")).head.getDouble(0) ==
+      expect.agg(sum("value")).head.getDouble(0))
+    val touched = pruned.select(input_file_name()).distinct().count()
+    val batch12Files = full.filter(col("event_id").between(100, 299))
+      .select(input_file_name()).distinct().count()
+    assert(touched <= batch12Files && touched < nFiles,
+      s"pruning must skip non-matching batches: touched $touched of $nFiles")
+  }
+
+  test("appendSinkWithStats compaction rebuilds the manifest consistently") {
+    import graft.io.Layout
+    val table = java.nio.file.Files.createTempDirectory("sinkc_t").toString + "/t"
+    val stats = java.nio.file.Files.createTempDirectory("sinkc_s").toString + "/s"
+    val stream = MemoryStream[(Long, Double)](spark)
+    val q = StreamOps.appendSinkWithStats(
+        stream.toDF().toDF("event_id", "value"),
+        table, stats, Seq("event_id"), compactEvery = 2).start()
+    (0 until 4).foreach { b =>
+      stream.addData((b * 100L until b * 100L + 100).map(i => (i, 1.0)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // after the batch-4 compaction the manifest describes exactly the
+    // live files, and pruned reads still reconcile with the full scan
+    val full = spark.read.parquet(table)
+    assert(full.count() == 400)
+    val statsDf = spark.read.parquet(stats)
+    val live = full.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val listed = statsDf.select("file").collect().map(_.getString(0)).toSet
+    assert(listed == live, "post-compaction manifest must match live files")
+    val pruned = Layout.prunedRead(spark, table, statsDf, "event_id", 50, 149)
+    assert(pruned.count() == full.filter(col("event_id").between(50, 149)).count())
+  }
 }

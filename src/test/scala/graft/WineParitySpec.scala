@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.io.Io
-import graft.ml.{Models, Prep}
+import graft.ml.Models
 
 /** Reference-parity check on the ONE real dataset shipped in the reference
   * checkout (wine-classification-dacon). BASELINE.md publishes stratified
@@ -30,24 +30,30 @@ class WineParitySpec extends AnyFunSuite {
   test("wine 5-fold CV reproduces the reference's model ordering and levels") {
     assume(new java.io.File(winePath).exists(), "reference checkout not present")
     val raw = Io.readCsv(spark, winePath, wineSchema)
-    // reference prep (wine nb 03): drop index, label-encode type, standardize.
-    // quality spans 3..9 → shift to dense 0-based labels (gaussian NB scores
-    // NaN for empty classes otherwise; accuracy is relabel-invariant).
-    val vocab = Prep.fitLabelEncoder(raw, "type")
-    val df = Prep.labelEncode(raw, vocab, "type")
+    // reference prep (wine_analysis.py:57): X = df.drop(index, quality,
+    // type) — ELEVEN numeric features, the type column is DROPPED, not
+    // encoded. (Feeding NB an extra standardized binary type_idx costs it
+    // ~8 accuracy points — its tiny within-class variance dominates the
+    // Gaussian likelihood — while the tree models barely notice; that was
+    // the round-7 "NB parity gap", a feature-set mismatch, not a model
+    // delta.) quality spans 3..9 → shift to dense 0-based labels (gaussian
+    // NB scores NaN for empty classes otherwise; accuracy is
+    // relabel-invariant).
+    val df = raw
       .withColumn("y", (col("quality") - 3).cast("double"))
-      .withColumn("type_idx", col("type_idx").cast("double"))
-    val feats = featureNames :+ "type_idx"
+    val feats = featureNames
 
     // estimator capacity matched to the sklearn defaults the reference used
-    // (unbounded-depth trees; 100-tree forest)
+    // (unbounded-depth trees; 100-tree forest); NB is the from-scratch
+    // sklearn-faithful GaussianNb (measured identical to MLlib's gaussian
+    // NB here: both 0.4548 on the 11-feature set)
     import org.apache.spark.ml.classification._
     val estimators = Map[String, () => org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Transformer]](
       "random_forest" -> (() => new RandomForestClassifier()
         .setNumTrees(100).setMaxDepth(20).setSeed(42)),
       "decision_tree" -> (() => new DecisionTreeClassifier()
         .setMaxDepth(20).setSeed(42)),
-      "naive_bayes" -> (() => new NaiveBayes().setModelType("gaussian")))
+      "naive_bayes" -> (() => new graft.ml.GaussianNbEstimator()))
     val folded = graft.ml.Split.tagStratifiedKFold(df, "index", "y", 5).cache()
     val cv = for (name <- estimators.keys.toSeq.sorted; fold <- 0 until 5) yield {
       val train = folded.filter(col("fold") =!= fold)
@@ -64,13 +70,15 @@ class WineParitySpec extends AnyFunSuite {
     // same ranking as the reference tournament
     assert(means("random_forest") > means("decision_tree"))
     assert(means("decision_tree") > means("naive_bayes"))
-    // levels statistically comparable to BASELINE.md (generous ±0.05 band:
-    // different fold RNG + MLlib vs sklearn hyperparameter defaults)
+    // levels statistically comparable to BASELINE.md (±0.05 band for the
+    // tree models: different fold RNG + MLlib vs sklearn defaults). NB is
+    // deterministic given folds and algorithm-identical to sklearn, so its
+    // band is tight: measured 0.4548 vs the published 0.4515.
     assert(math.abs(means("random_forest") - 0.6664) < 0.05,
       s"rf ${means("random_forest")} too far from reference 0.6664")
     assert(math.abs(means("decision_tree") - 0.5881) < 0.06,
       s"dt ${means("decision_tree")} too far from reference 0.5881")
-    assert(math.abs(means("naive_bayes") - 0.4515) < 0.08,
+    assert(math.abs(means("naive_bayes") - 0.4515) < 0.02,
       s"nb ${means("naive_bayes")} too far from reference 0.4515")
   }
 
@@ -80,12 +88,11 @@ class WineParitySpec extends AnyFunSuite {
     // same mean (smaller n_splits; band widened accordingly).
     assume(new java.io.File(winePath).exists(), "reference checkout not present")
     val raw = Io.readCsv(spark, winePath, wineSchema)
-    val vocab = Prep.fitLabelEncoder(raw, "type")
-    val df = Prep.labelEncode(raw, vocab, "type")
+    // same 11-feature X as the 5-fold test (wine_analysis.py:57)
+    val df = raw
       .withColumn("y", (col("quality") - 3).cast("double"))
-      .withColumn("type_idx", col("type_idx").cast("double"))
       .cache()
-    val feats = featureNames :+ "type_idx"
+    val feats = featureNames
     import org.apache.spark.ml.classification.RandomForestClassifier
     val accs = for (seed <- 0 until 8) yield {
       val tagged = graft.ml.Split.tagStratifiedHoldout(
