@@ -68,25 +68,68 @@ object GaussianNb {
     }.toSeq.sortBy(_.label)
   }
 
+  /** Cross-engine-exact fit for INTEGER-VALUED feature doubles (quantize
+    * first — floor(x·1e6 + 0.5), the int8/PQ discipline): moment sums
+    * accumulate in BIGINT (order-independent and EXACT — x and x² of
+    * quantized features are exact doubles, and int64 → double casts
+    * round identically on every IEEE engine, unlike wide-DECIMAL →
+    * double casts, where a two-step unscale measurably differs in the
+    * last ulp). The global-variance moments come from a second ungrouped
+    * aggregate rather than a driver-side double fold over class rows
+    * (whose order would be nondeterministic). Every derived parameter is
+    * then a fixed sequence of IEEE scalar ops on bit-identical inputs,
+    * so a SQL oracle replaying the same formulas reproduces the
+    * parameters bit-for-bit. Two passes instead of one — use
+    * [[fitArray]] when cross-engine parameter parity isn't needed. */
+  def fitArrayExact(df: DataFrame, arrCol: String, labelCol: String, d: Int,
+                    varSmoothing: Double = 1e-9): Seq[GnbStats] = {
+    def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
+    val aggs = (0 until d).flatMap(i =>
+      Seq(sum(el(i).cast("long")).cast("double").as(s"s_$i"),
+        sum((el(i) * el(i)).cast("long")).cast("double").as(s"ss_$i"))) :+
+      count(lit(1)).cast("double").as("n")
+    val rows = df.groupBy(col(labelCol).cast("double").as("label"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val g = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total = g.getAs[Double]("n")
+    val globalVar = (0 until d).map { i =>
+      val s = g.getAs[Double](s"s_$i"); val ss = g.getAs[Double](s"ss_$i")
+      math.max(ss / total - (s / total) * (s / total), 0.0)
+    }
+    val eps = varSmoothing * globalVar.max
+    rows.map { r =>
+      val n = r.getAs[Double]("n")
+      val mean = Array.tabulate(d)(i => r.getAs[Double](s"s_$i") / n)
+      val variance = Array.tabulate(d) { i =>
+        math.max(r.getAs[Double](s"ss_$i") / n - mean(i) * mean(i), 0.0) + eps
+      }
+      GnbStats(r.getAs[Double]("label"), n / total, mean, variance)
+    }.toSeq.sortBy(_.label)
+  }
+
   /** Generated argmax-of-log-likelihood expression: the per-class constant
     * (log prior − ½Σ log 2πσ²) folds to one literal; only the quadratic
     * term is per-row work. Argmax folds over (score, label) structs so
     * each score expression appears exactly once in the plan (the QDA
     * discipline); ties resolve to the lowest label. */
-  def predictExpr(stats: Seq[GnbStats], arrCol: String): Column = {
+  /** Per-class log-likelihood score column (exposed so oracle-safety
+    * audits can measure argmax margins on the same expression the
+    * prediction uses). */
+  def scoreExpr(cs: GnbStats, arrCol: String): Column = {
     def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
-    val d = stats.head.mean.length
-    val scores = stats.map { cs =>
-      val const = math.log(cs.prior) -
-        0.5 * (0 until d).map(i => math.log(2 * math.Pi * cs.variance(i))).sum
-      val quad = (0 until d).map { i =>
-        val diff = el(i) - lit(cs.mean(i))
-        diff * diff * lit(1.0 / cs.variance(i))
-      }.reduce(_ + _)
-      (cs.label, lit(const) - quad * 0.5)
-    }
-    val arr = array(scores.map { case (label, s) =>
-      struct(s.as("s"), lit(label).as("l"))
+    val d = cs.mean.length
+    val const = math.log(cs.prior) -
+      0.5 * (0 until d).map(i => math.log(2 * math.Pi * cs.variance(i))).sum
+    val quad = (0 until d).map { i =>
+      val diff = el(i) - lit(cs.mean(i))
+      diff * diff * lit(1.0 / cs.variance(i))
+    }.reduce(_ + _)
+    lit(const) - quad * 0.5
+  }
+
+  def predictExpr(stats: Seq[GnbStats], arrCol: String): Column = {
+    val arr = array(stats.map { cs =>
+      struct(scoreExpr(cs, arrCol).as("s"), lit(cs.label).as("l"))
     }: _*)
     aggregate(arr, element_at(arr, 1),
       (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *
   * Documented gaps vs the reference (SURVEY.md §7.3): rbf-SVM → LinearSVC;
   * XGB/LGBM/CatBoost → GBTClassifier (binary) / RandomForest (multiclass);
-  * KNN → none (use Similarity.bruteForceTopK + majority vote); PyTorch
-  * transformer → out of scope.
+  * KNN → [[Knn.predict]] (exact-cosine brute top-k + bounded-heap majority
+  * vote, round 8); PyTorch transformer → out of scope.
   */
 object Models {
 

@@ -270,52 +270,8 @@ object TextSimQueries {
     * order-independent, oracle-matched. Shared by the brute/LSH/IVF ANN
     * queries (only the candidate generation differs); the fast (codegen
     * fold) path lives in Similarity.bruteForceTopK/lshTopK/ivfTopK. */
-  private def exactCosineTopK(e: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
-    // Prune with the CODEGEN'D fast cosine first — exact decimal scoring is
-    // ~100× costlier per pair, so only a top-(k+45) margin per query pays
-    // it. Fast-vs-exact differences are sub-ulp; they cannot demote a true
-    // top-k neighbor below rank k+45, so the final ranking is unaffected
-    // (the oracle exact-scores ALL candidates and still matches). Both this
-    // prune and the final ranking run through the bounded-heap TopKRows
-    // aggregate: map tasks emit ≤ k' entries per query before the exchange
-    // instead of a window plan shuffling and sorting every scored pair.
-    import graft.expressions.TopKRows
-    val pruned = pairs
-      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Similarity.cosine(col("qv"), col("cv")).as("__fc"))
-      .groupBy("query_id")
-      .agg(TopKRows.topRows(col("__fc"), col("neighbor_id"), k + 45).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__e"))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"))
-    val dots = pruned
-      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")), Seq("query_id"))
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        posexplode(zip_with(col("qv"), col("cv"),
-          (x, y) => x.cast("double") * y.cast("double"))))
-      .groupBy("query_id", "neighbor_id").agg(dsum12(col("col")).as("dot"))
-    // corpus-wide exact norms: independent of the candidate branch, so
-    // the two subtrees overlap instead of serializing behind a semi-join
-    // (measured: the "norms only for survivors" variant was slower here —
-    // it chained norm computation behind the pruned-candidate window)
-    val n2 = e.select(col("vec_id"),
-        explode(transform(col("embedding"), x => x.cast("double") * x.cast("double"))).as("p"))
-      .groupBy("vec_id").agg(dsum12(col("p")).as("n2"))
-    val cos = dots
-      .join(n2.select(col("vec_id").as("query_id"), col("n2").as("n2q")), Seq("query_id"))
-      .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("n2c")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (col("dot") / (sqrt(col("n2q")) * sqrt(col("n2c")))).as("cosine"))
-    cos.groupBy("query_id")
-      .agg(graft.expressions.TopKRows
-        .topRows(col("cosine"), col("neighbor_id"), k).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
-      .orderBy("query_id", "rank")
-  }
+  private def exactCosineTopK(e: DataFrame, pairs: DataFrame, k: Int): DataFrame =
+    Similarity.exactCosineTopK(e, pairs, k)
 
   /** Oracle suffix shared by the ANN queries: decimal-exact cosine + rank
     * over a `pairs(query_id, neighbor_id)` CTE. */

@@ -35,9 +35,14 @@ object Similarity {
     * decimal(27,18) when inputs are float32 (≤9 significant decimal digits
     * each); the decimal sum is exact, and only the final cast rounds. */
   def dotExact(a: Column, b: Column): Column =
+    // the accumulator lambda must return the accumulator's exact type:
+    // decimal(38,18) + decimal(38,18) widens to decimal(38,17) under
+    // Spark's precision-loss rule, so cast the SUM back (values are far
+    // inside the precision; the cast is lossless here)
     aggregate(zip_with(a, b, (x, y) => dec(x.cast("double")) * dec(y.cast("double"))),
       lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 18)),
-      (acc, v) => acc + v.cast(DecimalType(38, 18))).cast("double")
+      (acc, v) => (acc + v.cast(DecimalType(38, 18))).cast(DecimalType(38, 18)))
+      .cast("double")
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -86,6 +91,56 @@ object Similarity {
     val scored = corpus.join(q, col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"), cos.as("cosine"))
     topKByScore(scored, k)
+  }
+
+  /** Exact-decimal top-k cosine over an explicit candidate-pair relation —
+    * the oracle-exact ranking path shared by the ANN queries and the KNN
+    * classifier. Prunes with the CODEGEN'D fast cosine first (exact
+    * decimal scoring is ~100× costlier per pair, so only a top-(k+45)
+    * margin per query pays it; fast-vs-exact differences are sub-ulp and
+    * cannot demote a true top-k neighbor below rank k+45), then
+    * decimal-exact rescoring of the survivors. Both stages rank through
+    * the bounded-heap TopKRows aggregate — map tasks emit ≤ k' entries
+    * per query before the exchange, never a window sort of every pair.
+    * Corpus-wide exact norms are computed as an independent subtree so
+    * the two branches overlap instead of serializing behind a semi-join
+    * (measured: the "norms only for survivors" variant was slower).
+    * @return (query_id, neighbor_id, cosine, rank) */
+  def exactCosineTopK(e: DataFrame, pairs: DataFrame, k: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import graft.expressions.TopKRows
+    import graft.ops.Num.dsum12
+    val pruned = pairs
+      .join(e.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
+      .join(e.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("__fc"))
+      .groupBy("query_id")
+      .agg(TopKRows.topRows(col("__fc"), col("neighbor_id"), k + 45).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"))
+    val dots = pruned
+      .join(e.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
+      .join(e.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(zip_with(col("qv"), col("cv"),
+          (x, y) => x.cast("double") * y.cast("double"))))
+      .groupBy("query_id", "neighbor_id").agg(dsum12(col("col")).as("dot"))
+    val n2 = e.select(col(idCol),
+        explode(transform(col(vecCol), x => x.cast("double") * x.cast("double"))).as("p"))
+      .groupBy(idCol).agg(dsum12(col("p")).as("n2"))
+    val cos = dots
+      .join(n2.select(col(idCol).as("query_id"), col("n2").as("n2q")), Seq("query_id"))
+      .join(n2.select(col(idCol).as("neighbor_id"), col("n2").as("n2c")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("dot") / (sqrt(col("n2q")) * sqrt(col("n2c")))).as("cosine"))
+    cos.groupBy("query_id")
+      .agg(TopKRows.topRows(col("cosine"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
   }
 
   /** Symmetric per-dimension int8 quantization for embedding columns: fit

@@ -115,6 +115,63 @@ class MlSpec extends AnyFunSuite {
     assert(preds.toSeq == Seq(1.0, 0.0))
   }
 
+  test("GNB oracle safety: argmax margins dwarf cross-engine ulp noise") {
+    import graft.ml.GaussianNb
+    // q_l_gnb_confusion's hash-exactness rests on the top-2 score margin
+    // being many orders above the ~1e-15 drift ln() is allowed between
+    // JVM Math.log and libm — measure it on the exact fit the query runs
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    // same quantized feature frame as q_l_gnb_* (floor(x·1e6 + 0.5))
+    val base = e.select(col("label").cast("double").as("y"),
+      array((0 until 4).map(i =>
+        floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
+          + lit(0.5)).cast("double")): _*).as("x"))
+    val stats = GaussianNb.fitArrayExact(base, "x", "y", 4)
+    val arr = array_sort(array(stats.map(cs => GaussianNb.scoreExpr(cs, "x")): _*))
+    val minMargin = base
+      .select((element_at(arr, -1) - element_at(arr, -2)).as("margin"))
+      .agg(min("margin")).head.getDouble(0)
+    info(f"min top-2 GNB score margin over ${base.count()} rows: $minMargin%.3e")
+    assert(minMargin > 1e-9,
+      f"argmax margin $minMargin%.3e too small to absorb ln() ulp differences")
+  }
+
+  test("KNN classifier: near-perfect on separable blobs, deterministic vote ties") {
+    import graft.ml.Knn
+    // 10 well-separated Gaussian blobs, one per label: 11-NN must recover
+    // the generating label for held-in queries (genuine quality, unlike
+    // the label-independent embeddings table)
+    val rng = new scala.util.Random(5)
+    val dims = 16
+    val centers = Array.fill(10)(Array.fill(dims)(rng.nextGaussian()))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, (i % 10).toLong, c.map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq)
+    }
+    val e = rows.toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .cache()
+    val pred = Knn.predictWithTruth(e, e.filter(col("vec_id") < 50), k = 11)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val acc = pred.count { case (t, p) => t == p }.toDouble / pred.length
+    info(f"11-NN blob accuracy: $acc%.2f")
+    assert(acc >= 0.95, f"KNN should recover separable blobs: $acc%.2f")
+    e.unpersist()
+    // tie determinism: two labels with equal votes -> the SMALLER label
+    // wins (k=2 over one neighbor of each label at equal distance shape)
+    val tiny = Seq(
+      (0L, 5L, Seq(1f, 0f)),  // query (label irrelevant to the vote)
+      (1L, 7L, Seq(0.8f, 0.6f)),
+      (2L, 3L, Seq(0.8f, -0.6f))
+    ).toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val t = Knn.predict(tiny, tiny.filter(col("vec_id") === 0), k = 2)
+      .head.getLong(1)
+    assert(t == 3L, s"equal votes must tie to the smallest label, got $t")
+  }
+
   test("QDA expression scorer separates classes (d=12)") {
     val df = featured(12).cache()
     val feats = (0 until 12).map(i => s"f$i")
