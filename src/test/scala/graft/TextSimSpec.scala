@@ -170,6 +170,28 @@ class TextSimSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("exact-cosine paths agree: bruteForceTopK(exact) == two-stage exactCosineTopK") {
+    // regression guard for the dotExact decimal-accumulator repair (its
+    // lambda must return the accumulator's exact type or analysis fails
+    // under the decimal precision-loss rule) — and ranking parity between
+    // the single-expression exact path and the shared two-stage
+    // prune-then-rescore path the oracles replay
+    val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val direct = Similarity.bruteForceTopK(e, q, 5, exact = true)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val pairs = e.select(col("vec_id").as("neighbor_id"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val staged = Similarity.exactCosineTopK(e, pairs, 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(direct.nonEmpty && direct == staged,
+      s"exact paths diverge: ${direct.toSet -- staged.toSet}")
+  }
+
   test("embedding near-dup pairs finds planted duplicates") {
     val e = graft.core.Tables(spark, sfDir, "embeddings").limit(50)
     val doubled = e.unionByName(
