@@ -12,15 +12,23 @@ object Bench {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
     val spill = new AtomicLong
+    // max per-task execution-memory peak over the query — the memory
+    // analogue of the shuffle budget (a query whose per-task peak doubles
+    // is one sf-step from spilling or OOMing an executor)
+    val memPeak = new AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        memPeak.accumulateAndGet(m.peakExecutionMemory,
+          (a: Long, b: Long) => math.max(a, b))
       }
     }
-    def reset(): Unit = { shuffleRead.set(0); shuffleWrite.set(0); spill.set(0) }
+    def reset(): Unit = {
+      shuffleRead.set(0); shuffleWrite.set(0); spill.set(0); memPeak.set(0)
+    }
   }
 
   /** Listener events are delivered async; drain before snapshotting so a
@@ -78,7 +86,7 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         drainListenerBus(spark)
         val m = (listener.shuffleRead.get, listener.shuffleWrite.get,
-          listener.spill.get)
+          listener.spill.get, listener.memPeak.get)
         // queries are independent; drop whatever a pipeline pinned — BOTH
         // layers: clearCache() alone leaves localCheckpoint RDD blocks
         // resident, and 179 queries of accumulated orphans tax every
@@ -110,36 +118,60 @@ object Bench {
     val total = r3(times.values.filter(_ >= 0).sum)
     // full artifact: flat time map (backward-compatible) + per-query
     // {time, shuffle_read, shuffle_write, spill} byte metrics
-    val metricsJson = results.map { case (k, (t, (sr, sw, sp))) =>
-      s""""$k":{"time":$t,"shuffle_read":$sr,"shuffle_write":$sw,"spill":$sp}"""
+    val metricsJson = results.map { case (k, (t, (sr, sw, sp, mp))) =>
+      s""""$k":{"time":$t,"shuffle_read":$sr,"shuffle_write":$sw,"spill":$sp,"mem_peak":$mp}"""
     }.mkString("{", ",", "}")
-    // Shuffle-budget regression gate: shuffle_budget.json holds committed
-    // per-query shuffle_read ceilings (seeded from the accepted idle bench
-    // of the prior round). A query reading > 2× its budget (and > 16 MB
-    // over — tiny queries jitter) is flagged in bench_full.json and on
+    // Budget regression gates: shuffle_budget.json / mem_budget.json hold
+    // committed per-query ceilings (seeded from the accepted idle bench of
+    // the prior round). A query exceeding 2× its budget (and an absolute
+    // slack — tiny queries jitter) is flagged in bench_full.json and on
     // stderr: either the plan regressed, or the change is intentional and
     // the budget must be re-seeded WITH a SCALE.md note in the same commit.
-    val budget: Map[String, Long] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("shuffle_budget.json")), "UTF-8")
-        "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toLong).toMap
-      } catch { case _: Throwable => Map.empty }
-    val shuffleRegressions = results.toSeq.collect {
-      case (k, (_, (sr, _, _)))
-        if budget.get(k).exists(b => sr > 2 * b && sr - b > 16L * 1024 * 1024) =>
-          (k, budget(k), sr)
-    }.sortBy(-_._3)
-    if (shuffleRegressions.nonEmpty)
-      System.err.println("[bench] SHUFFLE BUDGET EXCEEDED: " +
-        shuffleRegressions.map { case (k, b, sr) => s"$k ($b -> $sr B)" }
-          .mkString("; "))
-    val regressJson = shuffleRegressions
-      .map { case (k, b, sr) => s""""$k":{"budget":$b,"measured":$sr}""" }
-      .mkString("{", ",", "}")
+    // Parsing is STRICT on the whole file (flat {"query":bytes} object):
+    // a corrupt/missing/foreign-shaped file disables the gate LOUDLY on
+    // stderr instead of silently fabricating budgets from stray numbers.
+    def loadBudget(path: String): Map[String, Long] = {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) {
+        System.err.println(s"[bench] $path missing - budget gate disabled")
+        Map.empty
+      } else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+        require(txt.startsWith("{") && txt.endsWith("}"), "not a flat JSON object")
+        val inner = txt.substring(1, txt.length - 1).trim
+        if (inner.isEmpty) Map.empty
+        else inner.split(",").iterator.map { kv =>
+          val m = "^\\s*\"([^\"]+)\"\\s*:\\s*(\\d+)\\s*$".r.findFirstMatchIn(kv)
+            .getOrElse(sys.error(s"bad budget entry: $kv"))
+          m.group(1) -> m.group(2).toLong
+        }.toMap
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] $path unreadable (${e.getMessage}) - budget gate disabled")
+          Map.empty
+      }
+    }
+    def regressions(budget: Map[String, Long], slack: Long,
+                    pick: ((Long, Long, Long, Long)) => Long) =
+      results.toSeq.collect {
+        case (k, (_, m))
+          if budget.get(k).exists(b => pick(m) > 2 * b && pick(m) - b > slack) =>
+            (k, budget(k), pick(m))
+      }.sortBy(-_._3)
+    def reportAndJson(tag: String, rs: Seq[(String, Long, Long)]): String = {
+      if (rs.nonEmpty)
+        System.err.println(s"[bench] $tag BUDGET EXCEEDED: " +
+          rs.map { case (k, b, v) => s"$k ($b -> $v B)" }.mkString("; "))
+      rs.map { case (k, b, v) => s""""$k":{"budget":$b,"measured":$v}""" }
+        .mkString("{", ",", "}")
+    }
+    val regressJson = reportAndJson("SHUFFLE",
+      regressions(loadBudget("shuffle_budget.json"), 16L * 1024 * 1024, _._1))
+    val memRegressJson = reportAndJson("MEMORY",
+      regressions(loadBudget("mem_budget.json"), 64L * 1024 * 1024, _._4))
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"iterations":$iterations,"queries":${toJson(times)},"metrics":$metricsJson,"shuffle_regressions":$regressJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"iterations":$iterations,"queries":${toJson(times)},"metrics":$metricsJson,"shuffle_regressions":$regressJson,"mem_regressions":$memRegressJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()

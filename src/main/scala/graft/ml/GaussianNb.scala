@@ -4,7 +4,7 @@ import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.param.{Param, ParamMap}
 import org.apache.spark.ml.util.Identifiable
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
@@ -38,34 +38,59 @@ object GaussianNb {
   case class GnbStats(label: Double, prior: Double,
                       mean: Array[Double], variance: Array[Double])
 
-  /** Fit over an `array<double>` feature column: one aggregation pass
-    * producing per-class (n, Σx_i, Σx_i²) — biased variances + the
-    * sklearn smoothing epsilon derived from the same moments. */
-  def fitArray(df: DataFrame, arrCol: String, labelCol: String, d: Int,
-               varSmoothing: Double = 1e-9): Seq[GnbStats] = {
+  /** Shared moment pass for both fit variants: ONE `rollup(label)`
+    * aggregation produces the per-class rows AND the ungrouped global row
+    * (grouping flag distinguishes them) — so the sklearn var_smoothing
+    * epsilon always derives from a single distributed aggregate, never a
+    * driver-side fold over class rows in collect() order. Returns
+    * (per-class rows, global row). */
+  private def momentRows(df: DataFrame, arrCol: String, labelCol: String,
+                         d: Int, exact: Boolean): (Seq[Row], Row) = {
     def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
-    val aggs = (0 until d).flatMap(i =>
-      Seq(sum(el(i)).as(s"s_$i"), sum(el(i) * el(i)).as(s"ss_$i"))) :+
-      count(lit(1)).cast("double").as("n")
-    val rows = df.groupBy(col(labelCol).cast("double").as("label"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    val total = rows.map(_.getAs[Double]("n")).sum
-    // sklearn: epsilon = var_smoothing * max variance over ALL samples,
-    // recoverable from the per-class moments already collected.
+    val moments = (0 until d).flatMap { i =>
+      if (exact)
+        Seq(sum(el(i).cast("long")).cast("double").as(s"s_$i"),
+          sum((el(i) * el(i)).cast("long")).cast("double").as(s"ss_$i"))
+      else
+        Seq(sum(el(i)).as(s"s_$i"), sum(el(i) * el(i)).as(s"ss_$i"))
+    } :+ count(lit(1)).cast("double").as("n") :+
+      // max |x_i| rides along for the exact path's overflow guard (cheap
+      // enough to always compute; one extra agg column)
+      max((0 until d).map(i => abs(el(i)))
+        .reduce((a, b) => greatest(a, b))).as("__maxabs") :+
+      grouping(col("label")).cast("int").as("__g")
+    val rows = df.select(col(labelCol).cast("double").as("label"), col(arrCol))
+      .rollup("label").agg(moments.head, moments.tail: _*).collect()
+    val (g, cls) = rows.partition(_.getAs[Int]("__g") == 1)
+    (cls.toSeq, g.head)
+  }
+
+  private def statsFrom(cls: Seq[Row], g: Row, d: Int,
+                        varSmoothing: Double): Seq[GnbStats] = {
+    val total = g.getAs[Double]("n")
+    // sklearn: epsilon = var_smoothing * max variance over ALL samples.
     val globalVar = (0 until d).map { i =>
-      val s = rows.map(_.getAs[Double](s"s_$i")).sum
-      val ss = rows.map(_.getAs[Double](s"ss_$i")).sum
+      val s = g.getAs[Double](s"s_$i"); val ss = g.getAs[Double](s"ss_$i")
       math.max(ss / total - (s / total) * (s / total), 0.0)
     }
     val eps = varSmoothing * globalVar.max
-    rows.map { r =>
+    cls.map { r =>
       val n = r.getAs[Double]("n")
       val mean = Array.tabulate(d)(i => r.getAs[Double](s"s_$i") / n)
       val variance = Array.tabulate(d) { i =>
         math.max(r.getAs[Double](s"ss_$i") / n - mean(i) * mean(i), 0.0) + eps
       }
       GnbStats(r.getAs[Double]("label"), n / total, mean, variance)
-    }.toSeq.sortBy(_.label)
+    }.sortBy(_.label)
+  }
+
+  /** Fit over an `array<double>` feature column: one aggregation pass
+    * producing per-class and global (n, Σx_i, Σx_i²) — biased variances +
+    * the sklearn smoothing epsilon derived from the same moments. */
+  def fitArray(df: DataFrame, arrCol: String, labelCol: String, d: Int,
+               varSmoothing: Double = 1e-9): Seq[GnbStats] = {
+    val (cls, g) = momentRows(df, arrCol, labelCol, d, exact = false)
+    statsFrom(cls, g, d, varSmoothing)
   }
 
   /** Cross-engine-exact fit for INTEGER-VALUED feature doubles (quantize
@@ -74,37 +99,30 @@ object GaussianNb {
     * quantized features are exact doubles, and int64 → double casts
     * round identically on every IEEE engine, unlike wide-DECIMAL →
     * double casts, where a two-step unscale measurably differs in the
-    * last ulp). The global-variance moments come from a second ungrouped
-    * aggregate rather than a driver-side double fold over class rows
-    * (whose order would be nondeterministic). Every derived parameter is
-    * then a fixed sequence of IEEE scalar ops on bit-identical inputs,
-    * so a SQL oracle replaying the same formulas reproduces the
-    * parameters bit-for-bit. Two passes instead of one — use
-    * [[fitArray]] when cross-engine parameter parity isn't needed. */
+    * last ulp). The global-variance moments come from the same rollup
+    * pass (grouping-flagged global row), never a driver-side double fold.
+    * Every derived parameter is then a fixed sequence of IEEE scalar ops
+    * on bit-identical inputs, so a SQL oracle replaying the same formulas
+    * reproduces the parameters bit-for-bit.
+    *
+    * ROW CEILING: Spark's non-ANSI BIGINT sum wraps silently on overflow
+    * while DuckDB promotes to HUGEINT, so "exact" would silently diverge
+    * past ~Long.MaxValue / max(x²) rows (~9.2M rows for features
+    * quantized to ±1e6). The fit measures max|x| in the same pass and
+    * REFUSES (IllegalArgumentException) rather than wrap — callers at
+    * that scale must coarsen the quantization (1e6 → 1e3 buys 10⁶× more
+    * rows) or shard the fit by class. */
   def fitArrayExact(df: DataFrame, arrCol: String, labelCol: String, d: Int,
                     varSmoothing: Double = 1e-9): Seq[GnbStats] = {
-    def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
-    val aggs = (0 until d).flatMap(i =>
-      Seq(sum(el(i).cast("long")).cast("double").as(s"s_$i"),
-        sum((el(i) * el(i)).cast("long")).cast("double").as(s"ss_$i"))) :+
-      count(lit(1)).cast("double").as("n")
-    val rows = df.groupBy(col(labelCol).cast("double").as("label"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    val g = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val (cls, g) = momentRows(df, arrCol, labelCol, d, exact = true)
     val total = g.getAs[Double]("n")
-    val globalVar = (0 until d).map { i =>
-      val s = g.getAs[Double](s"s_$i"); val ss = g.getAs[Double](s"ss_$i")
-      math.max(ss / total - (s / total) * (s / total), 0.0)
-    }
-    val eps = varSmoothing * globalVar.max
-    rows.map { r =>
-      val n = r.getAs[Double]("n")
-      val mean = Array.tabulate(d)(i => r.getAs[Double](s"s_$i") / n)
-      val variance = Array.tabulate(d) { i =>
-        math.max(r.getAs[Double](s"ss_$i") / n - mean(i) * mean(i), 0.0) + eps
-      }
-      GnbStats(r.getAs[Double]("label"), n / total, mean, variance)
-    }.toSeq.sortBy(_.label)
+    val maxAbs = g.getAs[Double]("__maxabs")
+    val worst = total * math.max(maxAbs, maxAbs * maxAbs)
+    require(worst < Long.MaxValue.toDouble * 0.98,
+      s"fitArrayExact: BIGINT moment sums could overflow (n=$total, " +
+        s"max|x|=$maxAbs => worst-case sum ~ $worst vs Long.MaxValue). " +
+        "Coarsen the feature quantization or shard the fit.")
+    statsFrom(cls, g, d, varSmoothing)
   }
 
   /** Generated argmax-of-log-likelihood expression: the per-class constant
