@@ -36,59 +36,121 @@ object Graph {
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
   }
 
-  /** Connected components by iterative min-label propagation.
+  /** Connected components — alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Replaced min-label propagation in round 9: label
+    * propagation pays one round per hop of component DIAMETER, while the
+    * star alternation contracts path lengths geometrically — O(log d)
+    * rounds — so long chains (transitive near-dup runs) stop being the
+    * worst case, and short chains/cliques (the common dedup shape)
+    * converge in the same 2-3 rounds as before.
     *
     * Input: an undirected edge relation (two id columns, any orientation,
-    * duplicates allowed). Output: one row per vertex that appears in an
-    * edge — (id, comp) with comp = the minimum vertex id reachable.
+    * duplicates/self-loops allowed). Output: one row per vertex that
+    * appears in an edge — (id, comp) with comp = the minimum vertex id
+    * reachable (same contract, same hashes as the label-prop form).
     *
-    * Each round: every vertex offers its current label to its neighbors;
-    * labels only decrease, so the loop converges (monotone fixpoint) in at
-    * most diameter rounds; the driver sees only the converged-or-not count.
-    * Per-round cost: one shuffle-on-id join + one groupBy(id) min — the
-    * 100 TB shape (labels and edges co-partition on id after round one;
-    * nothing row-level reaches the driver). localCheckpoint() truncates the
-    * growing lineage so round k does not replay rounds 1..k-1.
+    * State is a canonical parent-edge set (a, b), a > b, distinct.
+    *  - large-star: each vertex u offers m = min(N(u) ∪ {u}) to its
+    *    LARGER neighbors — emit (v, m) for v ∈ N(u), v > u.
+    *  - small-star: each vertex a links its smaller neighbors and itself
+    *    to m = min of its smaller neighborhood — emit (b, m) and (a, m).
+    * Both emit only (bigger, smaller) pairs, so canonical orientation is
+    * an invariant and the symmetrize step never needs a distinct. Each
+    * round is groupBy-min + join-on-key + distinct — the same
+    * shuffle-on-key shape as everything else here; nothing row-level
+    * reaches the driver. Fixpoint = the edge set is stable (then it IS
+    * the star forest rooted at component minima).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      .distinct()
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** As [[connectedComponents]], also returning the number of star rounds
+    * run (GraphExtSpec pins the O(log d) behavior on a path graph). */
+  def connectedComponentsWithRounds(edges: DataFrame, srcCol: String,
+                                    dstCol: String, maxIter: Int = 25)
+      : (DataFrame, Int) = {
+    // Both star ops compute "min over my neighborhood" as a WINDOW min
+    // rather than groupBy + join-back: one exchange per star instead of
+    // two, at the cost of a per-partition sort (no map-side combine —
+    // fine for dedup graphs whose degrees are bounded by near-dup bucket
+    // sizes; a power-law graph would prefer the groupBy form).
+    import org.apache.spark.sql.expressions.Window
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        .toDF("u", "v")
+      // no distinct on the output: duplicates are tolerated by
+      // small-star's window min and cleaned by ITS distinct
+      sym.withColumn("m",
+          least(min("v").over(Window.partitionBy("u")), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val j = e.withColumn("m", min("b").over(Window.partitionBy("a")))
+      j.filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(j.select(col("a"), col("m").as("b")))
+        .distinct()
+    }
+    // ONE evaluation of the (possibly expensive) upstream edge plan: the
+    // canonical projection KEEPS self-loops here so both the vertex
+    // relation and the working edge set derive from this checkpoint —
+    // deriving verts from `edges` directly would re-run the upstream
+    // pipeline (e.g. minhash pair-gen) two more times
+    val (e0, e0Ids) = checkpointTracked(
+      edges.select(
+          greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+          least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+        .distinct(), eager = false)
+    val verts = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // lazy localCheckpoints (eager = false): the convergence count is the
-    // action that materializes each round, so a round costs ONE job, not
-    // two — while lineage still truncates (round k never replays 1..k-1)
-    var (labels, liveIds) = checkpointTracked(
-      sym.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id")), eager = false)
+    var (e, liveIds) = checkpointTracked(
+      e0.filter(col("a") =!= col("b")), eager = false)
+    // (count, Σa, Σb) is the per-round signature: each is one aggregate in
+    // the SAME job that materializes the round's checkpoint. A signature
+    // change proves the edge set changed (skip the comparison job); only a
+    // STABLE signature triggers the one deterministic exceptAll confirm —
+    // so the set-equality job runs ~once per invocation, not every round.
+    def signature(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("a"), sum("b")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var sig = signature(e) // materializes both lazy checkpoints (e0 via e)
     var iter = 0
-    var converged = false
+    var converged = sig._1 == 0
     while (!converged && iter < maxIter) {
-      // neighbor-minimum offer: min over incoming labels per vertex
-      val offers = sym.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min("comp").as("offer"))
-      val (next, nextIds) = checkpointTracked(
-        labels.join(offers, Seq("id"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"),
-            (coalesce(col("offer"), col("comp")) < col("comp")).as("__changed")),
+      val (next, nextIds) = checkpointTracked(smallStar(largeStar(e)),
         eager = false)
-      // FULL count (no limit-early-exit): a partial action would leave the
-      // lazy checkpoint partially materialized with its lineage already
-      // truncated — unrecomputable. The full pass is the materializer.
-      converged = next.filter(col("__changed")).count() == 0
-      // round k-1's label vector is dead once round k materializes —
-      // release it or the loop leaks one checkpointed RDD per round
+      // FULL aggregate first (no limit-early-exit): it is the materializer
+      // of the lazy checkpoint; exceptAll then reuses the pinned blocks.
+      // Both sides are distinct sets with canonical orientation, so
+      // equal-count + empty-difference ⇔ equal sets ⇔ fixpoint.
+      val sigNext = signature(next)
+      converged = sigNext == sig && next.exceptAll(e).isEmpty
       unpersistIds(next, liveIds)
       liveIds = nextIds
-      labels = next.drop("__changed")
+      e = next
+      sig = sigNext
       iter += 1
     }
-    sym.unpersist()
-    // the returned frame carries exactly ONE pinned RDD (its own
-    // checkpoint); harnesses sweep it via Leaks.sweep between pipelines
-    labels
+    // at fixpoint e is (child, root) with root = component minimum; roots
+    // and self-loop-only vertices label themselves via the left join
+    val labels = verts.join(e.select(col("a").as("id"), col("b").as("__c")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
+    // ONE eager materialization so the vertex cache, e0 (kept alive until
+    // here — verts reads its blocks lazily inside this job) and the loop's
+    // last checkpoint can all release before returning; the returned frame
+    // carries exactly ONE pinned RDD, swept by Leaks.sweep between pipelines
+    val (out, _) = checkpointTracked(labels, eager = true)
+    verts.unpersist()
+    unpersistIds(out, liveIds ++ (e0Ids -- liveIds))
+    (out, iter)
   }
 
   /** Cluster summary of an edge relation: (comp, n_members) — e.g. the

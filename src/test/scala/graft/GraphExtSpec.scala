@@ -28,6 +28,25 @@ class GraphExtSpec extends AnyFunSuite {
     assert(comps.size == 7)
   }
 
+  test("connectedComponents runs O(log d) star rounds on a path graph") {
+    // 48-node path: diameter 47 — min-label propagation needs ~47 rounds
+    // (and would be CUT OFF by maxIter=25); the large-star/small-star
+    // alternation contracts path length geometrically
+    val edges = (0L until 47L).map(i => (i, i + 1)).toDF("a", "b")
+    val (comps, rounds) =
+      Graph.connectedComponentsWithRounds(edges, "a", "b")
+    val m = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 48 && m.values.toSet == Set(0L))
+    assert(rounds <= 10, s"path-48 took $rounds star rounds")
+  }
+
+  test("connectedComponents keeps self-loop-only vertices in the output") {
+    val edges = Seq((5L, 5L), (1L, 2L)).toDF("a", "b")
+    val m = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("componentSizes summarizes duplicate groups") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val sizes = Graph.componentSizes(edges, "a", "b")
