@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ml.{GaussianNb, Prep, Split}
+import graft.ops.{Cleaning, Relational}
+import graft.ops.Num.dsum
+
+/** Round-9 queries: the reference's END-TO-END workloads join the
+  * hash-exact oracle club. Rounds 1-8 verified every stage of EP1 (the
+  * ETL chain) and EP3 (the CV model tournament) piecewise; these queries
+  * replay the COMPOSITIONS — the workflows a reference user actually
+  * runs — in DuckDB, so inter-stage drift (survivor-column sets feeding
+  * the imputer, split-tag leakage, fold deals feeding fits) is caught by
+  * the same schema/row/hash gate as everything else.
+  *
+  *  - q_l_gnb_cv: the EP3 tournament's core loop — stratified 5-fold
+  *    md5 deal (the q_m11_kfold spec) → per-fold hash-exact GaussianNb
+  *    fit on the train folds → score + argmax on the held-out fold →
+  *    per-fold confusion counts with the fold's accuracy appended.
+  *    Everything from the fold assignment to the accuracy division is a
+  *    fixed sequence of integer ops and IEEE scalar ops on bit-identical
+  *    inputs, so the oracle replays all five fits in one SQL statement.
+  *    Ref: cross-validation/wine_analysis.py:94-116 (StratifiedKFold +
+  *    cross_val_score), 245-343 (tournament loop).
+  *
+  *  - q_p_ep1_chain: the EP1 ETL composition — codebook sentinel rewrite
+  *    → type repair from JSON props → row filter → ≥70% null-rate column
+  *    gate → label derivation → stratified 80/20 split tags →
+  *    train-fitted median impute applied to BOTH splits — ending in
+  *    per-(split,label) exact-decimal checksums plus the gate DECISIONS
+  *    as data (kept_* flags), so the oracle re-derives which columns
+  *    survived and the downstream imputed sums prove the chain used the
+  *    same survivors. Ref: 1-1.data_processing.ipynb cells 6-11,
+  *    1-2.labeling.ipynb cell 3, basecode.ipynb cell 0.
+  */
+object R9Queries {
+  private val D = 4 // embedding dims used as NB features
+  private val K = 5 // folds
+
+  /** Features quantized to INTEGER-VALUED doubles (floor(x·1e6 + 0.5),
+    * the R8 discipline) + the stratified fold deal. Checkpointed eagerly:
+    * five fits + five scorings read it, and each fit is a collect(). */
+  private def foldedFrame(s: SparkSession, d: String): DataFrame =
+    Split.tagStratifiedKFold(
+      Tables(s, d, "embeddings").select(
+        col("vec_id"),
+        col("label").cast("double").as("y"),
+        array((0 until D).map(i =>
+          floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
+            + lit(0.5)).cast("double")): _*).as("x")),
+      "vec_id", "y", K).localCheckpoint(true)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_l_gnb_cv" -> ((s, d) => {
+      val tagged = foldedFrame(s, d)
+      val preds = (0 until K).map { f =>
+        val stats = GaussianNb.fitArrayExact(
+          tagged.filter(col("fold") =!= f), "x", "y", D)
+        tagged.filter(col("fold") === f)
+          .select(lit(f).as("fold"), col("y").cast("int").as("label"),
+            GaussianNb.predictExpr(stats, "x").cast("int").as("prediction"))
+      }.reduce(_.unionByName(_))
+      val conf = preds.groupBy("fold", "label", "prediction")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("fold")
+      conf.withColumn("fold_acc",
+          sum(when(col("label") === col("prediction"), col("n"))
+            .otherwise(lit(0L))).over(w).cast("double") /
+            sum(col("n")).over(w).cast("double"))
+        .orderBy("fold", "label", "prediction")
+    }),
+
+    "q_p_ep1_chain" -> ((s, d) => {
+      val events = Tables(s, d, "events")
+      // (2) conform "two years" on common columns, vertical union
+      val unioned = Relational.unionOnCommonColumns(
+        events.filter(dayofmonth(col("ts")) <= 15),
+        events.filter(dayofmonth(col("ts")) > 15))
+      // (3) codebook sentinel rewrite + (4) type repair from JSON props
+      val clean = unioned
+        .withColumn("v", Cleaning.rewriteSentinels(floor(col("value")),
+          toMinusOne = Seq(99), toNull = Seq(97, 98)))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      // (5) row filter (the age>=19 analog)
+      val adults = clean.filter(col("value") >= 5.0)
+      // (6) >=70% null-rate column gate; the decision feeds BOTH the
+      // output flags and (via column survival) the downstream plan
+      val masked = adults.withColumn("mostly_null",
+        when(col("value") > 20, lit(null)).otherwise(col("value")))
+      val gateCols = Seq("v", "k", "mostly_null")
+      val gated = Relational.dropMostlyNullCols(masked, gateCols, 0.7)
+      val kept = gateCols.map(c => c -> gated.columns.contains(c)).toMap
+      // (7) label + drop leakage, (8) stratified 80/20 split
+      val labeled = gated
+        .withColumn("label", Cleaning.binarize(col("value"), 50))
+        .drop("props")
+      val tagged = Split.tagStratifiedHoldout(labeled, "event_id", "label", 0.2)
+      // (9) impute (median, fit on train ONLY) applied to both splits
+      val fitted = Prep.fitImputer(
+        tagged.filter(col("split") === "train"), Seq("v"), "median")
+      val imputed = Prep.impute(tagged, fitted)
+      imputed.groupBy("split", "label")
+        .agg(count(lit(1)).as("n"), dsum(col("v")).as("sum_v"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_k_null"))
+        .withColumn("kept_v", lit(if (kept("v")) 1 else 0))
+        .withColumn("kept_k", lit(if (kept("k")) 1 else 0))
+        .withColumn("kept_mostly_null", lit(if (kept("mostly_null")) 1 else 0))
+        .orderBy("split", "label")
+    }))
+
+  // ---- oracle SQL ---------------------------------------------------
+
+  import Sql.{dsumSql, hashKey}
+
+  /** Per-(fold,class) BIGINT moments once, then each test fold's train
+    * fit = the SUM over the other folds' partials (BIGINT addition is
+    * associative, so re-summing partials is bit-identical to the Scala
+    * fit's direct sums over train rows). */
+  private val cvFitCtes: String = {
+    def x(i: Int) =
+      s"floor(CAST(embedding[${i + 1}] AS DOUBLE)*1000000.0 + 0.5)"
+    val baseCols = (0 until D).map(i => s"${x(i)} AS x$i").mkString(", ")
+    def partials = (0 until D).map(i =>
+      s"SUM(CAST(x$i AS BIGINT)) AS s$i, " +
+        s"SUM(CAST(x$i*x$i AS BIGINT)) AS ss$i").mkString(",\n    ")
+    def resum(prefix: String) = (0 until D).map(i =>
+      s"CAST(SUM(s$i) AS DOUBLE) AS ${prefix}s$i, " +
+        s"CAST(SUM(ss$i) AS DOUBLE) AS ${prefix}ss$i").mkString(",\n    ")
+    val gv = (0 until D).map(i =>
+      s"greatest(gss$i/total - (gs$i/total)*(gs$i/total), 0)")
+      .mkString(",\n      ")
+    val vm = (0 until D).map(i =>
+      s"c.s$i/c.n AS m$i, " +
+        s"greatest(c.ss$i/c.n - (c.s$i/c.n)*(c.s$i/c.n), 0) + g.eps AS v$i")
+      .mkString(",\n    ")
+    s"""base AS (SELECT vec_id, CAST(label AS DOUBLE) AS y,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY CAST(label AS DOUBLE)
+       |      ORDER BY ${hashKey("vec_id", 42)}, vec_id) - 1) % $K AS INTEGER)
+       |      AS fold,
+       |    $baseCols
+       |  FROM embeddings),
+       |cm AS (SELECT fold, y, count(*) AS cnt,
+       |    $partials
+       |  FROM base GROUP BY fold, y),
+       |folds AS (SELECT unnest(range(0, $K)) AS tf),
+       |cls AS (SELECT f.tf, c.y AS label, CAST(SUM(cnt) AS DOUBLE) AS n,
+       |    ${resum("")}
+       |  FROM folds f JOIN cm c ON c.fold != f.tf GROUP BY f.tf, c.y),
+       |gm AS (SELECT f.tf, CAST(SUM(cnt) AS DOUBLE) AS total,
+       |    ${resum("g")}
+       |  FROM folds f JOIN cm c ON c.fold != f.tf GROUP BY f.tf),
+       |geps AS (SELECT tf, total, 1e-9 * greatest(
+       |      $gv) AS eps FROM gm),
+       |prm AS (SELECT c.tf, c.label, c.n / g.total AS prior,
+       |    $vm
+       |  FROM cls c JOIN geps g ON g.tf = c.tf)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q_l_gnb_cv" -> {
+      // score with the exact Scala association order (the R8 discipline):
+      // const = ln(prior) - 0.5*((((l0+l1)+l2)+l3)), quad likewise; the
+      // integer confusion counts absorb ln()'s legal 1-ulp wobble
+      def l(i: Int) = s"ln((2*pi())*p.v$i)"
+      def q(i: Int) = s"(b.x$i-p.m$i)*(b.x$i-p.m$i)*(1.0/p.v$i)"
+      val lsum = s"(((${l(0)}+${l(1)})+${l(2)})+${l(3)})"
+      val qsum = s"(((${q(0)}+${q(1)})+${q(2)})+${q(3)})"
+      s"""WITH $cvFitCtes,
+         |sc AS (SELECT b.vec_id, b.fold, b.y, p.label,
+         |    (ln(p.prior) - 0.5*$lsum) - $qsum*0.5 AS score
+         |  FROM base b JOIN prm p ON p.tf = b.fold),
+         |pred AS (SELECT vec_id, fold, y, label AS prediction,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, label) AS rn
+         |  FROM sc),
+         |conf AS (SELECT fold, CAST(y AS INTEGER) AS label,
+         |    CAST(prediction AS INTEGER) AS prediction, count(*) AS n
+         |  FROM pred WHERE rn = 1 GROUP BY 1, 2, 3)
+         |SELECT fold, label, prediction, n,
+         |  CAST(SUM(CASE WHEN label = prediction THEN n ELSE 0 END)
+         |      OVER (PARTITION BY fold) AS DOUBLE) /
+         |    CAST(SUM(n) OVER (PARTITION BY fold) AS DOUBLE) AS fold_acc
+         |FROM conf ORDER BY fold, label, prediction""".stripMargin
+    },
+
+    "q_p_ep1_chain" ->
+      s"""WITH c AS (SELECT event_id, value,
+         |    CASE WHEN floor(value) IN (97, 98) THEN NULL
+         |         WHEN floor(value) = 99 THEN -1.0
+         |         ELSE floor(value) END AS v,
+         |    CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS k
+         |  FROM events),
+         |m AS (SELECT *, CASE WHEN value > 20 THEN NULL ELSE value END
+         |    AS mostly_null
+         |  FROM c WHERE value >= 5.0),
+         |gate AS (SELECT
+         |    avg(CASE WHEN v IS NULL THEN 1.0 ELSE 0.0 END) AS r_v,
+         |    avg(CASE WHEN k IS NULL THEN 1.0 ELSE 0.0 END) AS r_k,
+         |    avg(CASE WHEN mostly_null IS NULL THEN 1.0 ELSE 0.0 END) AS r_mn
+         |  FROM m),
+         |lab AS (SELECT *, CASE WHEN value >= 50 THEN 1 ELSE 0 END AS label
+         |  FROM m),
+         |tag AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY ${hashKey("event_id", 42)}, event_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY label) AS cnt
+         |  FROM lab),
+         |sp AS (SELECT *, CASE WHEN rn <= cnt*0.2 THEN 'test' ELSE 'train' END
+         |    AS split FROM tag),
+         |med AS (SELECT quantile_cont(v, 0.5) AS mv FROM sp
+         |  WHERE split = 'train')
+         |SELECT split, label, COUNT(*) AS n,
+         |  ${dsumSql("COALESCE(v, (SELECT mv FROM med))")} AS sum_v,
+         |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_k_null,
+         |  (SELECT CASE WHEN r_v >= 0.7 THEN 0 ELSE 1 END FROM gate) AS kept_v,
+         |  (SELECT CASE WHEN r_k >= 0.7 THEN 0 ELSE 1 END FROM gate) AS kept_k,
+         |  (SELECT CASE WHEN r_mn >= 0.7 THEN 0 ELSE 1 END FROM gate)
+         |    AS kept_mostly_null
+         |FROM sp GROUP BY split, label ORDER BY split, label""".stripMargin)
+}
