@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ml.{GaussianNb, Prep, Split}
+import graft.ml.{GaussianNb, HistTree, Prep, Split}
 import graft.ops.{Cleaning, Relational}
 import graft.ops.Num.dsum
 
@@ -109,7 +109,46 @@ object R9Queries {
         .withColumn("kept_k", lit(if (kept("k")) 1 else 0))
         .withColumn("kept_mostly_null", lit(if (kept("mostly_null")) 1 else 0))
         .orderBy("split", "label")
+    }),
+
+    // L3 in the hash-exact club (the GNB recipe applied to trees): a
+    // depth-3 histogram CART whose binned split selection is a fixed
+    // integer-arithmetic argmin — the oracle replays all three levels
+    // (histogram → cumulative class counts → gini score ranking → node
+    // reassignment) and lands on the identical split table...
+    "q_l_tree_params" -> ((s, d) => {
+      val m = HistTree.fit(treeFrame(s, d), "x", "y", D,
+        depth = TreeDepth, bins = TreeBins)
+      import s.implicits._
+      m.splits.map(sp =>
+          (sp.node, sp.feature, sp.bin, sp.nLeft, sp.nRight, sp.score))
+        .toDF("node", "feature", "threshold_bin", "n_left", "n_right", "score")
+        .orderBy("node")
+    }),
+
+    // ...and the identical per-leaf majority predictions (integer
+    // confusion counts — nothing transcendental anywhere in a tree).
+    "q_l_tree_confusion" -> ((s, d) => {
+      val base = treeFrame(s, d)
+      val m = HistTree.fit(base, "x", "y", D,
+        depth = TreeDepth, bins = TreeBins)
+      base.select(col("y").cast("int").as("label"),
+          m.predictExpr("x").as("prediction"))
+        .groupBy("label", "prediction").agg(count(lit(1)).as("n"))
+        .orderBy("label", "prediction")
     }))
+
+  private val TreeDepth = 3
+  private val TreeBins = 32
+
+  /** Quantized-integer feature frame for the tree (same discipline as
+    * the GNB queries; labels stay int). */
+  private def treeFrame(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").select(
+      col("label").cast("int").as("y"),
+      array((0 until D).map(i =>
+        floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
+          + lit(0.5)).cast("double")): _*).as("x"))
 
   // ---- oracle SQL ---------------------------------------------------
 
@@ -157,6 +196,74 @@ object R9Queries {
        |prm AS (SELECT c.tf, c.label, c.n / g.total AS prior,
        |    $vm
        |  FROM cls c JOIN geps g ON g.tf = c.tf)""".stripMargin
+  }
+
+  /** Level-wise tree-fit CTE chain: per level L — histogram (cand),
+    * dense (node × feature × bin × class) grid, cumulative class counts,
+    * integer gini scores with the strict HUGEINT improvement test,
+    * ranked best split per node, and the heap-numbered reassignment.
+    * Mirrors HistTree.fit stage for stage. */
+  private val treeCtes: String = {
+    val B = TreeBins
+    def x(i: Int) =
+      s"floor(CAST(embedding[${i + 1}] AS DOUBLE)*1000000.0 + 0.5)"
+    val mm = (0 until D).map(i =>
+      s"MIN(CAST(${x(i)} AS BIGINT)) AS mn$i, " +
+        s"MAX(CAST(${x(i)} AS BIGINT)) AS mx$i").mkString(",\n    ")
+    val binCols = (0 until D).map(i =>
+      s"CAST(least(floor(((${x(i)} - m.mn$i) * $B.0) / (m.mx$i - m.mn$i + 1.0)), " +
+        s"${B - 1}.0) AS INTEGER) AS b$i").mkString(",\n    ")
+    def level(l: Int): String = {
+      val melt = (0 until D).map(i =>
+        s"SELECT node, y, $i AS f, b$i AS b FROM a$l")
+        .mkString("\n      UNION ALL ")
+      val pick = s"CASE s.f WHEN 0 THEN a.b0 WHEN 1 THEN a.b1 " +
+        s"WHEN 2 THEN a.b2 ELSE a.b3 END"
+      s"""cand$l AS (SELECT node, f, b, y, count(*) AS cnt FROM (
+         |      $melt) t
+         |  GROUP BY 1, 2, 3, 4),
+         |grid$l AS (SELECT n.node, CAST(f.f AS INTEGER) AS f,
+         |    CAST(bb.b AS INTEGER) AS b, l.y
+         |  FROM (SELECT DISTINCT node FROM a$l) n
+         |  CROSS JOIN (SELECT unnest(range(0, $D)) AS f) f
+         |  CROSS JOIN (SELECT unnest(range(0, $B)) AS b) bb
+         |  CROSS JOIN (SELECT DISTINCT y FROM a$l) l),
+         |cum$l AS (SELECT g.node, g.f, g.b, g.y,
+         |    SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.node, g.f, g.y
+         |      ORDER BY g.b) AS cum,
+         |    SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.node, g.f, g.y)
+         |      AS tot
+         |  FROM grid$l g LEFT JOIN cand$l c
+         |    ON c.node = g.node AND c.f = g.f AND c.b = g.b AND c.y = g.y),
+         |sc$l AS (SELECT node, f, b, SUM(cum) AS nl, SUM(tot - cum) AS nr,
+         |    SUM(cum*cum) AS sl, SUM((tot - cum)*(tot - cum)) AS sr
+         |  FROM cum$l GROUP BY 1, 2, 3),
+         |nt$l AS (SELECT node, SUM(c) AS tn, SUM(c*c) AS st FROM
+         |    (SELECT node, y, count(*) AS c FROM a$l GROUP BY 1, 2) t
+         |  GROUP BY 1),
+         |best$l AS (SELECT * FROM (SELECT s.node, s.f, s.b, s.nl, s.nr,
+         |      CAST(s.sl*s.nr + s.sr*s.nl AS DOUBLE) /
+         |        CAST(s.nl*s.nr AS DOUBLE) AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY s.node ORDER BY
+         |        CAST(s.sl*s.nr + s.sr*s.nl AS DOUBLE) /
+         |          CAST(s.nl*s.nr AS DOUBLE) DESC, s.f, s.b) AS rn
+         |    FROM sc$l s JOIN nt$l t ON t.node = s.node
+         |    WHERE s.nl > 0 AND s.nr > 0
+         |      AND t.tn*(s.sl*s.nr + s.sr*s.nl) > t.st*s.nl*s.nr) z
+         |  WHERE rn = 1),
+         |a${l + 1} AS (SELECT a.y, a.b0, a.b1, a.b2, a.b3,
+         |    CASE WHEN s.node IS NULL THEN a.node
+         |         WHEN ($pick) <= s.b THEN 2*a.node + 1
+         |         ELSE 2*a.node + 2 END AS node
+         |  FROM a$l a LEFT JOIN best$l s ON s.node = a.node)""".stripMargin
+    }
+    s"""mm AS (SELECT
+       |    $mm
+       |  FROM embeddings),
+       |a0 AS (SELECT CAST(label AS INTEGER) AS y, 0 AS node,
+       |    $binCols
+       |  FROM embeddings CROSS JOIN mm m),
+       |${(0 until TreeDepth).map(level).mkString(",\n")}""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -220,5 +327,27 @@ object R9Queries {
          |  (SELECT CASE WHEN r_k >= 0.7 THEN 0 ELSE 1 END FROM gate) AS kept_k,
          |  (SELECT CASE WHEN r_mn >= 0.7 THEN 0 ELSE 1 END FROM gate)
          |    AS kept_mostly_null
-         |FROM sp GROUP BY split, label ORDER BY split, label""".stripMargin)
+         |FROM sp GROUP BY split, label ORDER BY split, label""".stripMargin,
+
+    "q_l_tree_params" -> {
+      val union = (0 until TreeDepth)
+        .map(l => s"SELECT node, f, b, nl, nr, score FROM best$l")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $treeCtes
+         |SELECT node, f AS feature, b AS threshold_bin,
+         |  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+         |  score
+         |FROM ($union) u ORDER BY node""".stripMargin
+    },
+
+    "q_l_tree_confusion" ->
+      s"""WITH $treeCtes,
+         |leafstat AS (SELECT node, y, count(*) AS c FROM a$TreeDepth
+         |  GROUP BY 1, 2),
+         |leaf AS (SELECT node, y AS pred FROM (SELECT node, y,
+         |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, y) AS rn
+         |  FROM leafstat) z WHERE rn = 1)
+         |SELECT a.y AS label, l.pred AS prediction, count(*) AS n
+         |FROM a$TreeDepth a JOIN leaf l ON l.node = a.node
+         |GROUP BY 1, 2 ORDER BY label, prediction""".stripMargin)
 }
