@@ -97,29 +97,54 @@ object Similarity {
     * the oracle-exact ranking path shared by the ANN queries and the KNN
     * classifier. Prunes with the CODEGEN'D fast cosine first (exact
     * decimal scoring is ~100× costlier per pair, so only a top-(k+45)
-    * margin per query pays it; fast-vs-exact differences are sub-ulp and
-    * cannot demote a true top-k neighbor below rank k+45), then
-    * decimal-exact rescoring of the survivors. Both stages rank through
-    * the bounded-heap TopKRows aggregate — map tasks emit ≤ k' entries
-    * per query before the exchange, never a window sort of every pair.
-    * Corpus-wide exact norms are computed as an independent subtree so
-    * the two branches overlap instead of serializing behind a semi-join
-    * (measured: the "norms only for survivors" variant was slower).
+    * margin per query pays it), then decimal-exact rescoring of the
+    * survivors. Both stages rank through the bounded-heap TopKRows
+    * aggregate — map tasks emit ≤ k' entries per query before the
+    * exchange, never a window sort of every pair. Corpus-wide exact norms
+    * are computed as an independent subtree so the two branches overlap
+    * instead of serializing behind a semi-join (measured: the "norms only
+    * for survivors" variant was slower).
+    *
+    * The prune margin is CERTIFIED, not assumed: a pruned candidate can
+    * outrank a survivor only if their fast scores differ by less than the
+    * fast-vs-exact error (double accumulation noise plus the decimal
+    * quantum on the exact side — an adversarial corpus of decimal-tied
+    * near-duplicates can order fast scores against the exact id
+    * tie-break; TextSimSpec constructs one). So each query checks the
+    * fast-score gap between heap ranks k and k+45: if it is below
+    * `pruneEps` (or fewer than k+45 candidates were kept — then nothing
+    * was dropped), the query ESCALATES and exact-rescoring runs over its
+    * FULL candidate set. Real-data gaps sit many orders above `pruneEps`,
+    * so escalation costs one empty semi-join branch in the common case.
     * @return (query_id, neighbor_id, cosine, rank) */
   def exactCosineTopK(e: DataFrame, pairs: DataFrame, k: Int,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding",
+                      pruneEps: Double = 1e-9): DataFrame = {
     import graft.expressions.TopKRows
     import graft.ops.Num.dsum12
-    val pruned = pairs
+    val fastTop = pairs
       .join(e.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
       .join(e.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("__fc"))
       .groupBy("query_id")
-      .agg(TopKRows.topRows(col("__fc"), col("neighbor_id"), k + 45).as("__top"))
+      .agg(TopKRows.topRows(col("__fc"), col("neighbor_id"), k + 45).as("__top"),
+        count(lit(1)).as("__nc"))
+      // certificate: nothing pruned, or the rank-k vs rank-(k+45) fast
+      // gap exceeds the error bound (element_at past the array end is
+      // null, so short candidate lists certify through the first clause)
+      .withColumn("__ok", col("__nc") <= (k + 45) ||
+        (element_at(col("__top"), k).getField("score") -
+          element_at(col("__top"), k + 45).getField("score")) > pruneEps)
+    val prunedOk = fastTop.filter(col("__ok"))
       .select(col("query_id"), explode(col("__top")).as("__e"))
       .select(col("query_id"), col("__e.id").as("neighbor_id"))
+    val escalated = pairs.join(
+      broadcast(fastTop.filter(!col("__ok")).select("query_id")),
+      Seq("query_id"), "left_semi")
+      .select(col("query_id"), col("neighbor_id"))
+    val pruned = prunedOk.unionByName(escalated)
     val dots = pruned
       .join(e.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
       .join(e.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))

@@ -192,6 +192,52 @@ class TextSimSpec extends AnyFunSuite {
       s"exact paths diverge: ${direct.toSet -- staged.toSet}")
   }
 
+  test("adversarial decimal-tied corpus: the certified prune escalates and stays exact") {
+    // 70 candidates engineered so their EXACT-decimal cosines tie
+    // bit-for-bit (per-element DECIMAL(30,12) casts collapse b² into one
+    // quantum: dot = 1 exactly, n2 = 1 + 1e-12 for every candidate)
+    // while their FAST double cosines 1/sqrt(1+b²) order OPPOSITE to the
+    // id tie-break (b decreases with id, ~2 double-ulps per step). The
+    // exact ranking is therefore ids 1..5 (score ties -> id ASC), but
+    // the fast top-(k+45)=50 heap keeps ids 21..70 — an uncertified
+    // prune would return 21..25. The rank-k vs rank-(k+45) fast gap here
+    // is ~2e-14 < pruneEps, so the query must escalate to a full exact
+    // rescore and still return 1..5.
+    val d = 8
+    val rows = (0L, Array(1.0f) ++ Array.fill(d - 1)(0.0f)) +:
+      (1 to 70).map { i =>
+        val b = math.sqrt((1.0 + (71 - i) * 0.001) * 1e-12).toFloat
+        (i.toLong, Array(1.0f, b) ++ Array.fill(d - 2)(0.0f))
+      }
+    val e = rows.toDF("vec_id", "embedding")
+    val pairs = e.filter(col("vec_id") > 0)
+      .select(lit(0L).as("query_id"), col("vec_id").as("neighbor_id"))
+    val got = Similarity.exactCosineTopK(e, pairs, 5)
+      .select("rank", "neighbor_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 1L, 2 -> 2L, 3 -> 3L, 4 -> 4L, 5 -> 5L),
+      s"near-tie corpus broke the prune: $got")
+    // prove the corpus has teeth: with the certificate disabled
+    // (pruneEps = 0 certifies any positive gap, i.e. the pre-round-9
+    // uncertified behavior) the prune DOES drop the true winners
+    val uncert = Similarity.exactCosineTopK(e, pairs, 5, pruneEps = 0.0)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(uncert == Set(21L, 22L, 23L, 24L, 25L),
+      s"adversarial corpus no longer defeats an uncertified prune: $uncert")
+    // and the same corpus under a WIDE gap (clearly separated scores)
+    // must not escalate away correctness either: top-3 of the filler-free
+    // ranking equals brute force on a spread-out corpus
+    val spread = (0L, Array(1.0f, 0.0f)) +: (1 to 30).map(i =>
+      (i.toLong, Array(1.0f, i * 0.05f)))
+    val e2 = spread.toDF("vec_id", "embedding")
+    val p2 = e2.filter(col("vec_id") > 0)
+      .select(lit(0L).as("query_id"), col("vec_id").as("neighbor_id"))
+    val got2 = Similarity.exactCosineTopK(e2, p2, 3)
+      .select("rank", "neighbor_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1 -> 1L, 2 -> 2L, 3 -> 3L), s"spread corpus: $got2")
+  }
+
   test("embedding near-dup pairs finds planted duplicates") {
     val e = graft.core.Tables(spark, sfDir, "embeddings").limit(50)
     val doubled = e.unionByName(
