@@ -197,6 +197,18 @@ object TextSimQueries {
       exactCosineTopK(e, pairs, k = 5)
     }),
 
+    // Multiprobe hyperplane-LSH ANN (round 9): identical corpus-side
+    // index to q_v_lsh_ann, but each query also probes every single-bit-
+    // flip bucket per table (Hamming radius 1) — recall at the same index
+    // size. The probe set is a deterministic signature function, so the
+    // oracle replays it as a per-table bit_count(xor(...)) <= 1 test.
+    "q_v_lshmp_ann" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val pairs = Similarity.lshCandidatesMultiprobe(e,
+        e.filter(col("vec_id") < 5), nPlanes = 4, nTables = 4)
+      exactCosineTopK(e, pairs, k = 5)
+    }),
+
     // IVF ANN. Oracle-checked: centroid pick is an md5-ordered top-N,
     // assignment/probe argmaxes have margins far above any float-summation
     // ulp, and candidate scoring is decimal-exact.
@@ -555,6 +567,20 @@ object TextSimQueries {
         s"${sigSql(nPlanes = 4, dim = 64, seed = 1042 + t)} AS s_$t")
         .mkString(",\n  ")
       val share = (0 until 4).map(t => s"q.s_$t = c.s_$t").mkString(" OR ")
+      s"""WITH sig AS (SELECT vec_id,
+         |  $sigs FROM embeddings),
+         |q AS (SELECT * FROM sig WHERE vec_id < 5),
+         |pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM q JOIN sig c ON c.vec_id != q.vec_id AND ($share)),
+         |${exactScoreSql(5)}""".stripMargin
+    },
+
+    "q_v_lshmp_ann" -> {
+      val sigs = (0 until 4).map(t =>
+        s"${sigSql(nPlanes = 4, dim = 64, seed = 1042 + t)} AS s_$t")
+        .mkString(",\n  ")
+      val share = (0 until 4)
+        .map(t => s"bit_count(xor(q.s_$t, c.s_$t)) <= 1").mkString(" OR ")
       s"""WITH sig AS (SELECT vec_id,
          |  $sigs FROM embeddings),
          |q AS (SELECT * FROM sig WHERE vec_id < 5),

@@ -153,6 +153,16 @@ class TextSimSpec extends AnyFunSuite {
     // measured 0.78 once per-table seeds were fixed (identical tables had
     // made OR-amplification a no-op and recall was 0.16)
     assert(recall >= 0.5, s"LSH recall too low: $recall")
+    // multiprobe (Hamming-radius-1 query probes, SAME corpus index) must
+    // lift recall to >=0.9 — measured 0.98 at (4 planes, 8 tables)
+    val mp = Similarity.lshTopK(e, q, 5, nPlanes = 4, nTables = 8,
+        multiprobe = true)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mpRecall = (brute & mp).size.toDouble / brute.size
+    info(s"multiprobe LSH recall@5 = $mpRecall")
+    assert(mpRecall >= 0.9, s"multiprobe recall too low: $mpRecall")
+    assert(mpRecall >= recall, "multiprobe must not lose recall")
   }
 
   test("IVF ANN recall vs brute force on sf0.001 embeddings") {
