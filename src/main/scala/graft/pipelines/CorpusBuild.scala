@@ -96,7 +96,7 @@ object CorpusBuild {
     val editKept =
       if (withEditDedup) {
         val editPairs = TextOps.editNearDupPairs(subKept, "doc_id", "text",
-          maxDist = 32, blockCols = Seq("lang"))
+          maxDist = 32, minhashBands = 4, blockCols = Seq("lang"))
         subKept.join(editPairs.select(col("doc_b").as("doc_id")),
           Seq("doc_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

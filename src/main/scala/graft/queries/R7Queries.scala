@@ -51,7 +51,8 @@ object R7Queries {
     // replays it.
     "q_x_edit_neardup" -> ((s, d) => {
       TextOps.editNearDupPairs(Tables(s, d, "documents"), "doc_id", "text",
-        maxDist = 32, blockCols = Seq("lang")).orderBy("doc_a", "doc_b")
+        maxDist = 32, minhashBands = 4, blockCols = Seq("lang"))
+        .orderBy("doc_a", "doc_b")
     }),
 
     // Residual-encoded IVF-PQ (the form FAISS ships): codebooks train on

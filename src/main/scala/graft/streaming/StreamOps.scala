@@ -250,13 +250,25 @@ object StreamOps {
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // Hadoop FileSystem listing (the Layout.prunedRead pattern), NOT
+        // java.io.File: on HDFS/S3 a local-File listing is silently empty
+        // and the sink would write data files with no stats rows — readers
+        // would degrade to unpruned scans with no warning.
         def dataFiles(p: String): Set[String] = {
-          val d = new java.io.File(p)
-          if (!d.exists) Set.empty
-          else d.listFiles
-            .filter(f => f.isFile && !f.getName.startsWith("_") &&
-              !f.getName.startsWith("."))
-            .map(_.getAbsolutePath).toSet
+          import org.apache.hadoop.fs.Path
+          val root = new Path(p)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(root)) Set.empty
+          else {
+            val it = fs.listFiles(root, true)
+            val b = Set.newBuilder[String]
+            while (it.hasNext) {
+              val f = it.next().getPath
+              if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+                b += f.toString
+            }
+            b.result()
+          }
         }
         val before = dataFiles(tablePath)
         batch.write.mode("append").parquet(tablePath)
@@ -265,6 +277,14 @@ object StreamOps {
           graft.io.Layout
             .fileStatsOf(spark.read.parquet(added: _*), statCols)
             .write.mode("append").parquet(statsPath)
+        else if (!batch.isEmpty)
+          // a non-empty batch MUST surface new files; if the listing saw
+          // none, stats and data just diverged — say so instead of letting
+          // reads silently degrade to unpruned scans
+          System.err.println(s"[appendSinkWithStats] batch $batchId wrote " +
+            s"rows to $tablePath but the listing found no new data files; " +
+            "no stats rows appended (pruned reads will treat these rows " +
+            "via the stale-stats guard)")
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           graft.io.Io.compactParquet(spark, tablePath, targetBytes)
           graft.io.Layout.fileStats(spark, tablePath, statCols)

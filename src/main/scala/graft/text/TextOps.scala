@@ -344,12 +344,16 @@ object TextOps {
         estJaccardFast(col("__sig_b"), col("__sig"), numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold * 0.5)
       .distinct()
-    // candidate IDs broadcast into both text joins (batch-bounded by the
-    // directional join, so always the small side): corpus text never
-    // crosses an exchange — the same map-side verify as the self-join form
+    // ONLY the id-sized candidate relation carries a broadcast hint (it is
+    // est-pruned and batch-bounded): corpus text never crosses an exchange
+    // — the same map-side verify as the self-join form. The batch-TEXT
+    // join stays size-decided: a pathological ingest (huge batch, or a
+    // high-dup corpus exploding the survivor set) degrades to a shuffle
+    // join of two candidate-bounded relations instead of OOMing the
+    // driver/executors on a forced text broadcast.
     val bt = batch.select(col(idCol).as("batch_id"), col(textCol).as("text_b"))
     val ct = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("text_c"))
-    ct.join(broadcast(candidates), Seq("corpus_id")).join(broadcast(bt), Seq("batch_id"))
+    ct.join(broadcast(candidates), Seq("corpus_id")).join(bt, Seq("batch_id"))
       .select(col("batch_id"), col("corpus_id"), col("est_jaccard"),
         jaccardShinglesFast(col("text_b"), col("text_c"), shingleN).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -534,18 +538,21 @@ object TextOps {
     * `minhashSigs` md5-permutation minima — the exact q_x_minhash
     * banding, so the DuckDB oracle replays it verbatim). Banding is
     * provably complete w.r.t. that contract: a pair sharing a band key by
-    * definition shares it. Pass `minhashBands = 0` for the exhaustive
+    * definition shares it. BECAUSE the two settings differ in RECALL and
+    * not just cost, `minhashBands` has no default — every call site
+    * names the contract it wants: `minhashBands = 0` is the exhaustive
     * semantics (every pair within blockCols and the length band —
     * provably complete for lev ≤ maxDist, quadratic within blocks; fine
-    * for bounded blocks, not for an open corpus). Survivors are verified
+    * for bounded blocks, not for an open corpus), any positive value is
+    * the minhash-candidacy-scoped semantics (corpus-linear). Survivors are verified
     * with Spark's THRESHOLDED `levenshtein(a, b, maxDist)` — the banded
     * O(maxDist·L) algorithm that abandons a row once the budget is
     * exceeded, not the full O(L²) table — and candidate-pair ids are
     * deduped BEFORE the text joins back (band-join discipline: the
     * exchange carries ids + band keys only, never document text). */
   def editNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                       maxDist: Int, blockCols: Seq[String] = Nil,
-                       minhashBands: Int = 4, minhashSigs: Int = 16,
+                       maxDist: Int, minhashBands: Int,
+                       blockCols: Seq[String] = Nil, minhashSigs: Int = 16,
                        shingleN: Int = 3): DataFrame = {
     val (norm, keyed) = editBlockKeyed(df, idCol, textCol, maxDist, blockCols,
       minhashBands, minhashSigs, shingleN)

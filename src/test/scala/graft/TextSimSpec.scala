@@ -622,7 +622,8 @@ class TextSimSpec extends AnyFunSuite {
     // this is a MEASURED recall floor, not completeness): a 1-char edit
     // on a 60-token doc changes ≤3 of 58 shingles → est jaccard ≈ 0.95 →
     // per-band match ~0.81, any-of-4 ~99.9%. Deterministic given md5.
-    val found = TextOps.editNearDupPairs(small, "doc_id", "text", maxDist = 8)
+    val found = TextOps.editNearDupPairs(small, "doc_id", "text", maxDist = 8,
+        minhashBands = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val planted = (0L until 200L by 10).map(i => (i, 200L + i)).toSet
     val recall = (planted & found).size.toDouble / planted.size
