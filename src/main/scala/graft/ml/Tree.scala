@@ -78,15 +78,17 @@ object HistTree {
 
   /** Fixed-width bin of integer-valued feature i: floor(((x − min)·B) /
     * (max − min + 1)) — products stay exact in double, one IEEE division,
-    * quotient < B by construction (the least() is a belt-and-braces
-    * clip). Same literal formula in the oracle. */
+    * quotient < B by construction on FIT data (the clips matter when a
+    * model scores rows outside its training range, e.g. held-out CV
+    * folds: out-of-range values saturate into the edge bins). Same
+    * literal formula in the oracle. */
   def binExprs(arrCol: String, mins: Array[Long], maxs: Array[Long],
                bins: Int): IndexedSeq[Column] =
     mins.indices.map { i =>
       val x = element_at(col(arrCol), i + 1).cast("double")
-      least(floor(((x - lit(mins(i).toDouble)) * lit(bins.toDouble)) /
+      greatest(least(floor(((x - lit(mins(i).toDouble)) * lit(bins.toDouble)) /
           lit((maxs(i) - mins(i) + 1).toDouble)),
-        lit((bins - 1).toDouble)).cast("int")
+        lit((bins - 1).toDouble)), lit(0.0)).cast("int")
     }
 
   def fit(df: DataFrame, arrCol: String, labelCol: String, d: Int,

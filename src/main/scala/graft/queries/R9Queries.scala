@@ -136,6 +136,37 @@ object R9Queries {
           m.predictExpr("x").as("prediction"))
         .groupBy("label", "prediction").agg(count(lit(1)).as("n"))
         .orderBy("label", "prediction")
+    }),
+
+    // The EP3 tournament, end to end: both hash-exact families (GNB +
+    // histogram tree) cross-validated on the SAME stratified md5 fold
+    // deal, compared by held-out accuracy — the reference's actual
+    // model-selection workflow (wine_analysis.py:245-343), replayed
+    // bit-for-bit by one DuckDB statement.
+    "q_l_tournament" -> ((s, d) => {
+      val tagged = foldedFrame(s, d)
+      val preds = (0 until K).map { f =>
+        val train = tagged.filter(col("fold") =!= f)
+        val gnb = GaussianNb.fitArrayExact(train, "x", "y", D)
+        val tree = HistTree.fit(train, "x", "y", D,
+          depth = TreeDepth, bins = TreeBins)
+        tagged.filter(col("fold") === f)
+          .select(lit(f).as("fold"), col("y").cast("int").as("label"),
+            GaussianNb.predictExpr(gnb, "x").cast("int").as("p_gnb"),
+            tree.predictExpr("x").as("p_tree"))
+      }.reduce(_.unionByName(_))
+      preds
+        .select(col("fold"), col("label"),
+          explode(map(lit("gnb"), col("p_gnb"), lit("tree"), col("p_tree")))
+            .as(Seq("model", "prediction")))
+        .groupBy("model", "fold")
+        .agg(sum(when(col("label") === col("prediction"), 1L).otherwise(0L))
+            .as("n_correct"),
+          count(lit(1)).as("n_total"))
+        .select(col("model"), col("fold"), col("n_correct"), col("n_total"),
+          (col("n_correct").cast("double") / col("n_total").cast("double"))
+            .as("accuracy"))
+        .orderBy("model", "fold")
     }))
 
   private val TreeDepth = 3
@@ -198,71 +229,105 @@ object R9Queries {
        |  FROM cls c JOIN geps g ON g.tf = c.tf)""".stripMargin
   }
 
-  /** Level-wise tree-fit CTE chain: per level L — histogram (cand),
-    * dense (node × feature × bin × class) grid, cumulative class counts,
-    * integer gini scores with the strict HUGEINT improvement test,
-    * ranked best split per node, and the heap-numbered reassignment.
-    * Mirrors HistTree.fit stage for stage. */
-  private val treeCtes: String = {
+  /** Level-wise tree-fit CTE chain, optionally fold-aware: per level L —
+    * histogram (cand), dense (tf × node × feature × bin × class) grid,
+    * cumulative class counts, integer gini scores with the strict
+    * HUGEINT improvement test, ranked best split per (tf, node), and the
+    * heap-numbered reassignment of BOTH the train relation (a$l) and the
+    * held-out relation (at$l, routed through the same splits with bins
+    * from tf's TRAIN min/max — out-of-range held-out values saturate
+    * into the edge bins, as in HistTree.binExprs). With cv = false this
+    * degenerates to the single full-data tree (one fold, every row both
+    * train and test). Mirrors HistTree.fit stage for stage. */
+  private def treeCtes(cv: Boolean): String = {
     val B = TreeBins
     def x(i: Int) =
       s"floor(CAST(embedding[${i + 1}] AS DOUBLE)*1000000.0 + 0.5)"
+    val baseCols = (0 until D).map(i => s"${x(i)} AS x$i").mkString(", ")
+    val foldSel =
+      if (cv)
+        s"""CAST((ROW_NUMBER() OVER (PARTITION BY CAST(label AS DOUBLE)
+           |      ORDER BY ${hashKey("vec_id", 42)}, vec_id) - 1) % $K
+           |      AS INTEGER)""".stripMargin
+      else "0"
+    val nf = if (cv) K else 1
+    val trainCond = if (cv) "b.fold != fd.tf" else "TRUE"
+    val testCond = if (cv) "b.fold = fd.tf" else "TRUE"
     val mm = (0 until D).map(i =>
-      s"MIN(CAST(${x(i)} AS BIGINT)) AS mn$i, " +
-        s"MAX(CAST(${x(i)} AS BIGINT)) AS mx$i").mkString(",\n    ")
+      s"MIN(CAST(b.x$i AS BIGINT)) AS mn$i, " +
+        s"MAX(CAST(b.x$i AS BIGINT)) AS mx$i").mkString(",\n    ")
     val binCols = (0 until D).map(i =>
-      s"CAST(least(floor(((${x(i)} - m.mn$i) * $B.0) / (m.mx$i - m.mn$i + 1.0)), " +
-        s"${B - 1}.0) AS INTEGER) AS b$i").mkString(",\n    ")
-    def level(l: Int): String = {
-      val melt = (0 until D).map(i =>
-        s"SELECT node, y, $i AS f, b$i AS b FROM a$l")
-        .mkString("\n      UNION ALL ")
+      s"CAST(greatest(least(floor(((b.x$i - m.mn$i) * $B.0) / " +
+        s"(m.mx$i - m.mn$i + 1.0)), ${B - 1}.0), 0.0) AS INTEGER) AS b$i")
+      .mkString(",\n    ")
+    def assignSel(src: String, best: String) = {
       val pick = s"CASE s.f WHEN 0 THEN a.b0 WHEN 1 THEN a.b1 " +
         s"WHEN 2 THEN a.b2 ELSE a.b3 END"
-      s"""cand$l AS (SELECT node, f, b, y, count(*) AS cnt FROM (
-         |      $melt) t
-         |  GROUP BY 1, 2, 3, 4),
-         |grid$l AS (SELECT n.node, CAST(f.f AS INTEGER) AS f,
-         |    CAST(bb.b AS INTEGER) AS b, l.y
-         |  FROM (SELECT DISTINCT node FROM a$l) n
-         |  CROSS JOIN (SELECT unnest(range(0, $D)) AS f) f
-         |  CROSS JOIN (SELECT unnest(range(0, $B)) AS b) bb
-         |  CROSS JOIN (SELECT DISTINCT y FROM a$l) l),
-         |cum$l AS (SELECT g.node, g.f, g.b, g.y,
-         |    SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.node, g.f, g.y
-         |      ORDER BY g.b) AS cum,
-         |    SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.node, g.f, g.y)
-         |      AS tot
-         |  FROM grid$l g LEFT JOIN cand$l c
-         |    ON c.node = g.node AND c.f = g.f AND c.b = g.b AND c.y = g.y),
-         |sc$l AS (SELECT node, f, b, SUM(cum) AS nl, SUM(tot - cum) AS nr,
-         |    SUM(cum*cum) AS sl, SUM((tot - cum)*(tot - cum)) AS sr
-         |  FROM cum$l GROUP BY 1, 2, 3),
-         |nt$l AS (SELECT node, SUM(c) AS tn, SUM(c*c) AS st FROM
-         |    (SELECT node, y, count(*) AS c FROM a$l GROUP BY 1, 2) t
-         |  GROUP BY 1),
-         |best$l AS (SELECT * FROM (SELECT s.node, s.f, s.b, s.nl, s.nr,
-         |      CAST(s.sl*s.nr + s.sr*s.nl AS DOUBLE) /
-         |        CAST(s.nl*s.nr AS DOUBLE) AS score,
-         |      ROW_NUMBER() OVER (PARTITION BY s.node ORDER BY
-         |        CAST(s.sl*s.nr + s.sr*s.nl AS DOUBLE) /
-         |          CAST(s.nl*s.nr AS DOUBLE) DESC, s.f, s.b) AS rn
-         |    FROM sc$l s JOIN nt$l t ON t.node = s.node
-         |    WHERE s.nl > 0 AND s.nr > 0
-         |      AND t.tn*(s.sl*s.nr + s.sr*s.nl) > t.st*s.nl*s.nr) z
-         |  WHERE rn = 1),
-         |a${l + 1} AS (SELECT a.y, a.b0, a.b1, a.b2, a.b3,
+      s"""SELECT a.vec_id, a.tf, a.y, a.b0, a.b1, a.b2, a.b3,
          |    CASE WHEN s.node IS NULL THEN a.node
          |         WHEN ($pick) <= s.b THEN 2*a.node + 1
          |         ELSE 2*a.node + 2 END AS node
-         |  FROM a$l a LEFT JOIN best$l s ON s.node = a.node)""".stripMargin
+         |  FROM $src a LEFT JOIN $best s
+         |    ON s.tf = a.tf AND s.node = a.node""".stripMargin
     }
-    s"""mm AS (SELECT
-       |    $mm
+    def level(l: Int): String = {
+      val melt = (0 until D).map(i =>
+        s"SELECT tf, node, y, $i AS f, b$i AS b FROM a$l")
+        .mkString("\n      UNION ALL ")
+      s"""cand$l AS (SELECT tf, node, f, b, y, count(*) AS cnt FROM (
+         |      $melt) t
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |grid$l AS (SELECT n.tf, n.node, CAST(ff.f AS INTEGER) AS f,
+         |    CAST(bb.b AS INTEGER) AS b, l.y
+         |  FROM (SELECT DISTINCT tf, node FROM a$l) n
+         |  CROSS JOIN (SELECT unnest(range(0, $D)) AS f) ff
+         |  CROSS JOIN (SELECT unnest(range(0, $B)) AS b) bb
+         |  CROSS JOIN (SELECT DISTINCT y FROM tbase) l),
+         |cum$l AS (SELECT g.tf, g.node, g.f, g.b, g.y,
+         |    SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.tf, g.node, g.f,
+         |      g.y ORDER BY g.b) AS cum,
+         |    SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.tf, g.node, g.f,
+         |      g.y) AS tot
+         |  FROM grid$l g LEFT JOIN cand$l c
+         |    ON c.tf = g.tf AND c.node = g.node AND c.f = g.f
+         |      AND c.b = g.b AND c.y = g.y),
+         |sc$l AS (SELECT tf, node, f, b, SUM(cum) AS nl,
+         |    SUM(tot - cum) AS nr,
+         |    SUM(cum*cum) AS sl, SUM((tot - cum)*(tot - cum)) AS sr
+         |  FROM cum$l GROUP BY 1, 2, 3, 4),
+         |nt$l AS (SELECT tf, node, SUM(c) AS tn, SUM(c*c) AS st FROM
+         |    (SELECT tf, node, y, count(*) AS c FROM a$l GROUP BY 1, 2, 3) t
+         |  GROUP BY 1, 2),
+         |best$l AS (SELECT * FROM (SELECT s.tf, s.node, s.f, s.b, s.nl,
+         |      s.nr,
+         |      CAST(s.sl*s.nr + s.sr*s.nl AS DOUBLE) /
+         |        CAST(s.nl*s.nr AS DOUBLE) AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY s.tf, s.node ORDER BY
+         |        CAST(s.sl*s.nr + s.sr*s.nl AS DOUBLE) /
+         |          CAST(s.nl*s.nr AS DOUBLE) DESC, s.f, s.b) AS rn
+         |    FROM sc$l s JOIN nt$l t ON t.tf = s.tf AND t.node = s.node
+         |    WHERE s.nl > 0 AND s.nr > 0
+         |      AND t.tn*(s.sl*s.nr + s.sr*s.nl) > t.st*s.nl*s.nr) z
+         |  WHERE rn = 1),
+         |a${l + 1} AS (${assignSel(s"a$l", s"best$l")}),
+         |at${l + 1} AS (${assignSel(s"at$l", s"best$l")})""".stripMargin
+    }
+    s"""tbase AS (SELECT vec_id, CAST(label AS INTEGER) AS y,
+       |    $foldSel AS fold,
+       |    $baseCols
        |  FROM embeddings),
-       |a0 AS (SELECT CAST(label AS INTEGER) AS y, 0 AS node,
+       |tfolds AS (SELECT CAST(unnest(range(0, $nf)) AS INTEGER) AS tf),
+       |tmm AS (SELECT fd.tf,
+       |    $mm
+       |  FROM tfolds fd JOIN tbase b ON $trainCond GROUP BY fd.tf),
+       |a0 AS (SELECT b.vec_id, fd.tf, b.y, 0 AS node,
        |    $binCols
-       |  FROM embeddings CROSS JOIN mm m),
+       |  FROM tfolds fd JOIN tbase b ON $trainCond
+       |    JOIN tmm m ON m.tf = fd.tf),
+       |at0 AS (SELECT b.vec_id, fd.tf, b.y, 0 AS node,
+       |    $binCols
+       |  FROM tfolds fd JOIN tbase b ON $testCond
+       |    JOIN tmm m ON m.tf = fd.tf),
        |${(0 until TreeDepth).map(level).mkString(",\n")}""".stripMargin
   }
 
@@ -333,7 +398,7 @@ object R9Queries {
       val union = (0 until TreeDepth)
         .map(l => s"SELECT node, f, b, nl, nr, score FROM best$l")
         .mkString("\n  UNION ALL ")
-      s"""WITH $treeCtes
+      s"""WITH ${treeCtes(cv = false)}
          |SELECT node, f AS feature, b AS threshold_bin,
          |  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
          |  score
@@ -341,7 +406,7 @@ object R9Queries {
     },
 
     "q_l_tree_confusion" ->
-      s"""WITH $treeCtes,
+      s"""WITH ${treeCtes(cv = false)},
          |leafstat AS (SELECT node, y, count(*) AS c FROM a$TreeDepth
          |  GROUP BY 1, 2),
          |leaf AS (SELECT node, y AS pred FROM (SELECT node, y,
@@ -349,5 +414,45 @@ object R9Queries {
          |  FROM leafstat) z WHERE rn = 1)
          |SELECT a.y AS label, l.pred AS prediction, count(*) AS n
          |FROM a$TreeDepth a JOIN leaf l ON l.node = a.node
-         |GROUP BY 1, 2 ORDER BY label, prediction""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY label, prediction""".stripMargin,
+
+    // EP3 tournament: BOTH hash-exact model families cross-validated on
+    // the same md5 fold deal in one SQL statement — the gnb side re-sums
+    // per-fold BIGINT moment partials, the tree side fits K fold-aware
+    // histogram trees (bins from each fold's TRAIN min/max) and routes
+    // the held-out rows through them.
+    "q_l_tournament" -> {
+      def l(i: Int) = s"ln((2*pi())*p.v$i)"
+      def q(i: Int) = s"(b.x$i-p.m$i)*(b.x$i-p.m$i)*(1.0/p.v$i)"
+      val lsum = s"(((${l(0)}+${l(1)})+${l(2)})+${l(3)})"
+      val qsum = s"(((${q(0)}+${q(1)})+${q(2)})+${q(3)})"
+      s"""WITH $cvFitCtes,
+         |gsc AS (SELECT b.vec_id, b.fold, b.y, p.label,
+         |    (ln(p.prior) - 0.5*$lsum) - $qsum*0.5 AS score
+         |  FROM base b JOIN prm p ON p.tf = b.fold),
+         |gnbpred AS (SELECT vec_id, fold, y, label AS prediction
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, label) AS rn FROM gsc) t WHERE rn = 1),
+         |${treeCtes(cv = true)},
+         |tleafstat AS (SELECT tf, node, y, count(*) AS c FROM a$TreeDepth
+         |  GROUP BY 1, 2, 3),
+         |tleaf AS (SELECT tf, node, y AS pred FROM (SELECT tf, node, y,
+         |    ROW_NUMBER() OVER (PARTITION BY tf, node ORDER BY c DESC, y)
+         |      AS rn FROM tleafstat) z WHERE rn = 1),
+         |treepred AS (SELECT t.vec_id, t.tf AS fold, t.y, l.pred
+         |  FROM at$TreeDepth t JOIN tleaf l
+         |    ON l.tf = t.tf AND l.node = t.node),
+         |melted AS (
+         |  SELECT 'gnb' AS model, fold, CAST(y AS INTEGER) AS label,
+         |    CAST(prediction AS INTEGER) AS prediction FROM gnbpred
+         |  UNION ALL
+         |  SELECT 'tree', fold, y, pred FROM treepred)
+         |SELECT model, fold,
+         |  CAST(SUM(CASE WHEN label = prediction THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN label = prediction THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+         |FROM melted GROUP BY model, fold ORDER BY model, fold""".stripMargin
+    })
 }
