@@ -25,7 +25,8 @@ object SparkEntry {
       MultimodalQueries.queries ++ ExtQueries.queries ++ PipeQueries.queries ++
       R4Queries.queries ++ TpchPlusQueries.queries ++
       WarehouseQueries.queries ++ R5Queries.queries ++ R6Queries.queries ++
-      R7Queries.queries ++ R8Queries.queries ++ R9Queries.queries
+      R7Queries.queries ++ R8Queries.queries ++ R9Queries.queries ++
+      ForestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -35,5 +36,6 @@ object SparkEntry {
       MultimodalQueries.oracles ++ ExtQueries.oracles ++ PipeQueries.oracles ++
       R4Queries.oracles ++ TpchPlusQueries.oracles ++
       WarehouseQueries.oracles ++ R5Queries.oracles ++ R6Queries.oracles ++
-      R7Queries.oracles ++ R8Queries.oracles ++ R9Queries.oracles
+      R7Queries.oracles ++ R8Queries.oracles ++ R9Queries.oracles ++
+      ForestQueries.oracles
 }

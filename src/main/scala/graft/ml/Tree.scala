@@ -46,34 +46,51 @@ object HistTree {
 
   case class TreeModel(splits: Seq[Split], leaves: Map[Int, Int],
                        mins: Array[Long], maxs: Array[Long], bins: Int) {
-    /** Leaf id for a row, as a codegen'd CASE cascade over bin exprs. */
+    /** Terminal nodes by tree STRUCTURE (reachable, not split) — a
+      * scoring row can land on a terminal no training row reached, so
+      * this must not be derived from `leaves`. */
+    private def terminalNodes: Seq[Int] = {
+      val sm = splits.map(_.node).toSet
+      def desc(n: Int): Seq[Int] =
+        if (sm(n)) desc(2 * n + 1) ++ desc(2 * n + 2) else Seq(n)
+      desc(0)
+    }
+    /** Root-to-node path predicate. Matches the level-wise descent
+      * semantics exactly: left iff (bin ≤ split) IS TRUE, right
+      * otherwise (false OR null). Flat — each split condition appears
+      * once per path, so plan size is O(terminals · depth), not
+      * exponential in depth like a nested reassignment cascade. */
+    private def pathCond(b: IndexedSeq[Column], node: Int): Column = {
+      val sm = splits.map(s => s.node -> s).toMap
+      var n = node
+      var conds = List.empty[Column]
+      while (n > 0) {
+        val p = (n - 1) / 2
+        val s = sm(p)
+        val c = (b(s.feature) <= s.bin) <=> lit(true)
+        conds ::= (if (n == 2 * p + 1) c else !c)
+        n = p
+      }
+      conds.reduceOption(_ && _).getOrElse(lit(true))
+    }
+    /** Leaf id for a row, as a codegen'd CASE over complete root-to-leaf
+      * paths (exhaustive and mutually exclusive by construction). */
     def leafExpr(arrCol: String): Column = {
       val b = binExprs(arrCol, mins, maxs, bins)
-      var assign: Column = lit(0)
-      splits.groupBy(s => levelOf(s.node)).toSeq.sortBy(_._1).foreach {
-        case (_, ss) =>
-          val prev = assign
-          ss.sortBy(_.node).foreach { s =>
-            assign = when(prev === s.node,
-              when(b(s.feature) <= s.bin, lit(2 * s.node + 1))
-                .otherwise(lit(2 * s.node + 2))).otherwise(assign)
-          }
+      terminalNodes.foldLeft(lit(null).cast("int")) { (acc, n) =>
+        when(pathCond(b, n), lit(n)).otherwise(acc)
       }
-      assign
     }
-    /** Majority-class prediction (ties to the smallest label). */
+    /** Majority-class prediction (ties to the smallest label); null on
+      * terminals no training row reached (abstain). */
     def predictExpr(arrCol: String): Column = {
-      val leaf = leafExpr(arrCol)
-      leaves.foldLeft(lit(null).cast("int")) { case (acc, (node, lab)) =>
-        when(leaf === node, lit(lab)).otherwise(acc)
+      val b = binExprs(arrCol, mins, maxs, bins)
+      terminalNodes.foldLeft(lit(null).cast("int")) { (acc, n) =>
+        when(pathCond(b, n),
+          leaves.get(n).map(l => lit(l).cast("int"))
+            .getOrElse(lit(null).cast("int"))).otherwise(acc)
       }
     }
-  }
-
-  private def levelOf(node: Int): Int = {
-    var l = 0; var n = node
-    while (n > 0) { n = (n - 1) / 2; l += 1 }
-    l
   }
 
   /** Fixed-width bin of integer-valued feature i: floor(((x − min)·B) /
@@ -146,19 +163,27 @@ object HistTree {
 
   /** Driver-side argmin over the level's histogram (O(nodes·d·bins·k)
     * rows — fitted-parameter scale). Integer arithmetic exactly mirrors
-    * the oracle's HUGEINT expressions. */
-  private def selectSplits(counts: Array[(Int, Int, Int, Int, Long)],
-                           bins: Int): Seq[Split] = {
+    * the oracle's HUGEINT expressions. `cnt` may be a weighted count
+    * (Forest's bootstrap weights — still integers, still exact);
+    * `allowed(node, f)` restricts the candidate features per node
+    * (Forest's mtry sampling) without affecting the node totals. */
+  private[ml] def selectSplits(counts: Array[(Int, Int, Int, Int, Long)],
+                               bins: Int,
+                               allowed: (Int, Int) => Boolean = (_, _) => true)
+      : Seq[Split] = {
     val classes = counts.map(_._4).distinct.sorted
     counts.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (node, rows) =>
-      // per-node class totals (same for every feature; use feature 0)
+      // per-node class totals (same for every feature; use the smallest
+      // feature index present — feature 0 may be masked out by `allowed`
+      // upstream only in scoring, never in the histogram itself)
+      val f0 = rows.map(_._2).min
       val tot = classes.map(y =>
-        y -> rows.collect { case (_, 0, _, `y`, c) => c }.sum).toMap
+        y -> rows.collect { case (_, `f0`, _, `y`, c) => c }.sum).toMap
       val tn = BigInt(tot.values.sum)
       val st = tot.values.map(c => BigInt(c) * c).sum
       var bestKey: (Double, Int, Int) = null
       var bestSplit: Split = null
-      for (f <- rows.map(_._2).distinct.sorted) {
+      for (f <- rows.map(_._2).distinct.sorted if allowed(node, f)) {
         val cnt = Array.fill(bins, classes.length)(0L)
         rows.foreach { case (_, ff, bb, y, c) =>
           if (ff == f) cnt(bb)(classes.indexOf(y)) += c

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ml.{GaussianNb, HistTree, Prep, Split}
+import graft.ml.{Forest, GaussianNb, HistTree, Prep, Split}
 import graft.ops.{Cleaning, Relational}
 import graft.ops.Num.dsum
 
@@ -138,27 +138,39 @@ object R9Queries {
         .orderBy("label", "prediction")
     }),
 
-    // The EP3 tournament, end to end: both hash-exact families (GNB +
-    // histogram tree) cross-validated on the SAME stratified md5 fold
-    // deal, compared by held-out accuracy — the reference's actual
+    // The EP3 tournament, end to end: all THREE hash-exact families —
+    // GNB, histogram tree, and the reference's WINNER, the random
+    // forest — cross-validated on the SAME stratified md5 fold deal,
+    // compared by held-out accuracy — the reference's actual
     // model-selection workflow (wine_analysis.py:245-343), replayed
-    // bit-for-bit by one DuckDB statement.
+    // bit-for-bit by one DuckDB statement (5 GNB fits + 5 trees + 5
+    // whole forests = 25 fold-aware tree fits in one SQL). A model
+    // abstaining on a row (a tree/forest terminal no train row reached)
+    // drops that row from its counts on both engines.
     "q_l_tournament" -> ((s, d) => {
       val tagged = foldedFrame(s, d)
+      // ONE fitCv call = all K forests (the fold dimension melts into
+      // the per-level histogram key, mirroring the oracle's CTE chain)
+      val rfs = Forest.fitCv(tagged, "vec_id", "x", "y", "fold", K, D,
+        nTrees = ForestQueries.T, depth = ForestQueries.Depth,
+        bins = ForestQueries.Bins, mtry = ForestQueries.Mtry,
+        seed = ForestQueries.Seed, nTrials = ForestQueries.NTrials)
       val preds = (0 until K).map { f =>
         val train = tagged.filter(col("fold") =!= f)
         val gnb = GaussianNb.fitArrayExact(train, "x", "y", D)
         val tree = HistTree.fit(train, "x", "y", D,
           depth = TreeDepth, bins = TreeBins)
-        tagged.filter(col("fold") === f)
+        rfs(f).predict(tagged.filter(col("fold") === f), "x", "p_rf")
           .select(lit(f).as("fold"), col("y").cast("int").as("label"),
             GaussianNb.predictExpr(gnb, "x").cast("int").as("p_gnb"),
-            tree.predictExpr("x").as("p_tree"))
+            tree.predictExpr("x").as("p_tree"), col("p_rf"))
       }.reduce(_.unionByName(_))
       preds
         .select(col("fold"), col("label"),
-          explode(map(lit("gnb"), col("p_gnb"), lit("tree"), col("p_tree")))
+          explode(map(lit("gnb"), col("p_gnb"), lit("tree"), col("p_tree"),
+            lit("rf"), col("p_rf")))
             .as(Seq("model", "prediction")))
+        .filter(col("prediction").isNotNull)
         .groupBy("model", "fold")
         .agg(sum(when(col("label") === col("prediction"), 1L).otherwise(0L))
             .as("n_correct"),
@@ -416,11 +428,13 @@ object R9Queries {
          |FROM a$TreeDepth a JOIN leaf l ON l.node = a.node
          |GROUP BY 1, 2 ORDER BY label, prediction""".stripMargin,
 
-    // EP3 tournament: BOTH hash-exact model families cross-validated on
-    // the same md5 fold deal in one SQL statement — the gnb side re-sums
-    // per-fold BIGINT moment partials, the tree side fits K fold-aware
-    // histogram trees (bins from each fold's TRAIN min/max) and routes
-    // the held-out rows through them.
+    // EP3 tournament: all THREE hash-exact model families cross-validated
+    // on the same md5 fold deal in one SQL statement — the gnb side
+    // re-sums per-fold BIGINT moment partials, the tree side fits K
+    // fold-aware histogram trees (bins from each fold's TRAIN min/max)
+    // and routes the held-out rows through them, and the rf side fits K
+    // whole bootstrap-weighted forests (ForestQueries.forestCtes with the
+    // fold dimension) and majority-votes their per-tree leaf predictions.
     "q_l_tournament" -> {
       def l(i: Int) = s"ln((2*pi())*p.v$i)"
       def q(i: Int) = s"(b.x$i-p.m$i)*(b.x$i-p.m$i)*(1.0/p.v$i)"
@@ -442,11 +456,19 @@ object R9Queries {
          |treepred AS (SELECT t.vec_id, t.tf AS fold, t.y, l.pred
          |  FROM at$TreeDepth t JOIN tleaf l
          |    ON l.tf = t.tf AND l.node = t.node),
+         |${ForestQueries.forestCtes(cv = true)},
+         |rfvote AS (SELECT cvf, vec_id, y, pred, count(*) AS v FROM fpred
+         |  GROUP BY 1, 2, 3, 4),
+         |rfbest AS (SELECT cvf, vec_id, y, pred FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY cvf, vec_id
+         |      ORDER BY v DESC, pred) AS rn FROM rfvote) z WHERE rn = 1),
          |melted AS (
          |  SELECT 'gnb' AS model, fold, CAST(y AS INTEGER) AS label,
          |    CAST(prediction AS INTEGER) AS prediction FROM gnbpred
          |  UNION ALL
-         |  SELECT 'tree', fold, y, pred FROM treepred)
+         |  SELECT 'tree', fold, y, pred FROM treepred
+         |  UNION ALL
+         |  SELECT 'rf', cvf, y, pred FROM rfbest)
          |SELECT model, fold,
          |  CAST(SUM(CASE WHEN label = prediction THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_correct,
