@@ -109,56 +109,87 @@ object HistTree {
     }
 
   def fit(df: DataFrame, arrCol: String, labelCol: String, d: Int,
-          depth: Int = 3, bins: Int = 32): TreeModel = {
+          depth: Int = 3, bins: Int = 32): TreeModel =
+    fitCv(df.withColumn("__no_fold", lit(-1)), arrCol, labelCol,
+      "__no_fold", nFolds = 1, d = d, depth = depth, bins = bins).head
+
+  /** Fit `nFolds` trees at once — tree f trains on rows whose `foldCol`
+    * ≠ f (with nFolds = 1 and foldCol ≡ -1 this is the plain single
+    * fit). The fold index melts into the histogram key, so K trees cost
+    * the same number of per-level driver round-trips as one; bins come
+    * from each fold's TRAIN min/max. Mirrors the fold-aware oracle
+    * chain (R9Queries.treeCtes cv = true). */
+  def fitCv(df: DataFrame, arrCol: String, labelCol: String,
+            foldCol: String, nFolds: Int, d: Int,
+            depth: Int = 3, bins: Int = 32): IndexedSeq[TreeModel] = {
     def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
+    val folded = df
+      .withColumn("cvf", explode(array((0 until nFolds).map(lit): _*)))
+      .filter(col(foldCol) =!= col("cvf"))
     val mmAggs = (0 until d).flatMap(i =>
       Seq(min(el(i).cast("long")).as(s"mn_$i"),
         max(el(i).cast("long")).as(s"mx_$i"))) :+ count(lit(1)).as("n")
-    val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
-    val mins = Array.tabulate(d)(i => mm.getAs[Long](s"mn_$i"))
-    val maxs = Array.tabulate(d)(i => mm.getAs[Long](s"mx_$i"))
-    require(mm.getAs[Long]("n") <= 300000L,
+    val mm = folded.groupBy("cvf").agg(mmAggs.head, mmAggs.tail: _*)
+      .collect().map(r => r.getAs[Int]("cvf") -> r).toMap
+    val minsK = Array.tabulate(nFolds, d)((f, i) => mm(f).getAs[Long](s"mn_$i"))
+    val maxsK = Array.tabulate(nFolds, d)((f, i) => mm(f).getAs[Long](s"mx_$i"))
+    (0 until nFolds).foreach(f => require(mm(f).getAs[Long]("n") <= 300000L,
       "HistTree: score doubles exceed the 2^53-exact range past ~3e5 " +
-        "rows per node; subsample for split selection at larger scale")
+        "rows per node; subsample for split selection at larger scale"))
 
-    val b = binExprs(arrCol, mins, maxs, bins)
-    val binned = df.select(col(labelCol).cast("int").as("y"),
-      array(b: _*).as("b"))
-
-    var assign: Column = lit(0)
-    val splits = scala.collection.mutable.ArrayBuffer.empty[Split]
-    for (_ <- 0 until depth) {
-      // ONE distributed pass: per-(node, feature, bin, class) counts
-      val counts = binned.withColumn("node", assign)
-        .select(col("node"), col("y"), posexplode(col("b")))
-        .groupBy(col("node"), col("pos").as("f"), col("col").as("b"), col("y"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect()
-        .map(r => (r.getAs[Int]("node"), r.getAs[Int]("f"),
-          r.getAs[Int]("b"), r.getAs[Int]("y"), r.getAs[Long]("cnt")))
-      val best = selectSplits(counts, bins)
-      if (best.isEmpty) {
-        splits ++= Nil
-      } else {
-        splits ++= best
-        val prev = assign
-        best.sortBy(_.node).foreach { s =>
-          assign = when(prev === s.node,
-            when(element_at(col("b"), s.feature + 1) <= s.bin,
-              lit(2 * s.node + 1)).otherwise(lit(2 * s.node + 2)))
-            .otherwise(assign)
-        }
+    val b = (0 until d).map { i =>
+      (0 until nFolds).foldLeft(lit(null).cast("int")) { (acc, f) =>
+        when(col("cvf") === f, binExprs(arrCol, minsK(f), maxsK(f), bins)(i))
+          .otherwise(acc)
       }
     }
-    // leaf majorities (ties to the smallest label) — final assignment pass
-    val leafCounts = binned.withColumn("node", assign)
-      .groupBy("node", "y").agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.getAs[Int]("node"), r.getAs[Int]("y"), r.getAs[Long]("c")))
-    val leaves = leafCounts.groupBy(_._1).map { case (node, rows) =>
-      node -> rows.minBy { case (_, y, c) => (-c, y) }._2
+    val binned = folded.select(col("cvf"),
+      col(labelCol).cast("int").as("y"), array(b: _*).as("b"))
+
+    // `node` advances one materialized projection per level (attribute
+    // reference, not expression re-inlining — linear plan growth)
+    var cur = binned.withColumn("node", lit(0))
+    val splits = Array.fill(nFolds)(
+      scala.collection.mutable.ArrayBuffer.empty[Split])
+    for (_ <- 0 until depth) {
+      // ONE distributed pass: per-(fold, node, feature, bin, class)
+      val counts = cur
+        .select(col("cvf"), col("node"), col("y"), posexplode(col("b")))
+        .groupBy(col("cvf"), col("node"), col("pos").as("f"),
+          col("col").as("b"), col("y"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getAs[Int]("cvf"), r.getAs[Int]("node"),
+          r.getAs[Int]("f"), r.getAs[Int]("b"), r.getAs[Int]("y"),
+          r.getAs[Long]("cnt")))
+      var lvl: Column = col("node")
+      for (f <- 0 until nFolds) {
+        val mine = counts.collect { case (`f`, n, ff, bb, y, c) =>
+          (n, ff, bb, y, c) }
+        val best = selectSplits(mine, bins)
+        splits(f) ++= best
+        best.foreach { s =>
+          lvl = when(col("cvf") === f && col("node") === s.node,
+            when(element_at(col("b"), s.feature + 1) <= s.bin,
+              lit(2 * s.node + 1)).otherwise(lit(2 * s.node + 2)))
+            .otherwise(lvl)
+        }
+      }
+      cur = cur.withColumn("node", lvl)
     }
-    TreeModel(splits.toSeq, leaves, mins, maxs, bins)
+    // leaf majorities (ties to the smallest label) — final assignment pass
+    val leafCounts = cur
+      .groupBy("cvf", "node", "y").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getAs[Int]("cvf"), r.getAs[Int]("node"),
+        r.getAs[Int]("y"), r.getAs[Long]("c")))
+    (0 until nFolds).map { f =>
+      val leaves = leafCounts.collect { case (`f`, n, y, c) => (n, y, c) }
+        .groupBy(_._1).map { case (node, rows) =>
+          node -> rows.minBy { case (_, y, c) => (-c, y) }._2
+        }
+      TreeModel(splits(f).toSeq, leaves, minsK(f), maxsK(f), bins)
+    }
   }
 
   /** Driver-side argmin over the level's histogram (O(nodes·d·bins·k)

@@ -149,21 +149,22 @@ object R9Queries {
     // drops that row from its counts on both engines.
     "q_l_tournament" -> ((s, d) => {
       val tagged = foldedFrame(s, d)
-      // ONE fitCv call = all K forests (the fold dimension melts into
-      // the per-level histogram key, mirroring the oracle's CTE chain)
+      // ONE fitCv call each = all K forests / all K trees (the fold
+      // dimension melts into the per-level histogram key, mirroring the
+      // oracle's CTE chains)
       val rfs = Forest.fitCv(tagged, "vec_id", "x", "y", "fold", K, D,
         nTrees = ForestQueries.T, depth = ForestQueries.Depth,
         bins = ForestQueries.Bins, mtry = ForestQueries.Mtry,
         seed = ForestQueries.Seed, nTrials = ForestQueries.NTrials)
+      val trees = HistTree.fitCv(tagged, "x", "y", "fold", K, D,
+        depth = TreeDepth, bins = TreeBins)
       val preds = (0 until K).map { f =>
         val train = tagged.filter(col("fold") =!= f)
         val gnb = GaussianNb.fitArrayExact(train, "x", "y", D)
-        val tree = HistTree.fit(train, "x", "y", D,
-          depth = TreeDepth, bins = TreeBins)
         rfs(f).predict(tagged.filter(col("fold") === f), "x", "p_rf")
           .select(lit(f).as("fold"), col("y").cast("int").as("label"),
             GaussianNb.predictExpr(gnb, "x").cast("int").as("p_gnb"),
-            tree.predictExpr("x").as("p_tree"), col("p_rf"))
+            trees(f).predictExpr("x").as("p_tree"), col("p_rf"))
       }.reduce(_.unionByName(_))
       preds
         .select(col("fold"), col("label"),
