@@ -125,6 +125,65 @@ object GaussianNb {
     statsFrom(cls, g, d, varSmoothing)
   }
 
+  /** CV-melted exact fit: the fold dimension collapses into the grouping
+    * key — ONE `groupBy(fold, label)` pass computes per-(fold, class)
+    * BIGINT partials, and each held-out fold's train fit is the driver-side
+    * Long re-sum over the other folds' partials. BIGINT addition is
+    * associative and commutative, so the recombined moments are
+    * bit-identical to `fitArrayExact`'s direct sums over the train rows
+    * (and to a SQL oracle's fold-aware re-aggregation) — K fits for the
+    * cost of one distributed aggregate instead of K rollup+collect round
+    * trips. Same integer-valued-feature contract and overflow refusal as
+    * `fitArrayExact` (guarded on the FULL relation, a superset of every
+    * train split). Returns fold f -> stats fit on folds != f. */
+  def fitCvExact(df: DataFrame, arrCol: String, labelCol: String,
+                 foldCol: String, k: Int, d: Int,
+                 varSmoothing: Double = 1e-9): IndexedSeq[Seq[GnbStats]] = {
+    def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
+    val aggs = (0 until d).flatMap { i =>
+      Seq(sum(el(i).cast("long")).as(s"s_$i"),
+        sum((el(i) * el(i)).cast("long")).as(s"ss_$i"))
+    } :+ count(lit(1)).as("n") :+
+      max((0 until d).map(i => abs(el(i)))
+        .reduce((a, b) => greatest(a, b))).as("__maxabs")
+    val rows = df.select(col(foldCol).cast("int").as("__fold"),
+        col(labelCol).cast("double").as("label"), col(arrCol))
+      .groupBy("__fold", "label").agg(aggs.head, aggs.tail: _*).collect()
+    val totalN = rows.map(_.getAs[Long]("n")).sum
+    val maxAbs = rows.map(_.getAs[Double]("__maxabs")).max
+    val worst = totalN.toDouble * math.max(maxAbs, maxAbs * maxAbs)
+    require(worst < Long.MaxValue.toDouble * 0.98,
+      s"fitCvExact: BIGINT moment sums could overflow (n=$totalN, " +
+        s"max|x|=$maxAbs => worst-case sum ~ $worst vs Long.MaxValue). " +
+        "Coarsen the feature quantization or shard the fit.")
+    (0 until k).map { f =>
+      val train = rows.filter(_.getAs[Int]("__fold") != f)
+      val byClass = train.groupBy(_.getAs[Double]("label")).toSeq
+        .map { case (lbl, rs) =>
+          (lbl, rs.map(_.getAs[Long]("n")).sum,
+            Array.tabulate(d)(i => rs.map(_.getAs[Long](s"s_$i")).sum),
+            Array.tabulate(d)(i => rs.map(_.getAs[Long](s"ss_$i")).sum))
+        }
+      val nTot = byClass.map(_._2).sum.toDouble
+      // global (train-wide) moments = Long sums over the class partials;
+      // identical to fitArrayExact's grouping-flagged global rollup row
+      val gs = Array.tabulate(d)(i => byClass.map(_._3(i)).sum.toDouble)
+      val gss = Array.tabulate(d)(i => byClass.map(_._4(i)).sum.toDouble)
+      val globalVar = (0 until d).map { i =>
+        math.max(gss(i) / nTot - (gs(i) / nTot) * (gs(i) / nTot), 0.0)
+      }
+      val eps = varSmoothing * globalVar.max
+      byClass.map { case (lbl, nL, s, ss) =>
+        val n = nL.toDouble
+        val mean = Array.tabulate(d)(i => s(i).toDouble / n)
+        val variance = Array.tabulate(d) { i =>
+          math.max(ss(i).toDouble / n - mean(i) * mean(i), 0.0) + eps
+        }
+        GnbStats(lbl, n / nTot, mean, variance)
+      }.sortBy(_.label)
+    }
+  }
+
   /** Generated argmax-of-log-likelihood expression: the per-class constant
     * (log prior − ½Σ log 2πσ²) folds to one literal; only the quadratic
     * term is per-row work. Argmax folds over (score, label) structs so

@@ -56,12 +56,13 @@ object R9Queries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_l_gnb_cv" -> ((s, d) => {
       val tagged = foldedFrame(s, d)
+      // fold-melted fit: ONE groupBy(fold, label) pass yields all K
+      // fits (bit-identical to K fitArrayExact calls — GaussianNbSpec)
+      val fits = GaussianNb.fitCvExact(tagged, "x", "y", "fold", K, D)
       val preds = (0 until K).map { f =>
-        val stats = GaussianNb.fitArrayExact(
-          tagged.filter(col("fold") =!= f), "x", "y", D)
         tagged.filter(col("fold") === f)
           .select(lit(f).as("fold"), col("y").cast("int").as("label"),
-            GaussianNb.predictExpr(stats, "x").cast("int").as("prediction"))
+            GaussianNb.predictExpr(fits(f), "x").cast("int").as("prediction"))
       }.reduce(_.unionByName(_))
       val conf = preds.groupBy("fold", "label", "prediction")
         .agg(count(lit(1)).as("n"))
@@ -158,12 +159,11 @@ object R9Queries {
         seed = ForestQueries.Seed, nTrials = ForestQueries.NTrials)
       val trees = HistTree.fitCv(tagged, "x", "y", "fold", K, D,
         depth = TreeDepth, bins = TreeBins)
+      val gnbs = GaussianNb.fitCvExact(tagged, "x", "y", "fold", K, D)
       val preds = (0 until K).map { f =>
-        val train = tagged.filter(col("fold") =!= f)
-        val gnb = GaussianNb.fitArrayExact(train, "x", "y", D)
         rfs(f).predict(tagged.filter(col("fold") === f), "x", "p_rf")
           .select(lit(f).as("fold"), col("y").cast("int").as("label"),
-            GaussianNb.predictExpr(gnb, "x").cast("int").as("p_gnb"),
+            GaussianNb.predictExpr(gnbs(f), "x").cast("int").as("p_gnb"),
             trees(f).predictExpr("x").as("p_tree"), col("p_rf"))
       }.reduce(_.unionByName(_))
       preds

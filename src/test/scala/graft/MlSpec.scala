@@ -136,6 +136,34 @@ class MlSpec extends AnyFunSuite {
       f"argmax margin $minMargin%.3e too small to absorb ln() ulp differences")
   }
 
+  test("GNB fitCvExact is bit-identical to per-fold fitArrayExact") {
+    import graft.ml.{GaussianNb, Split}
+    // the fold-melted CV fit (one groupBy(fold,label) pass, driver-side
+    // BIGINT recombination) must reproduce every parameter of the direct
+    // per-fold fits EXACTLY — same associativity argument the oracle
+    // replay rests on, so any drift here would break q_l_gnb_cv /
+    // q_l_tournament hash-exactness
+    val k = 5
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+    val tagged = Split.tagStratifiedKFold(
+      e.select(col("vec_id"), col("label").cast("double").as("y"),
+        array((0 until 4).map(i =>
+          floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
+            + lit(0.5)).cast("double")): _*).as("x")),
+      "vec_id", "y", k).localCheckpoint(true)
+    val melted = GaussianNb.fitCvExact(tagged, "x", "y", "fold", k, 4)
+    (0 until k).foreach { f =>
+      val direct = GaussianNb.fitArrayExact(
+        tagged.filter(col("fold") =!= f), "x", "y", 4)
+      assert(melted(f).size == direct.size, s"fold $f class count")
+      melted(f).zip(direct).foreach { case (m, dd) =>
+        assert(m.label == dd.label && m.prior == dd.prior, s"fold $f prior")
+        assert(m.mean.toSeq == dd.mean.toSeq, s"fold $f mean")
+        assert(m.variance.toSeq == dd.variance.toSeq, s"fold $f variance")
+      }
+    }
+  }
+
   test("KNN classifier: near-perfect on separable blobs, deterministic vote ties") {
     import graft.ml.Knn
     // 10 well-separated Gaussian blobs, one per label: 11-NN must recover
