@@ -26,7 +26,7 @@ object SparkEntry {
       R4Queries.queries ++ TpchPlusQueries.queries ++
       WarehouseQueries.queries ++ R5Queries.queries ++ R6Queries.queries ++
       R7Queries.queries ++ R8Queries.queries ++ R9Queries.queries ++
-      ForestQueries.queries
+      ForestQueries.queries ++ Ep4Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -37,5 +37,5 @@ object SparkEntry {
       R4Queries.oracles ++ TpchPlusQueries.oracles ++
       WarehouseQueries.oracles ++ R5Queries.oracles ++ R6Queries.oracles ++
       R7Queries.oracles ++ R8Queries.oracles ++ R9Queries.oracles ++
-      ForestQueries.oracles
+      ForestQueries.oracles ++ Ep4Queries.oracles
 }

@@ -52,7 +52,13 @@ import graft.ml.HistTree.TreeModel
 object Forest {
 
   case class ForestModel(trees: IndexedSeq[TreeModel], voteClasses: Seq[Int],
-                         nTrials: Int, seed: Int) {
+                         nTrials: Int, seed: Int,
+                         /** per tree: node -> (Σ_y c², Σ_y c) weighted class
+                           * moments at that node, captured from the fit's
+                           * level histograms — the impurity-importance
+                           * inputs (empty for models built before r9). */
+                         nodeStats: IndexedSeq[Map[Int, (Long, Long)]] =
+                           IndexedSeq.empty) {
     /** Per-tree predictions (codegen CASE cascades). */
     def treePredictExprs(arrCol: String): IndexedSeq[Column] =
       trees.map(_.predictExpr(arrCol))
@@ -179,6 +185,8 @@ object Forest {
     var cur = melted.withColumn("node", lit(0))
     val splits = Array.fill(nFolds, nTrees)(
       scala.collection.mutable.ArrayBuffer.empty[HistTree.Split])
+    val stats = Array.fill(nFolds, nTrees)(
+      scala.collection.mutable.Map.empty[Int, (Long, Long)])
     for (_ <- 0 until depth) {
       // ONE distributed pass per level for every (fold, tree)
       val counts = cur
@@ -195,6 +203,14 @@ object Forest {
       for (f <- 0 until nFolds; t <- 0 until nTrees) {
         val mine = counts.collect {
           case (`f`, `t`, n, ff, bb, y, c) => (n, ff, bb, y, c) }
+        // per-node weighted class moments (Σc², Σc) for impurity
+        // importance — feature 0's bins partition each node's rows, so
+        // its per-class bin sums ARE the node's class counts (the
+        // oracle's fnt CTE computes the same from fa$l directly)
+        mine.filter(_._2 == 0).groupBy(_._1).foreach { case (node, rows) =>
+          val byY = rows.groupBy(_._4).map { case (_, rs) => rs.map(_._5).sum }
+          stats(f)(t)(node) = (byY.map(c => c * c).sum, byY.sum)
+        }
         val best = HistTree.selectSplits(mine, bins,
           (node, feat) => allowedFeatures(seed, t, node, d, mtry)(feat))
         splits(f)(t) ++= best
@@ -224,7 +240,28 @@ object Forest {
         TreeModel(splits(f)(t).toSeq, leaves, minsK(f), maxsK(f), bins)
       }
       val voteClasses = trees.flatMap(_.leaves.values).distinct.sorted
-      ForestModel(trees, voteClasses, nTrials, seed)
+      ForestModel(trees, voteClasses, nTrials, seed,
+        (0 until nTrees).map(t => stats(f)(t).toMap))
     }
   }
+
+  /** Per-split weighted impurity decrease — sklearn's impurity-based
+    * `feature_importances_` numerator, in the exact-arithmetic form:
+    * for a split of node v,
+    *   n_v·gini(v) − n_L·gini(L) − n_R·gini(R)
+    *     = (Σ_L c²/n_L + Σ_R c²/n_R) − Σ_v c²/n_v
+    *     = score(v) − st_v/n_v
+    * i.e. the stored split score (one exact double division) minus one
+    * more exact division of the fitted class moments — so the DuckDB
+    * oracle reproduces every decrease bit-for-bit from the same
+    * histogram CTEs. Returns one (tree, node, feature, decrease) row
+    * per split; callers DECIMAL-sum by feature (order-independent). */
+  def importanceRows(m: ForestModel): Seq[(Int, Int, Int, Double)] =
+    m.trees.zipWithIndex.flatMap { case (t, ti) =>
+      t.splits.map { sp =>
+        val (st, tn) = m.nodeStats(ti)(sp.node)
+        (ti, sp.node, sp.feature,
+          sp.score - st.toDouble / tn.toDouble)
+      }
+    }
 }

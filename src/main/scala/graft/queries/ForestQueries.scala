@@ -73,6 +73,28 @@ object ForestQueries {
         .orderBy("label", "prediction")
     }),
 
+    // Impurity-based feature importance (sklearn feature_importances_):
+    // per-split weighted gini decrease = split score − Σc²/n at the
+    // parent (both exact divisions of fitted integer moments), DECIMAL-
+    // summed by feature so the totals are order-independent; normalized
+    // share alongside. Completes the importance pair with M14's
+    // permutation importance (wine nb 11 cell 46).
+    "q_l_rf_importance" -> ((s, d) => {
+      val (_, m) = fitted(s, d)
+      import s.implicits._
+      val rows = Forest.importanceRows(m)
+        .map { case (_, _, f, dec) => (f, dec) }.toDF("feature", "dec")
+        .localCheckpoint(true)
+      val tot = rows.agg(graft.ops.Num.dsum12(col("dec")).as("tot"))
+      rows.groupBy("feature")
+        .agg(count(lit(1)).as("n_splits"),
+          graft.ops.Num.dsum12(col("dec")).as("importance"))
+        .crossJoin(tot)
+        .select(col("feature"), col("n_splits"), col("importance"),
+          (col("importance") / col("tot")).as("importance_norm"))
+        .orderBy("feature")
+    }),
+
     // OOB evaluation: each row is scored only by trees whose bootstrap
     // gave it weight 0 (rows no OOB tree covers drop out), majority
     // vote with ties to the smallest label, plus the overall OOB
@@ -92,13 +114,19 @@ object ForestQueries {
           Window.partitionBy("vec_id")
             .orderBy(col("v").desc, col("prediction"))))
         .filter(col("rn") === 1)
-      top.groupBy(col("y").as("label"), col("prediction"))
+      // overall accuracy rides along as a one-row aggregate crossJoin
+      // (the triangleCount precedent) — NOT a partition-less Window,
+      // which is a global sort at scale (PlanSpec bans it)
+      val conf = top.groupBy(col("y").as("label"), col("prediction"))
         .agg(count(lit(1)).as("n"))
+      val tot = conf.agg(
+        sum(when(col("label") === col("prediction"), col("n"))
+          .otherwise(lit(0L))).as("__corr"),
+        sum(col("n")).as("__tot"))
+      conf.crossJoin(tot)
         .withColumn("oob_acc",
-          sum(when(col("label") === col("prediction"), col("n"))
-            .otherwise(lit(0L))).over(Window.partitionBy())
-            .cast("double") /
-            sum(col("n")).over(Window.partitionBy()).cast("double"))
+          col("__corr").cast("double") / col("__tot").cast("double"))
+        .drop("__corr", "__tot")
         .orderBy("label", "prediction")
     }))
 
@@ -268,6 +296,25 @@ object ForestQueries {
          |      AS rn FROM fvote) z WHERE rn = 1)
          |SELECT y AS label, pred AS prediction, count(*) AS n
          |FROM fbestv GROUP BY 1, 2 ORDER BY label, prediction""".stripMargin,
+
+    "q_l_rf_importance" -> {
+      val union = (0 until Depth).map(l =>
+        s"""SELECT b.f, CAST(b.score - CAST(t.st AS DOUBLE)
+           |      / CAST(t.tn AS DOUBLE) AS DECIMAL(30,12)) AS dec
+           |  FROM fbest$l b JOIN fnt$l t
+           |    ON t.cvf = b.cvf AND t.tf = b.tf AND t.node = b.node"""
+          .stripMargin)
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${forestCtes(cv = false)},
+         |fdec AS ($union),
+         |fimp AS (SELECT f AS feature, COUNT(*) AS n_splits,
+         |    SUM(dec) AS imp FROM fdec GROUP BY f),
+         |ftot AS (SELECT SUM(dec) AS tot FROM fdec)
+         |SELECT feature, n_splits, CAST(imp AS DOUBLE) AS importance,
+         |  CAST(imp AS DOUBLE) / CAST((SELECT tot FROM ftot) AS DOUBLE)
+         |    AS importance_norm
+         |FROM fimp ORDER BY feature""".stripMargin
+    },
 
     "q_l_rf_oob" ->
       s"""WITH ${forestCtes(cv = false)},

@@ -19,7 +19,7 @@ object TextSimQueries {
 
   // ---- shared SQL fragments -------------------------------------------
   /** tokens of raw text (whitespace), as in TextOps.tokens. */
-  private val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private[queries] val toksSql = """regexp_split_to_array(trim(text), '\s+')"""
   private val toksLowerSql = """regexp_split_to_array(trim(lower(text)), '\s+')"""
   /** normalized text + its tokens, as in TextOps.normalizeText/tokens. */
   private[queries] val normSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
@@ -41,15 +41,15 @@ object TextSimQueries {
     * pipeline): per-language stopword-hit scores, their max, and the
     * argmax CASE — mirroring TextOps.langScores/langId exactly. */
   private lazy val langProfs = TextOps.LangProfiles.toSeq.sortBy(_._1)
-  private lazy val langScoreColsSql = langProfs.map { case (lang, words) =>
+  private[queries] lazy val langScoreColsSql = langProfs.map { case (lang, words) =>
     // normalized tokens, mirroring TextOps.langScores (which tokenizes via
     // normalizeText so expression, fast-UDF, and oracle agree on any text)
     s"""len(list_filter($normToksSql, t -> list_contains(${sqlList(words)}, t)))
        | / CAST(len($normToksSql) AS DOUBLE) AS s_$lang""".stripMargin
   }.mkString(",\n ")
-  private lazy val langBestSql =
+  private[queries] lazy val langBestSql =
     langProfs.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
-  private lazy val langCaseSql = "CASE " + langProfs.map { case (lang, _) =>
+  private[queries] lazy val langCaseSql = "CASE " + langProfs.map { case (lang, _) =>
     s"WHEN s_$lang = best AND s_$lang > 0 THEN '$lang'"
   }.mkString(" ") + " ELSE 'und' END"
 
@@ -60,6 +60,17 @@ object TextSimQueries {
         .select("doc_id", "n_chars_m", "n_tokens", "n_unique_tokens",
           "mean_word_len", "stopword_ratio", "alpha_ratio")
         .orderBy("doc_id")),
+
+    // Statistical quality gate: corpus-fitted add-one bigram LM scores
+    // each doc's average token log-probability (the CCNet perplexity
+    // filter, bigram form). Counts are vocabulary-bounded aggregates;
+    // scoring is the BM25 term-join shape; decimal log sums make the
+    // score hash-exact cross-engine.
+    "q_x_lm_quality" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      TextOps.bigramLmScore(docs, docs.filter(col("doc_id") < 100),
+        "doc_id", "text").orderBy("doc_id")
+    }),
 
     // Token counting: whitespace + BPE-ish regex tokenizer.
     "q_x_token_counts" -> ((s, d) =>
@@ -341,6 +352,26 @@ object TextSimQueries {
          | length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
          |   / CAST(length(text) AS DOUBLE) AS alpha_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_x_lm_quality" ->
+      s"""WITH tok AS (SELECT doc_id, $normToksSql AS t FROM documents),
+         |uw AS (SELECT unnest(t) AS w1 FROM tok),
+         |uni AS (SELECT w1, count(*) AS cu FROM uw GROUP BY 1),
+         |vv AS (SELECT COUNT(*) AS v FROM uni),
+         |bgs AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2
+         |    THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i+1]) END) AS bg
+         |  FROM tok),
+         |big AS (SELECT bg, count(*) AS cb FROM bgs GROUP BY 1),
+         |sc AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1
+         |  FROM bgs WHERE doc_id < 100)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CAST(ln(CAST(COALESCE(cb, 0) + 1 AS DOUBLE)
+         |      / CAST(COALESCE(cu, 0) + (SELECT v FROM vv) AS DOUBLE))
+         |    AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lp
+         |FROM sc LEFT JOIN big USING (bg) LEFT JOIN uni USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_x_token_counts" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_ws,

@@ -60,6 +60,62 @@ object TextOps {
       .withColumn("alpha_ratio", alphaRatio(t))
   }
 
+  /** CCNet-style statistical quality scoring: an add-one-smoothed bigram
+    * language model fitted ON the corpus scores each document's average
+    * token log-probability — documents far below the corpus's own
+    * statistics (gibberish, wrong-language, boilerplate-free noise) score
+    * low and get filtered, the standard perplexity gate of large-scale
+    * pipeline cleaning (Wenzek et al. 2020 use a KenLM 5-gram; the bigram
+    * form keeps the count relation joinable and the engine dependency-free).
+    *
+    * avg_lp(doc) = (1/(n−1)) Σᵢ ln((c(wᵢ,wᵢ₊₁)+1) / (c(wᵢ)+V))
+    *
+    * Scale shape: both count relations are vocabulary-bounded aggregates
+    * with map-side combine; scoring explodes each doc's bigrams ONCE and
+    * joins the counts by token key (the BM25 term-join shape — the
+    * exchange carries (doc_id, w1, bigram) rows, never document text);
+    * the per-doc sum accumulates in DECIMAL(30,12) so it is
+    * order-independent and the ln() inputs are bit-identical on any
+    * engine (the q_x_bm25 discipline).
+    *
+    * @param corpus relation the model is fitted on
+    * @param docs   relation to score (often the same); docs with <2
+    *               tokens are dropped (no bigram evidence) */
+  def bigramLmScore(corpus: DataFrame, docs: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(normalizeText(col(textCol)))
+    val uni = corpus.select(explode(toks).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    // scalar vocabulary size rides along as a literal-free cross join of a
+    // one-row aggregate (the triangleCount precedent)
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = corpus
+      .select(explode(bigramsOf(toks)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val docBigrams = docs
+      .select(col(idCol), explode(bigramsOf(toks)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    docBigrams
+      .join(big, Seq("bg"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (graft.ops.Num.dsum12(
+          log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")))
+          / count(lit(1)).cast("double")).as("avg_lp"))
+  }
+
+  /** Adjacent token pairs as "w1 w2" strings (tokens are whitespace-split,
+    * so the single-space separator is unambiguous). The <2-token guard
+    * matters: Spark's sequence(1, 0) counts DOWN, so the unguarded form
+    * would fabricate a bigram for single-token docs. */
+  private def bigramsOf(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+
   /** Language ID by stopword-profile hit ratio (n-gram/lexicon heuristic):
     * score(lang) = |tokens ∩ profile(lang)| / |tokens|; argmax wins,
     * deterministic tie-break on language code. Profiles are tiny and ship

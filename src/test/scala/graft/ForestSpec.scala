@@ -41,6 +41,27 @@ class ForestSpec extends AnyFunSuite {
     assert(m1.trees.map(_.splits).distinct.size > 1)
   }
 
+  test("impurity importance: every decrease positive, informative dims dominate") {
+    // fixture: dims 0 and 2 carry the class signal, dims 1 and 3 are
+    // noise — impurity importance must (a) be positive per split (the
+    // fit only splits on STRICT integer-tested improvement), (b) have
+    // node moments for every split node, (c) put most normalized mass
+    // on the informative dims
+    val df = frame(fixture(600))
+    val m = Forest.fit(df, "id", "x", "y", d = 4, nTrees = 4, depth = 3,
+      bins = 32, mtry = 2)
+    val rows = Forest.importanceRows(m)
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 > 0), "strict improvement => positive decrease")
+    m.trees.zipWithIndex.foreach { case (t, ti) =>
+      t.splits.foreach(sp => assert(m.nodeStats(ti).contains(sp.node))) }
+    val byF = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+    val tot = byF.values.sum
+    val informative = (byF.getOrElse(0, 0.0) + byF.getOrElse(2, 0.0)) / tot
+    assert(informative > 0.7,
+      s"informative dims carry $informative of importance mass ($byF)")
+  }
+
   test("bootstrap leaves ~ (7/8)^8 = 34% of rows out-of-bag per tree") {
     val df = frame(fixture(800))
     val oobFrac = (0 until 3).map { t =>

@@ -541,6 +541,30 @@ class TextSimSpec extends AnyFunSuite {
     graft.ops.Leaks.sweep(spark)
   }
 
+  test("bigramLmScore: corpus-typical text outscores gibberish; edge docs handled") {
+    // corpus of repetitive natural-ish sentences + one gibberish doc whose
+    // bigrams never occur elsewhere: the LM (fitted on everything) must
+    // rank the gibberish far below every in-distribution doc — the CCNet
+    // perplexity-gate signal
+    val normal = (0 until 40).map(i =>
+      (i.toLong, s"the cat sat on the mat and the dog sat on the rug $i"))
+    val corpus = (normal ++ Seq(
+        (100L, "zxq wvu plk mno qrs tuv bcd efg hij klm"),
+        (101L, "single"),        // 1 token -> no bigrams -> dropped
+        (102L, "two tokens")))   // exactly one bigram
+      .toDF("doc_id", "text")
+    val scored = TextOps.bigramLmScore(corpus, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(!scored.contains(101L), "single-token doc must be dropped")
+    assert(scored(102L)._1 == 1L)
+    val gib = scored(100L)._2
+    val normals = normal.map(_._1).map(id => scored(id)._2)
+    assert(normals.forall(_ > gib),
+      s"gibberish avg_lp $gib must be below every normal doc (min ${normals.min})")
+    graft.ops.Leaks.sweep(spark)
+  }
+
   test("sharedSpanPairs finds embedded verbatim runs and prunes stop-grams") {
     val quote = "one two three four five six seven eight nine ten"
     val docs = Seq(
