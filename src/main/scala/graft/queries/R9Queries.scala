@@ -1,9 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.ops.Num
 import graft.ml.{Forest, GaussianNb, HistTree, Prep, Split}
 import graft.ops.{Cleaning, Relational}
 import graft.ops.Num.dsum
@@ -148,39 +149,110 @@ object R9Queries {
     // whole forests = 25 fold-aware tree fits in one SQL). A model
     // abstaining on a row (a tree/forest terminal no train row reached)
     // drops that row from its counts on both engines.
-    "q_l_tournament" -> ((s, d) => {
-      val tagged = foldedFrame(s, d)
-      // ONE fitCv call each = all K forests / all K trees (the fold
-      // dimension melts into the per-level histogram key, mirroring the
-      // oracle's CTE chains)
-      val rfs = Forest.fitCv(tagged, "vec_id", "x", "y", "fold", K, D,
-        nTrees = ForestQueries.T, depth = ForestQueries.Depth,
-        bins = ForestQueries.Bins, mtry = ForestQueries.Mtry,
-        seed = ForestQueries.Seed, nTrials = ForestQueries.NTrials)
-      val trees = HistTree.fitCv(tagged, "x", "y", "fold", K, D,
-        depth = TreeDepth, bins = TreeBins)
-      val gnbs = GaussianNb.fitCvExact(tagged, "x", "y", "fold", K, D)
-      val preds = (0 until K).map { f =>
-        rfs(f).predict(tagged.filter(col("fold") === f), "x", "p_rf")
-          .select(lit(f).as("fold"), col("y").cast("int").as("label"),
-            GaussianNb.predictExpr(gnbs(f), "x").cast("int").as("p_gnb"),
-            trees(f).predictExpr("x").as("p_tree"), col("p_rf"))
-      }.reduce(_.unionByName(_))
-      preds
-        .select(col("fold"), col("label"),
-          explode(map(lit("gnb"), col("p_gnb"), lit("tree"), col("p_tree"),
-            lit("rf"), col("p_rf")))
-            .as(Seq("model", "prediction")))
-        .filter(col("prediction").isNotNull)
-        .groupBy("model", "fold")
-        .agg(sum(when(col("label") === col("prediction"), 1L).otherwise(0L))
-            .as("n_correct"),
-          count(lit(1)).as("n_total"))
-        .select(col("model"), col("fold"), col("n_correct"), col("n_total"),
-          (col("n_correct").cast("double") / col("n_total").cast("double"))
-            .as("accuracy"))
-        .orderBy("model", "fold")
+    "q_l_tournament" -> ((s, d) =>
+      tournamentAccuracies(s, d).orderBy("model", "fold")),
+
+    // The tournament's DECISION step (wine_analysis.py:142-154, 245-267):
+    // pick the best model by mean CV accuracy, then a ONE-SIDED Wilcoxon
+    // signed-rank test (alternative='greater') of the best against every
+    // other model over the paired fold accuracies. Small-sample tail done
+    // RIGHT: an exact midrank permutation tail — zero diffs dropped,
+    // |d| midranked (doubled to stay integer), and the p-value is the
+    // exact fraction of the 2^m sign assignments whose rank sum reaches
+    // W+ — a pure integer/rational computation with NO transcendentals,
+    // so the replay is hash-exact (scipy's 'exact' mode refuses ties;
+    // the midrank permutation tail is the same test made total).
+    "q_l_tournament_sig" -> ((s, d) => {
+      val acc = tournamentAccuracies(s, d).localCheckpoint(true)
+      // best model by mean accuracy (exact-decimal mean; ties -> name asc)
+      val best = acc.groupBy("model")
+        .agg((Num.dsum12(col("accuracy")) / count(lit(1)).cast("double"))
+          .as("mean_acc"))
+        .orderBy(col("mean_acc").desc, col("model")).limit(1)
+        .select(col("model").as("__bm"), col("mean_acc").as("best_mean"))
+      // per-fold accuracies of the best model (one-row broadcast keys it)
+      val accB = acc.join(broadcast(best), col("model") === col("__bm"))
+        .select(col("fold"), col("accuracy").as("acc_b"), col("best_mean"))
+      val pairs = acc
+        .join(broadcast(best.select("__bm")),
+          col("model") === col("__bm"), "left_anti")
+        .select(col("model"), col("fold"), col("accuracy").as("acc_o"))
+        .join(accB, Seq("fold"))
+        .select(col("model"), col("best_mean"),
+          (col("acc_b") - col("acc_o")).as("diff"))
+      // drop zero diffs, midrank |d| per model (r2 = 2·midrank, integer)
+      val nz = pairs.filter(col("diff") =!= 0.0)
+      val ranked = nz
+        .withColumn("__minrk", rank().over(
+          Window.partitionBy("model").orderBy(abs(col("diff")))))
+        .withColumn("__cnt", count(lit(1)).over(
+          Window.partitionBy(col("model"), abs(col("diff")))))
+        .withColumn("r2", (col("__minrk") * 2 + col("__cnt") - 1).cast("long"))
+      val perModel = ranked.groupBy("model")
+        .agg(first(col("best_mean")).as("best_mean"),
+          count(lit(1)).cast("int").as("m"),
+          sum(when(col("diff") > 0, col("r2")).otherwise(0L)).as("w2_plus"),
+          collect_list(col("r2")).as("__r2s"))
+      // exact tail: of the 2^m sign assignments, the fraction whose
+      // positive-rank sum reaches w2_plus (m <= K, so <= 2^K masks; the
+      // count is subset-order-invariant, so collect_list order is moot).
+      // pow(2, i) stays integer-exact far beyond any fold count.
+      def p2(i: Column): Column = pow(lit(2.0), i).cast("long")
+      val masked = perModel
+        .select(col("model"), col("best_mean"), col("m"), col("w2_plus"),
+          col("__r2s"),
+          explode(sequence(lit(0L), p2(col("m")) - 1)).as("__mask"))
+        .withColumn("__msum", aggregate(
+          zip_with(col("__r2s"),
+            sequence(lit(0), col("m") - 1),
+            (r, i) => when(col("__mask").bitwiseAND(p2(i)) =!= 0L, r)
+              .otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x))
+      masked.groupBy("model")
+        .agg(first(col("best_mean")).as("best_mean"),
+          first(col("m")).as("n_nonzero"),
+          first(col("w2_plus")).as("w2_plus"),
+          (sum(when(col("__msum") >= col("w2_plus"), 1L).otherwise(0L))
+            .cast("double") /
+            count(lit(1)).cast("double")).as("p_greater"))
+        .orderBy("model")
     }))
+
+  /** The EP3 tournament core shared by q_l_tournament and
+    * q_l_tournament_sig: all THREE hash-exact families cross-validated
+    * on one stratified md5 deal, per-(model, fold) held-out accuracy. */
+  private def tournamentAccuracies(s: SparkSession, d: String): DataFrame = {
+    val tagged = foldedFrame(s, d)
+    // ONE fitCv call each = all K forests / all K trees (the fold
+    // dimension melts into the per-level histogram key, mirroring the
+    // oracle's CTE chains)
+    val rfs = Forest.fitCv(tagged, "vec_id", "x", "y", "fold", K, D,
+      nTrees = ForestQueries.T, depth = ForestQueries.Depth,
+      bins = ForestQueries.Bins, mtry = ForestQueries.Mtry,
+      seed = ForestQueries.Seed, nTrials = ForestQueries.NTrials)
+    val trees = HistTree.fitCv(tagged, "x", "y", "fold", K, D,
+      depth = TreeDepth, bins = TreeBins)
+    val gnbs = GaussianNb.fitCvExact(tagged, "x", "y", "fold", K, D)
+    val preds = (0 until K).map { f =>
+      rfs(f).predict(tagged.filter(col("fold") === f), "x", "p_rf")
+        .select(lit(f).as("fold"), col("y").cast("int").as("label"),
+          GaussianNb.predictExpr(gnbs(f), "x").cast("int").as("p_gnb"),
+          trees(f).predictExpr("x").as("p_tree"), col("p_rf"))
+    }.reduce(_.unionByName(_))
+    preds
+      .select(col("fold"), col("label"),
+        explode(map(lit("gnb"), col("p_gnb"), lit("tree"), col("p_tree"),
+          lit("rf"), col("p_rf")))
+          .as(Seq("model", "prediction")))
+      .filter(col("prediction").isNotNull)
+      .groupBy("model", "fold")
+      .agg(sum(when(col("label") === col("prediction"), 1L).otherwise(0L))
+          .as("n_correct"),
+        count(lit(1)).as("n_total"))
+      .select(col("model"), col("fold"), col("n_correct"), col("n_total"),
+        (col("n_correct").cast("double") / col("n_total").cast("double"))
+          .as("accuracy"))
+  }
 
   private val TreeDepth = 3
   private val TreeBins = 32
@@ -436,12 +508,62 @@ object R9Queries {
     // and routes the held-out rows through them, and the rf side fits K
     // whole bootstrap-weighted forests (ForestQueries.forestCtes with the
     // fold dimension) and majority-votes their per-tree leaf predictions.
-    "q_l_tournament" -> {
+    "q_l_tournament" ->
+      s"""WITH $tournamentAccCtes
+         |SELECT model, fold, n_correct, n_total, accuracy
+         |FROM facc ORDER BY model, fold""".stripMargin,
+
+    // The tournament's DECISION step: best by mean CV accuracy, then the
+    // one-sided Wilcoxon signed-rank test of best vs every other model,
+    // with the small-sample tail done as an exact midrank permutation
+    // count — integers and one final count ratio, no transcendentals.
+    "q_l_tournament_sig" ->
+      s"""WITH $tournamentAccCtes,
+         |mmean AS (SELECT model,
+         |    CAST(SUM(CAST(accuracy AS DECIMAL(30,12))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS mean_acc
+         |  FROM facc GROUP BY model),
+         |bst AS (SELECT model AS bm, mean_acc AS best_mean FROM mmean
+         |  ORDER BY mean_acc DESC, model LIMIT 1),
+         |accb AS (SELECT f.fold, f.accuracy AS acc_b, b.best_mean, b.bm
+         |  FROM facc f JOIN bst b ON f.model = b.bm),
+         |prs AS (SELECT f.model, a.best_mean,
+         |    a.acc_b - f.accuracy AS diff
+         |  FROM facc f JOIN accb a ON a.fold = f.fold WHERE f.model != a.bm),
+         |nz AS (SELECT * FROM prs WHERE diff <> 0.0),
+         |rk AS (SELECT model, best_mean, diff,
+         |    RANK() OVER (PARTITION BY model ORDER BY abs(diff)) AS minrk,
+         |    COUNT(*) OVER (PARTITION BY model, abs(diff)) AS cnt
+         |  FROM nz),
+         |rr AS (SELECT model, best_mean, diff,
+         |    CAST(minrk*2 + cnt - 1 AS BIGINT) AS r2 FROM rk),
+         |pm AS (SELECT model, ANY_VALUE(best_mean) AS best_mean,
+         |    CAST(COUNT(*) AS INTEGER) AS m,
+         |    CAST(SUM(CASE WHEN diff > 0 THEN r2 ELSE 0 END) AS BIGINT)
+         |      AS w2_plus,
+         |    list(r2) AS r2s
+         |  FROM rr GROUP BY model),
+         |msk AS (SELECT model, best_mean, m, w2_plus, r2s,
+         |    unnest(range(0, CAST(power(2, m) AS BIGINT))) AS mask FROM pm),
+         |ms AS (SELECT model, best_mean, m, w2_plus, mask,
+         |    list_sum(list_transform(range(1, m + 1),
+         |      i -> CASE WHEN (mask // CAST(power(2, i - 1) AS BIGINT)) % 2
+         |        = 1 THEN r2s[i] ELSE 0 END)) AS msum
+         |  FROM msk)
+         |SELECT model, ANY_VALUE(best_mean) AS best_mean,
+         |  ANY_VALUE(m) AS n_nonzero, ANY_VALUE(w2_plus) AS w2_plus,
+         |  CAST(SUM(CASE WHEN msum >= w2_plus THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS p_greater
+         |FROM ms GROUP BY model ORDER BY model""".stripMargin)
+
+  /** The q_l_tournament oracle's CTE chain, shared with the significance
+    * query: ends in `facc(model, fold, n_correct, n_total, accuracy)`. */
+  private lazy val tournamentAccCtes: String = {
       def l(i: Int) = s"ln((2*pi())*p.v$i)"
       def q(i: Int) = s"(b.x$i-p.m$i)*(b.x$i-p.m$i)*(1.0/p.v$i)"
       val lsum = s"(((${l(0)}+${l(1)})+${l(2)})+${l(3)})"
       val qsum = s"(((${q(0)}+${q(1)})+${q(2)})+${q(3)})"
-      s"""WITH $cvFitCtes,
+      s"""$cvFitCtes,
          |gsc AS (SELECT b.vec_id, b.fold, b.y, p.label,
          |    (ln(p.prior) - 0.5*$lsum) - $qsum*0.5 AS score
          |  FROM base b JOIN prm p ON p.tf = b.fold),
@@ -469,13 +591,13 @@ object R9Queries {
          |  UNION ALL
          |  SELECT 'tree', fold, y, pred FROM treepred
          |  UNION ALL
-         |  SELECT 'rf', cvf, y, pred FROM rfbest)
-         |SELECT model, fold,
+         |  SELECT 'rf', cvf, y, pred FROM rfbest),
+         |facc AS (SELECT model, fold,
          |  CAST(SUM(CASE WHEN label = prediction THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_correct,
          |  COUNT(*) AS n_total,
          |  CAST(SUM(CASE WHEN label = prediction THEN 1 ELSE 0 END)
          |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
-         |FROM melted GROUP BY model, fold ORDER BY model, fold""".stripMargin
-    })
+         |FROM melted GROUP BY model, fold)""".stripMargin
+  }
 }
