@@ -39,7 +39,7 @@ object SparkEntry {
     * DuckDB 1.0 binder bug — q_m4's shape), and never a WINDOW clause
     * (`WINDOW w AS (...)` is the one other `name AS (` form in the
     * catalog). Materialization is an evaluation hint, not semantics. */
-  private def materializeCtes(sql: String): String =
+  private[graft] def materializeCtes(sql: String): String =
     if (!sql.trim.regionMatches(true, 0, "WITH", 0, 4)) sql
     else sql.replaceAll("(?<!WINDOW )\\b(\\w+) AS \\(", "$1 AS MATERIALIZED (")
 

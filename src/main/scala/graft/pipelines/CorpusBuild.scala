@@ -12,7 +12,8 @@ import graft.text.TextOps
   * actually runs, composing the engine's hygiene, dedup, and vector
   * operators end to end:
   *
-  *   quality gate → language agreement → exact dedup → minhash near-dup
+  *   quality gate → language agreement → optional bigram-LM perplexity
+  *   gate (drop the low-likelihood tail) → exact dedup → minhash near-dup
   *   removal → exact-substring (shared verbatim k-run) removal →
   *   edit-distance near-dup removal (composed minhash × length-band
   *   blocking) → SEMANTIC near-dup removal (embedding cluster blocking) →
@@ -34,6 +35,7 @@ import graft.text.TextOps
 object CorpusBuild {
 
   case class StageCounts(raw: Long, quality: Long, langOk: Long,
+                         lmOk: Long,
                          exactDedup: Long, nearDedup: Long,
                          substringDedup: Long, editDedup: Long,
                          semanticDedup: Long)
@@ -46,12 +48,19 @@ object CorpusBuild {
     *                     small key domain, and the guard runs as a
     *                     distributed COUNT before anything is collected, so
     *                     a miskeyed column (doc_id…) fails fast instead of
-    *                     pulling a huge domain through the driver */
+    *                     pulling a huge domain through the driver
+    * @param lmQualityDropFrac when > 0, a corpus-fitted bigram LM
+    *                     (TextOps.bigramLmScore — the CCNet perplexity
+    *                     filter) drops the bottom `frac` of documents by
+    *                     average token log-probability, AFTER the rule
+    *                     gates and BEFORE dedup (statistical gibberish
+    *                     costs every downstream stage pair work). 0 = off. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           partitionCol: String = "source",
           maxPartitionFanout: Int = 256,
           withSubstringDedup: Boolean = true,
-          withEditDedup: Boolean = true): StageCounts = {
+          withEditDedup: Boolean = true,
+          lmQualityDropFrac: Double = 0.0): StageCounts = {
     val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def timed[T](stage: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -69,8 +78,27 @@ object CorpusBuild {
       .filter(TextOps.langIdFast(col("text")) === col("lang"))
       .select(docs.columns.map(col): _*)
 
+    // optional statistical quality gate: corpus-fitted bigram LM drops the
+    // lowest-likelihood tail — catches fluent-looking noise the rule gates
+    // pass. Every langOk survivor has >= 20 tokens (the quality gate), so
+    // every doc gets a score (the LM drops <2-token docs). The cutoff is an
+    // exact percentile here; at 100 TB approx_percentile is the same gate
+    // at a fraction of the cost (the threshold is a heuristic, the
+    // percentile needs no exactness).
+    val lmOk =
+      if (lmQualityDropFrac > 0) {
+        val scored = TextOps.bigramLmScore(langOk, langOk, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cut = scored
+          .agg(expr(s"percentile(avg_lp, $lmQualityDropFrac)"))
+          .head().getDouble(0)
+        langOk.join(scored.filter(col("avg_lp") >= cut).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else langOk
+
     // exact dedup, then minhash near-dup removal (drop the larger id)
-    val deduped = TextOps.exactDedup(langOk, "doc_id", "text")
+    val deduped = TextOps.exactDedup(lmOk, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = TextOps.minhashNearDupPairs(deduped, "doc_id", "text",
       numHashes = 16, bands = 2, threshold = 0.5)
@@ -148,6 +176,7 @@ object CorpusBuild {
       timed("raw")(docs.count()),
       timed("quality")(quality.count()),
       timed("lang_ok")(langOk.count()),
+      timed("lm_ok")(lmOk.count()),
       timed("exact_dedup")(deduped.count()),
       timed("near_dedup")(nearKept.count()),
       timed("substring_dedup")(subKept.count()),
@@ -155,9 +184,9 @@ object CorpusBuild {
       timed("semantic_dedup")(semKept.count()))
     import spark.implicits._
     val stageDf = Seq((counts.raw, counts.quality, counts.langOk,
-      counts.exactDedup, counts.nearDedup, counts.substringDedup,
-      counts.editDedup, counts.semanticDedup))
-      .toDF("n_raw", "n_quality", "n_lang_ok", "n_exact_dedup",
+      counts.lmOk, counts.exactDedup, counts.nearDedup,
+      counts.substringDedup, counts.editDedup, counts.semanticDedup))
+      .toDF("n_raw", "n_quality", "n_lang_ok", "n_lm_ok", "n_exact_dedup",
         "n_near_dedup", "n_substring_dedup", "n_edit_dedup",
         "n_semantic_dedup")
     val mixture = semKept.groupBy(partitionCol).agg(
@@ -180,6 +209,7 @@ object CorpusBuild {
     val spark = PipelineSession.build()
     val c = run(spark, sfDir, outDir)
     println(s"[corpus] raw=${c.raw} quality=${c.quality} lang=${c.langOk} " +
+      s"lm=${c.lmOk} " +
       s"exact=${c.exactDedup} near=${c.nearDedup} substr=${c.substringDedup} " +
       s"edit=${c.editDedup} semantic=${c.semanticDedup}")
     spark.stop()

@@ -46,9 +46,10 @@ class PipelinesSpec extends AnyFunSuite {
     val out = tmp("ep4")
     val c = CorpusBuild.run(spark, sfDir, out)
     // each stage can only shrink the corpus — monotone through ALL of the
-    // hygiene + four-modality dedup chain
+    // hygiene + four-modality dedup chain (LM gate off by default: no-op)
     assert(c.raw >= c.quality && c.quality >= c.langOk &&
-      c.langOk >= c.exactDedup && c.exactDedup >= c.nearDedup &&
+      c.langOk == c.lmOk &&
+      c.lmOk >= c.exactDedup && c.exactDedup >= c.nearDedup &&
       c.nearDedup >= c.substringDedup && c.substringDedup >= c.editDedup &&
       c.editDedup >= c.semanticDedup && c.semanticDedup > 0)
     // partitioned + compacted output holds exactly the surviving docs
@@ -74,6 +75,21 @@ class PipelinesSpec extends AnyFunSuite {
     assert(timings.filter(col("wall_ms") < 0).count() == 0)
     // the pipeline sweeps its own cached blocks before returning
     assert(graft.ops.Leaks.persistentRddCount(spark) == 0)
+  }
+
+  test("EP4 LM quality gate drops the low-likelihood tail when enabled") {
+    val out = tmp("ep4lm")
+    val c = CorpusBuild.run(spark, sfDir, out, withSubstringDedup = false,
+      withEditDedup = false, lmQualityDropFrac = 0.1)
+    // the gate cuts at the 10th percentile of avg_lp: at least the tail
+    // below the cutoff is gone, and the stage stays monotone
+    assert(c.lmOk < c.langOk, s"LM gate dropped nothing (${c.langOk})")
+    assert(c.lmOk >= (c.langOk * 0.8).toLong,
+      s"LM gate over-dropped: ${c.lmOk} of ${c.langOk}")
+    assert(c.lmOk >= c.exactDedup && c.semanticDedup > 0)
+    val stages = spark.read.json(s"$out/manifest_stages").collect().head
+    assert(stages.getAs[Long]("n_lm_ok") == c.lmOk)
+    graft.ops.Leaks.sweep(spark)
   }
 
   test("EP4 refuses a high-cardinality partition key before any layout") {

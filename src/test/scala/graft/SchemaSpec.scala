@@ -63,4 +63,21 @@ class SchemaSpec extends AnyFunSuite {
     assert(fixed.selectExpr("unix_micros(ts)").as[Long].collect().sorted
       === Array(1000000L, 2000000L))
   }
+
+  test("materializeCtes hints every CTE, skips WINDOW clauses and non-WITH statements") {
+    val m = SparkEntry.materializeCtes _
+    assert(m("WITH a AS (SELECT 1), b AS (SELECT 2) SELECT * FROM a") ==
+      "WITH a AS MATERIALIZED (SELECT 1), b AS MATERIALIZED (SELECT 2) SELECT * FROM a")
+    // WINDOW clause untouched; CAST(x AS ...) and recursive column lists never match
+    assert(m("WITH c AS (SELECT 1)\nSELECT n FROM t WINDOW w AS (PARTITION BY k)") ==
+      "WITH c AS MATERIALIZED (SELECT 1)\nSELECT n FROM t WINDOW w AS (PARTITION BY k)")
+    assert(m("WITH RECURSIVE reach(id, r) AS (SELECT 1, 1) SELECT * FROM reach")
+      .contains("reach(id, r) AS (SELECT"))
+    // parenthesized set-op statements (the DuckDB binder-bug shape) pass through
+    val p = "(WITH src AS (SELECT 1) SELECT * FROM src) UNION ALL (SELECT 2)"
+    assert(m(p) == p)
+    // every shipped oracle stays parseable-shaped: balanced parens preserved
+    SparkEntry.oracleSql.values.foreach { sql =>
+      assert(sql.count(_ == '(') == sql.count(_ == ')'), sql.take(80)) }
+  }
 }
