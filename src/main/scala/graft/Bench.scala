@@ -62,6 +62,20 @@ object Bench {
     // JVM/codegen/parquet-reader warmup outside the timed loop
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+    // Fixed-work calibration probe: a constant synthetic aggregation (no
+    // I/O, no shuffle, data-independent) timed per run so cross-round
+    // wall-clock comparisons can normalize machine-wide drift instead of
+    // hand-adjudicating it (round-9 lesson: a uniform +20% idle-vs-idle
+    // drift with bit-identical shuffle budgets). min of 3 — same
+    // JIT/GC-noise discipline as the query loop.
+    def calibrationRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 28, 1L, cpus.toInt)
+        .selectExpr("sum((id * 2654435761) % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrationRun() // warm the codegen path before measuring
+    val calibrationSec = (1 to 3).map(_ => calibrationRun()).min
     // The driver captures only the LAST 2000 chars of run output (measured:
     // BENCH_r01/r02 tail length == 2000), and sbt appends a ~80-char
     // "[success] Total time" line after our println. A per-query map for ~97
@@ -171,7 +185,7 @@ object Bench {
     val memRegressJson = reportAndJson("MEMORY",
       regressions(loadBudget("mem_budget.json"), 64L * 1024 * 1024, _._4))
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"iterations":$iterations,"queries":${toJson(times)},"metrics":$metricsJson,"shuffle_regressions":$regressJson,"mem_regressions":$memRegressJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"iterations":$iterations,"calibration_sec":${r3(calibrationSec)},"queries":${toJson(times)},"metrics":$metricsJson,"shuffle_regressions":$regressJson,"mem_regressions":$memRegressJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()

@@ -26,7 +26,8 @@ object SparkEntry {
       R4Queries.queries ++ TpchPlusQueries.queries ++
       WarehouseQueries.queries ++ R5Queries.queries ++ R6Queries.queries ++
       R7Queries.queries ++ R8Queries.queries ++ R9Queries.queries ++
-      ForestQueries.queries ++ Ep4Queries.queries
+      ForestQueries.queries ++ Ep4Queries.queries ++ Ep2Queries.queries ++
+      R10Queries.queries
 
   /** DuckDB 1.0 re-plans and RE-EXECUTES a WITH-clause CTE once per
     * reference unless it is marked AS MATERIALIZED — for the deep
@@ -52,6 +53,7 @@ object SparkEntry {
       R4Queries.oracles ++ TpchPlusQueries.oracles ++
       WarehouseQueries.oracles ++ R5Queries.oracles ++ R6Queries.oracles ++
       R7Queries.oracles ++ R8Queries.oracles ++ R9Queries.oracles ++
-      ForestQueries.oracles ++ Ep4Queries.oracles)
+      ForestQueries.oracles ++ Ep4Queries.oracles ++ Ep2Queries.oracles ++
+      R10Queries.oracles)
       .map { case (k, v) => k -> materializeCtes(v) }
 }

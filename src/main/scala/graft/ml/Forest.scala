@@ -119,10 +119,12 @@ object Forest {
 
   def fit(df: DataFrame, keyCol: String, arrCol: String, labelCol: String,
           d: Int, nTrees: Int = 4, depth: Int = 3, bins: Int = 32,
-          mtry: Int = 2, seed: Int = 42, nTrials: Int = 8): ForestModel =
+          mtry: Int = 2, seed: Int = 42, nTrials: Int = 8,
+          sampleCap: Long = 200000): ForestModel =
     fitCv(df.withColumn("__no_fold", lit(-1)), keyCol, arrCol, labelCol,
       "__no_fold", nFolds = 1, d = d, nTrees = nTrees, depth = depth,
-      bins = bins, mtry = mtry, seed = seed, nTrials = nTrials).head
+      bins = bins, mtry = mtry, seed = seed, nTrials = nTrials,
+      sampleCap = sampleCap).head
 
   /** Fit `nFolds` forests at once — forest f trains on rows whose
     * `foldCol` ≠ f (K-fold CV; with nFolds = 1 and foldCol ≡ -1 this is
@@ -138,7 +140,11 @@ object Forest {
   def fitCv(df: DataFrame, keyCol: String, arrCol: String, labelCol: String,
             foldCol: String, nFolds: Int, d: Int, nTrees: Int = 4,
             depth: Int = 3, bins: Int = 32, mtry: Int = 2, seed: Int = 42,
-            nTrials: Int = 8): IndexedSeq[ForestModel] = {
+            nTrials: Int = 8, sampleCap: Long = 200000)
+      : IndexedSeq[ForestModel] = {
+    require(sampleCap <= HistTree.ExactBound,
+      s"Forest: sampleCap must stay within the 2^53-exact bound " +
+        s"${HistTree.ExactBound}")
     def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
     // per-fold TRAIN min/max + row count in ONE grouped pass
     val folded = df
@@ -151,11 +157,13 @@ object Forest {
       .collect().map(r => r.getAs[Int]("cvf") -> r).toMap
     val minsK = Array.tabulate(nFolds, d)((f, i) => mm(f).getAs[Long](s"mn_$i"))
     val maxsK = Array.tabulate(nFolds, d)((f, i) => mm(f).getAs[Long](s"mx_$i"))
-    // weighted rows per tree sum to ~n, so the HistTree score ceiling
-    // applies per tree as-is
-    (0 until nFolds).foreach(f => require(mm(f).getAs[Long]("n") <= 300000L,
-      "Forest: HistTree's 2^53-exact score ceiling (~3e5 rows); " +
-        "subsample for split selection at larger scale"))
+    val nK = (0 until nFolds).map(f => mm(f).getAs[Long]("n"))
+    // weighted rows per tree sum to ~n (E[w] = 1), so HistTree's score
+    // ceiling applies per tree as-is; past sampleCap the per-level
+    // histogram reads the md5-thresholded ROW subsample (the same rows
+    // for every tree — split selection only; routing and leaf
+    // majorities keep full data). See HistTree's object Scaladoc.
+    val needSub = nK.exists(_ > sampleCap)
 
     // per-fold bin expressions, dispatched on the materialized cvf column
     val b = (0 until d).map { i =>
@@ -168,14 +176,34 @@ object Forest {
     // melt the tree index in (map-side explode), weight each pair, drop
     // w=0 — ONE relation feeds every level's histogram for ALL folds and
     // ALL trees
-    val melted = folded.select(col(keyCol), col("cvf"),
-        col(labelCol).cast("int").as("y"), array(b: _*).as("b"))
+    val baseCols = Seq(col(keyCol), col("cvf"),
+      col(labelCol).cast("int").as("y"), array(b: _*).as("b")) ++
+      (if (!needSub) Nil
+       else Seq((0 until nFolds).foldLeft(lit(false)) { (acc, f) =>
+         val cond =
+           if (nK(f) <= sampleCap) lit(true)
+           else HistTree.subsampleCond(keyCol, sampleCap, nK(f))
+         when(col("cvf") === f, cond).otherwise(acc)
+       }.as("insub")))
+    val melted = folded.select(baseCols: _*)
       .withColumn("tree", explode(array((0 until nTrees).map(lit): _*)))
       .withColumn("w",
         weightExpr(keyCol, col("tree"), seed, nTrials).cast("long"))
       .filter(col("w") > 0)
       .localCheckpoint(true) // depth+1 aggregates read it; hashes are cheap
                              // but re-planning the explode each pass isn't
+    if (needSub)
+      // realized subsample guard: per (fold, tree) the weighted
+      // histogram total is Σw over the subsample — measure and refuse
+      // past the exact bound instead of drifting
+      melted.filter(col("insub")).groupBy("cvf", "tree")
+        .agg(sum(col("w")).as("ws")).collect().foreach { r =>
+          require(r.getAs[Long]("ws") <= HistTree.ExactBound,
+            "Forest: realized split-selection subsample weight exceeds " +
+              "the 2^53-exact bound — lower sampleCap")
+        }
+    def histSrc(c: DataFrame): DataFrame =
+      if (needSub) c.filter(col("insub")) else c
 
     // `node` is a MATERIALIZED column advanced one projection per level
     // (each level's reassignment references the previous level's node
@@ -189,7 +217,7 @@ object Forest {
       scala.collection.mutable.Map.empty[Int, (Long, Long)])
     for (_ <- 0 until depth) {
       // ONE distributed pass per level for every (fold, tree)
-      val counts = cur
+      val counts = histSrc(cur)
         .select(col("cvf"), col("tree"), col("node"), col("y"), col("w"),
           posexplode(col("b")))
         .groupBy(col("cvf"), col("tree"), col("node"), col("pos").as("f"),

@@ -25,12 +25,22 @@ import org.apache.spark.sql.functions._
   *    no-gain nodes become leaves, like sklearn's min_impurity_decrease=0;
   *  - ties rank (score DESC, feature ASC, bin ASC).
   *
-  * EXACTNESS CEILING: the comparison score is ONE double division of
-  * integer-exact operands; operands stay under 2^53 (so the doubles are
-  * exact on any IEEE engine) while n_node ≲ 3·10⁵ rows. fit() refuses
-  * beyond that rather than let last-ulp ranking drift cross-engine —
-  * at larger scale, split selection on a uniform subsample is the
-  * standard (and statistically sufficient) move.
+  * EXACTNESS CEILING, AND THE PATH PAST IT: the comparison score is ONE
+  * double division of integer-exact operands; operands stay under 2^53
+  * (so the doubles are exact on any IEEE engine) while
+  * n_node ≲ 3·10⁵ rows. Beyond that, fit subsamples for SPLIT SELECTION
+  * only (pass `keyCol`): per fold, when the train count n exceeds
+  * `sampleCap`, the per-level histogram — and therefore the split
+  * choice — reads only rows whose md5("42:key#sub") prefix clears the
+  * floor(cap/n·2³²) threshold (the M9/M13 hash-threshold discipline),
+  * an ≈cap-row uniform subsample that is a PURE (key) predicate a SQL
+  * oracle replays verbatim. Everything else — binning min/max, node
+  * routing, leaf majorities, predictions — still uses FULL data, so
+  * only the choice of split points is estimated (the classic
+  * subsample-for-splits move of PLANET/LightGBM, where quantile
+  * boundaries from a sample are statistically sufficient). The
+  * realized subsample size is measured and REFUSED past the 2^53 bound
+  * rather than allowed to drift.
   *
   * Ref: src/models/decision_tree.py:15-34 (DecisionTreeClassifier in the
   * reference tournament); assignment_report.md dt row (parity vs the
@@ -108,20 +118,49 @@ object HistTree {
         lit((bins - 1).toDouble)), lit(0.0)).cast("int")
     }
 
+  /** The hard 2^53-exactness bound on split-selection input rows: the
+    * score numerator is ≤ n_L·n_R·n ≤ n³/4, which must stay an exact
+    * double. */
+  private[ml] val ExactBound = 300000L
+
+  /** Subsample predicate for split selection: md5("seed:key#sub") prefix
+    * under the floor(cap/n·2³²) hex threshold — the M9 hash-threshold
+    * discipline on a dedicated hash stream (the fold deal uses
+    * md5("seed:key"), bootstraps md5("seed:key#<int>"); "#sub" collides
+    * with neither). The same text replays in SQL with the threshold
+    * computed in-query from n. */
+  private[ml] def subsampleCond(keyCol: String, cap: Long, n: Long,
+                                seed: Int = 42): Column = {
+    val thr = f"${math.floor(cap.toDouble / n * 4294967296.0).toLong}%08x"
+    substring(graft.ml.Split.hashKey(
+      concat_ws("#", col(keyCol), lit("sub")), seed), 1, 8) < thr
+  }
+
   def fit(df: DataFrame, arrCol: String, labelCol: String, d: Int,
-          depth: Int = 3, bins: Int = 32): TreeModel =
+          depth: Int = 3, bins: Int = 32, keyCol: Option[String] = None,
+          sampleCap: Long = 200000): TreeModel =
     fitCv(df.withColumn("__no_fold", lit(-1)), arrCol, labelCol,
-      "__no_fold", nFolds = 1, d = d, depth = depth, bins = bins).head
+      "__no_fold", nFolds = 1, d = d, depth = depth, bins = bins,
+      keyCol = keyCol, sampleCap = sampleCap).head
 
   /** Fit `nFolds` trees at once — tree f trains on rows whose `foldCol`
     * ≠ f (with nFolds = 1 and foldCol ≡ -1 this is the plain single
     * fit). The fold index melts into the histogram key, so K trees cost
     * the same number of per-level driver round-trips as one; bins come
     * from each fold's TRAIN min/max. Mirrors the fold-aware oracle
-    * chain (R9Queries.treeCtes cv = true). */
+    * chain (R9Queries.treeCtes cv = true).
+    *
+    * When a fold's train count exceeds `sampleCap`, the per-level
+    * HISTOGRAM (split selection) reads only the md5-thresholded
+    * subsample of `keyCol` rows (see the object Scaladoc); routing and
+    * leaf majorities always use full data. Passing no `keyCol` keeps
+    * the refuse-don't-drift behavior at the cap. */
   def fitCv(df: DataFrame, arrCol: String, labelCol: String,
             foldCol: String, nFolds: Int, d: Int,
-            depth: Int = 3, bins: Int = 32): IndexedSeq[TreeModel] = {
+            depth: Int = 3, bins: Int = 32, keyCol: Option[String] = None,
+            sampleCap: Long = 200000): IndexedSeq[TreeModel] = {
+    require(sampleCap <= ExactBound,
+      s"HistTree: sampleCap must stay within the 2^53-exact bound $ExactBound")
     def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
     val folded = df
       .withColumn("cvf", explode(array((0 until nFolds).map(lit): _*)))
@@ -133,9 +172,12 @@ object HistTree {
       .collect().map(r => r.getAs[Int]("cvf") -> r).toMap
     val minsK = Array.tabulate(nFolds, d)((f, i) => mm(f).getAs[Long](s"mn_$i"))
     val maxsK = Array.tabulate(nFolds, d)((f, i) => mm(f).getAs[Long](s"mx_$i"))
-    (0 until nFolds).foreach(f => require(mm(f).getAs[Long]("n") <= 300000L,
-      "HistTree: score doubles exceed the 2^53-exact range past ~3e5 " +
-        "rows per node; subsample for split selection at larger scale"))
+    val nK = (0 until nFolds).map(f => mm(f).getAs[Long]("n"))
+    val needSub = nK.exists(_ > sampleCap)
+    if (needSub) require(keyCol.nonEmpty,
+      "HistTree: a fold's train size exceeds sampleCap — pass keyCol to " +
+        "enable md5-subsampled split selection (refusing rather than " +
+        "letting score ranking drift past the 2^53-exact range)")
 
     val b = (0 until d).map { i =>
       (0 until nFolds).foldLeft(lit(null).cast("int")) { (acc, f) =>
@@ -143,8 +185,31 @@ object HistTree {
           .otherwise(acc)
       }
     }
-    val binned = folded.select(col("cvf"),
+    val binned0 = folded.select(col("cvf"),
       col(labelCol).cast("int").as("y"), array(b: _*).as("b"))
+    val binned =
+      if (!needSub) binned0
+      else {
+        val insub = (0 until nFolds).foldLeft(lit(false)) { (acc, f) =>
+          val cond =
+            if (nK(f) <= sampleCap) lit(true)
+            else subsampleCond(keyCol.get, sampleCap, nK(f))
+          when(col("cvf") === f, cond).otherwise(acc)
+        }
+        val withSub = folded.select(col("cvf"),
+          col(labelCol).cast("int").as("y"), array(b: _*).as("b"),
+          insub.as("insub"))
+        // measure the realized subsample; refuse past the exact bound
+        withSub.filter(col("insub")).groupBy("cvf")
+          .agg(count(lit(1)).as("ns")).collect().foreach { r =>
+            require(r.getAs[Long]("ns") <= ExactBound,
+              "HistTree: realized split-selection subsample exceeds the " +
+                "2^53-exact bound — lower sampleCap")
+          }
+        withSub
+      }
+    def histSrc(c: DataFrame): DataFrame =
+      if (needSub) c.filter(col("insub")) else c
 
     // `node` advances one materialized projection per level (attribute
     // reference, not expression re-inlining — linear plan growth)
@@ -153,7 +218,7 @@ object HistTree {
       scala.collection.mutable.ArrayBuffer.empty[Split])
     for (_ <- 0 until depth) {
       // ONE distributed pass: per-(fold, node, feature, bin, class)
-      val counts = cur
+      val counts = histSrc(cur)
         .select(col("cvf"), col("node"), col("y"), posexplode(col("b")))
         .groupBy(col("cvf"), col("node"), col("pos").as("f"),
           col("col").as("b"), col("y"))

@@ -1,0 +1,547 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ml.{Extras, Forest, HistGbtR, HistTree}
+
+/** Round-10 queries: the SUBSAMPLED-SPLIT-SELECTION path of the
+  * hash-exact tree/forest family, oracle-verified.
+  *
+  * HistTree/Forest fits are exact only while per-node totals keep the
+  * score numerator under 2^53 (~3·10⁵ rows). Past a `sampleCap`, the
+  * per-level histogram — split selection only — now reads an
+  * md5-thresholded uniform row subsample (md5("42:key#sub") prefix
+  * under floor(cap/n·2³²)), while binning min/max, node routing and
+  * leaf majorities keep FULL data. That predicate is pure (key), so the
+  * oracle replays the whole subsampled fit bit-for-bit.
+  *
+  * These queries FORCE a tiny cap (300) so the subsample path engages
+  * at every test scale (500-20 000 rows) — the production default
+  * (200 000) would never trigger on test data, and an unexercised
+  * scale path is an unverified one.
+  *
+  * Ref: src/models/decision_tree.py, src/models/random_forest.py (the
+  * surfaces being modeled); subsampled split finding is the standard
+  * large-scale move of PLANET §4 / LightGBM's histogram sampling.
+  */
+object R10Queries {
+  private val D = 4
+  private val SubCap = 300L
+
+  private def frame(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").select(
+      col("vec_id"),
+      col("label").cast("int").as("y"),
+      array((0 until D).map(i =>
+        floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
+          + lit(0.5)).cast("double")): _*).as("x"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The subsampled tree FIT as data: split selection sees only the
+    // ~cap-row md5 subsample; the split table proves both engines chose
+    // identical (feature, bin) argmins from it.
+    "q_l_tree_sub_params" -> ((s, d) => {
+      val m = HistTree.fit(frame(s, d), "x", "y", D,
+        depth = ForestQueries.Depth, bins = ForestQueries.Bins,
+        keyCol = Some("vec_id"), sampleCap = SubCap)
+      import s.implicits._
+      m.splits.map(sp =>
+          (sp.node, sp.feature, sp.bin, sp.nLeft, sp.nRight, sp.score))
+        .toDF("node", "feature", "threshold_bin", "n_left", "n_right",
+          "score")
+        .orderBy("node")
+    }),
+
+    // The subsampled FOREST end to end: md5-bootstrap weights, mtry on
+    // the subsample's node set, splits from the subsampled weighted
+    // histogram — then every row votes through all trees (leaf
+    // majorities from FULL bootstrap-weighted data). In-sample
+    // confusion of the vote.
+    "q_l_rf_sub_confusion" -> ((s, d) => {
+      val base = frame(s, d).localCheckpoint(true)
+      val m = Forest.fit(base, "vec_id", "x", "y", D,
+        nTrees = ForestQueries.T, depth = ForestQueries.Depth,
+        bins = ForestQueries.Bins, mtry = ForestQueries.Mtry,
+        seed = ForestQueries.Seed, nTrials = ForestQueries.NTrials,
+        sampleCap = SubCap)
+      m.predict(base, "x", "prediction")
+        .select(col("y").as("label"), col("prediction"))
+        .filter(col("prediction").isNotNull)
+        .groupBy("label", "prediction").agg(count(lit(1)).as("n"))
+        .orderBy("label", "prediction")
+    }),
+
+    // M14 — permutation importance, hash-exact (the impurity twin got
+    // q_l_rf_importance in r9; this completes the pair both ways):
+    // scorer = the SAME hash-exact forest as q_l_rf_*, permutation =
+    // the md5-rank cyclic rotation of ONE feature column
+    // (Extras.permuteColumn's discipline: rank all rows by
+    // md5("1000:key"), each row takes the rotated row's value — a
+    // deterministic uniform permutation with no RNG state), importance
+    // = base accuracy − permuted accuracy (abstaining rows dropped on
+    // both engines). Ref: wine nb 11 cell 46 (permutation_importance).
+    "q_m14_perm_importance" -> ((s, d) => {
+      val base = frame(s, d).localCheckpoint(true)
+      val m = Forest.fit(base, "vec_id", "x", "y", D,
+        nTrees = ForestQueries.T, depth = ForestQueries.Depth,
+        bins = ForestQueries.Bins, mtry = ForestQueries.Mtry,
+        seed = ForestQueries.Seed, nTrials = ForestQueries.NTrials)
+      def acc(df: DataFrame): DataFrame =
+        m.predict(df, "x", "p").filter(col("p").isNotNull)
+          .agg(sum(when(col("y") === col("p"), 1L).otherwise(0L)).as("c"),
+            count(lit(1)).as("t"))
+      val n = base.count()
+      def permuted(i: Int): DataFrame = {
+        val ranked = Extras.hashRank(base, "vec_id", PermSeed, "__rn")
+        val shifted = ranked.select(
+          (pmod(col("__rn"), lit(n)) + 1).as("__rn"),
+          element_at(col("x"), i + 1).as("__xi"))
+        ranked.join(shifted, Seq("__rn"))
+          .withColumn("x", array((0 until D).map(j =>
+            if (j == i) col("__xi") else element_at(col("x"), j + 1)): _*))
+          .drop("__rn", "__xi")
+      }
+      val b = acc(base).select(col("c").as("bc"), col("t").as("bt"))
+      val rows = (0 until D).map(i =>
+        acc(permuted(i)).select(lit(i).as("feature"), col("c"), col("t")))
+        .reduce(_.unionByName(_))
+      rows.crossJoin(broadcast(b))
+        .select(col("feature"),
+          (col("bc").cast("double") / col("bt").cast("double"))
+            .as("base_acc"),
+          (col("c").cast("double") / col("t").cast("double"))
+            .as("perm_acc"))
+        .withColumn("importance", col("base_acc") - col("perm_acc"))
+        .orderBy("feature")
+    }),
+
+    // L5's hash-exact member — squared-error GBDT on the integer label
+    // (see ml/GbtExact.scala): the fitted split tables of every round,
+    // residual sums included, replayed by one DuckDB statement.
+    "q_l_gbt_params" -> ((s, d) => {
+      val (m, _) = HistGbtR.fit(frame(s, d), "x", "y", D,
+        rounds = GbtRounds, depth = GbtDepth, bins = GbtBins)
+      import s.implicits._
+      m.splits.map(sp => (sp.round, sp.node, sp.feature, sp.bin,
+          sp.nLeft, sp.nRight, sp.sLeft, sp.sRight, sp.score))
+        .toDF("round", "node", "feature", "threshold_bin",
+          "n_left", "n_right", "s_left", "s_right", "score")
+        .orderBy("round", "node")
+    }),
+
+    // The boosting TRAINING CURVE as exact integers: per round, the
+    // post-update Σr² (round 0 = the F₀ baseline) and the leaf count —
+    // monotone SSE descent proven bit-for-bit on both engines.
+    "q_l_gbt_curve" -> ((s, d) => {
+      val (_, curve) = HistGbtR.fit(frame(s, d), "x", "y", D,
+        rounds = GbtRounds, depth = GbtDepth, bins = GbtBins)
+      import s.implicits._
+      curve.toDF("round", "sse", "n_leaves").orderBy("round")
+    }))
+
+  private val PermSeed = 1000
+  private val GbtRounds = 3
+  private val GbtDepth = 2
+  private val GbtBins = 16
+
+  // ---- oracle SQL ---------------------------------------------------
+
+  /** In-SQL twin of HistTree.subsampleCond: threshold computed from the
+    * row count, md5 text identical to Split.hashKey(key#sub, 42). */
+  private def insubSql(nSrc: String): String =
+    s"CASE WHEN (SELECT n FROM $nSrc) <= $SubCap THEN TRUE " +
+      s"ELSE substr(MD5(CONCAT_WS(':', '42', " +
+      s"CAST(b.vec_id AS VARCHAR) || '#sub')), 1, 8) < " +
+      s"printf('%08x', CAST(floor((CAST($SubCap AS DOUBLE) / " +
+      s"CAST((SELECT n FROM $nSrc) AS DOUBLE)) * 4294967296.0) AS BIGINT)) " +
+      s"END"
+
+  /** Shared prefix: quantized base, row count, global min/max. */
+  private def subBaseCtes: String = {
+    def x(i: Int) =
+      s"floor(CAST(embedding[${i + 1}] AS DOUBLE)*1000000.0 + 0.5)"
+    val baseCols = (0 until D).map(i => s"${x(i)} AS x$i").mkString(", ")
+    val mm = (0 until D).map(i =>
+      s"MIN(CAST(x$i AS BIGINT)) AS mn$i, MAX(CAST(x$i AS BIGINT)) AS mx$i")
+      .mkString(", ")
+    s"""stbase AS (SELECT vec_id, CAST(label AS INTEGER) AS y,
+       |    $baseCols
+       |  FROM embeddings),
+       |stn AS (SELECT COUNT(*) AS n FROM stbase),
+       |stmm AS (SELECT $mm FROM stbase)""".stripMargin
+  }
+
+  /** Single-tree subsampled fit: histogram CTEs read WHERE insub; node
+    * assignment keeps all rows. Mirrors HistTree.fit with keyCol set. */
+  private def subTreeChain: String = {
+    val B = ForestQueries.Bins
+    val depth = ForestQueries.Depth
+    val binCols = (0 until D).map(i =>
+      s"CAST(greatest(least(floor(((b.x$i - m.mn$i) * $B.0) / " +
+        s"(m.mx$i - m.mn$i + 1.0)), ${B - 1}.0), 0.0) AS INTEGER) AS b$i")
+      .mkString(",\n    ")
+    def level(l: Int): String = {
+      val melt = (0 until D).map(i =>
+        s"SELECT node, y, $i AS f, b$i AS b FROM sta$l WHERE insub")
+        .mkString("\n      UNION ALL ")
+      s"""stcand$l AS (SELECT node, f, b, y, count(*) AS cnt FROM (
+         |      $melt) t GROUP BY 1, 2, 3, 4),
+         |stgrid$l AS (SELECT n.node, CAST(ff.f AS INTEGER) AS f,
+         |    CAST(bb.b AS INTEGER) AS b, l.y
+         |  FROM (SELECT DISTINCT node FROM sta$l WHERE insub) n
+         |  CROSS JOIN (SELECT unnest(range(0, $D)) AS f) ff
+         |  CROSS JOIN (SELECT unnest(range(0, $B)) AS b) bb
+         |  CROSS JOIN (SELECT DISTINCT y FROM stbase) l),
+         |stcum$l AS (SELECT g.node, g.f, g.b, g.y,
+         |    SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.node, g.f, g.y
+         |      ORDER BY g.b) AS cum,
+         |    SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.node, g.f, g.y)
+         |      AS tot
+         |  FROM stgrid$l g LEFT JOIN stcand$l c
+         |    ON c.node = g.node AND c.f = g.f AND c.b = g.b AND c.y = g.y),
+         |stsc$l AS (SELECT node, f, b, SUM(cum) AS nl, SUM(tot - cum) AS nr,
+         |    SUM(cum*cum) AS sl, SUM((tot - cum)*(tot - cum)) AS sr
+         |  FROM stcum$l GROUP BY 1, 2, 3),
+         |stnt$l AS (SELECT node, SUM(c) AS tn, SUM(c*c) AS st FROM
+         |    (SELECT node, y, count(*) AS c FROM sta$l WHERE insub
+         |      GROUP BY 1, 2) t
+         |  GROUP BY 1),
+         |stbest$l AS (SELECT * FROM (SELECT s.node, s.f, s.b, s.nl, s.nr,
+         |      CAST(s.sl*s.nr + s.sr*s.nl AS DOUBLE) /
+         |        CAST(s.nl*s.nr AS DOUBLE) AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY s.node ORDER BY
+         |        CAST(s.sl*s.nr + s.sr*s.nl AS DOUBLE) /
+         |          CAST(s.nl*s.nr AS DOUBLE) DESC, s.f, s.b) AS rn
+         |    FROM stsc$l s JOIN stnt$l t ON t.node = s.node
+         |    WHERE s.nl > 0 AND s.nr > 0
+         |      AND t.tn*(s.sl*s.nr + s.sr*s.nl) > t.st*s.nl*s.nr) z
+         |  WHERE rn = 1),
+         |sta${l + 1} AS (SELECT a.vec_id, a.y, a.insub, a.b0, a.b1, a.b2,
+         |    a.b3,
+         |    CASE WHEN s.node IS NULL THEN a.node
+         |         WHEN (CASE s.f WHEN 0 THEN a.b0 WHEN 1 THEN a.b1
+         |               WHEN 2 THEN a.b2 ELSE a.b3 END) <= s.b
+         |           THEN 2*a.node + 1
+         |         ELSE 2*a.node + 2 END AS node
+         |  FROM sta$l a LEFT JOIN stbest$l s ON s.node = a.node)"""
+        .stripMargin
+    }
+    s"""sta0 AS (SELECT b.vec_id, b.y, ${insubSql("stn")} AS insub,
+       |    0 AS node,
+       |    $binCols
+       |  FROM stbase b CROSS JOIN stmm m),
+       |${(0 until depth).map(level).mkString(",\n")}""".stripMargin
+  }
+
+  /** Subsampled forest fit + in-sample routing: fit histograms (fcand,
+    * fnt) and the mtry node set read WHERE insub; leaf majorities and
+    * the scoring relation keep full (bootstrap-weighted) data. Mirrors
+    * Forest.fit with sampleCap set. */
+  private def subForestCtes: String = {
+    val B = ForestQueries.Bins
+    val depth = ForestQueries.Depth
+    val T = ForestQueries.T
+    val mtry = ForestQueries.Mtry
+    val seed = ForestQueries.Seed
+    val nTrials = ForestQueries.NTrials
+    val binCols = (0 until D).map(i =>
+      s"CAST(greatest(least(floor(((b.x$i - m.mn$i) * $B.0) / " +
+        s"(m.mx$i - m.mn$i + 1.0)), ${B - 1}.0), 0.0) AS INTEGER) AS b$i")
+      .mkString(",\n    ")
+    val mtryHash =
+      s"MD5('$seed' || ':' || CAST(n.tf AS VARCHAR) || '#' || " +
+        s"CAST(n.node AS VARCHAR) || '#' || CAST(ff.f AS VARCHAR))"
+    val coin =
+      s"substr(MD5('$seed' || ':' || CAST(b.vec_id AS VARCHAR) || '#' || " +
+        s"CAST(fd.tf*$nTrials + dd.d AS VARCHAR)), 1, 8) < '20000000'"
+    def assignSel(src: String, best: String) = {
+      val pick = "CASE s.f WHEN 0 THEN a.b0 WHEN 1 THEN a.b1 " +
+        "WHEN 2 THEN a.b2 ELSE a.b3 END"
+      s"""SELECT a.vec_id, a.tf, a.y, a.w, a.insub, a.b0, a.b1, a.b2, a.b3,
+         |    CASE WHEN s.node IS NULL THEN a.node
+         |         WHEN ($pick) <= s.b THEN 2*a.node + 1
+         |         ELSE 2*a.node + 2 END AS node
+         |  FROM $src a LEFT JOIN $best s
+         |    ON s.tf = a.tf AND s.node = a.node""".stripMargin
+    }
+    def level(l: Int): String = {
+      val melt = (0 until D).map(i =>
+        s"SELECT tf, node, y, w, $i AS f, b$i AS b FROM sfa$l WHERE insub")
+        .mkString("\n      UNION ALL ")
+      s"""sfsel$l AS (SELECT tf, node, f FROM (
+         |    SELECT n.tf, n.node, ff.f,
+         |      ROW_NUMBER() OVER (PARTITION BY n.tf, n.node
+         |        ORDER BY $mtryHash, ff.f) AS rn
+         |    FROM (SELECT DISTINCT tf, node FROM sfa$l WHERE insub) n
+         |    CROSS JOIN (SELECT CAST(unnest(range(0, $D)) AS INTEGER) AS f)
+         |      ff) z
+         |  WHERE rn <= $mtry),
+         |sfcand$l AS (SELECT tf, node, f, b, y, SUM(w) AS cnt FROM (
+         |      $melt) t GROUP BY 1, 2, 3, 4, 5),
+         |sfgrid$l AS (SELECT sl.tf, sl.node, sl.f,
+         |    CAST(bb.b AS INTEGER) AS b, l.y
+         |  FROM sfsel$l sl
+         |  CROSS JOIN (SELECT unnest(range(0, $B)) AS b) bb
+         |  CROSS JOIN (SELECT DISTINCT y FROM stbase) l),
+         |sfcum$l AS (SELECT g.tf, g.node, g.f, g.b, g.y,
+         |    SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.tf, g.node, g.f,
+         |      g.y ORDER BY g.b) AS cum,
+         |    SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY g.tf, g.node, g.f,
+         |      g.y) AS tot
+         |  FROM sfgrid$l g LEFT JOIN sfcand$l c
+         |    ON c.tf = g.tf AND c.node = g.node AND c.f = g.f
+         |      AND c.b = g.b AND c.y = g.y),
+         |sfsc$l AS (SELECT tf, node, f, b, SUM(cum) AS nl,
+         |    SUM(tot - cum) AS nr,
+         |    SUM(cum*cum) AS sl, SUM((tot - cum)*(tot - cum)) AS sr
+         |  FROM sfcum$l GROUP BY 1, 2, 3, 4),
+         |sfnt$l AS (SELECT tf, node, SUM(c) AS tn, SUM(c*c) AS st FROM
+         |    (SELECT tf, node, y, SUM(w) AS c FROM sfa$l WHERE insub
+         |      GROUP BY 1, 2, 3) t
+         |  GROUP BY 1, 2),
+         |sfbest$l AS (SELECT * FROM (SELECT s.tf, s.node, s.f, s.b,
+         |      s.nl, s.nr,
+         |      ROW_NUMBER() OVER (PARTITION BY s.tf, s.node ORDER BY
+         |        CAST(s.sl*s.nr + s.sr*s.nl AS DOUBLE) /
+         |          CAST(s.nl*s.nr AS DOUBLE) DESC, s.f, s.b) AS rn
+         |    FROM sfsc$l s JOIN sfnt$l t ON t.tf = s.tf AND t.node = s.node
+         |    WHERE s.nl > 0 AND s.nr > 0
+         |      AND t.tn*(s.sl*s.nr + s.sr*s.nl) > t.st*s.nl*s.nr) z
+         |  WHERE rn = 1),
+         |sfa${l + 1} AS (${assignSel(s"sfa$l", s"sfbest$l")}),
+         |sfat${l + 1} AS (${assignSel(s"sfat$l", s"sfbest$l")})"""
+        .stripMargin
+    }
+    s"""sftr AS (SELECT CAST(unnest(range(0, $T)) AS INTEGER) AS tf),
+       |sfw AS (SELECT b.vec_id, fd.tf,
+       |    SUM(CASE WHEN $coin THEN 1 ELSE 0 END) AS w
+       |  FROM stbase b CROSS JOIN sftr fd
+       |    CROSS JOIN (SELECT unnest(range(0, $nTrials)) AS d) dd
+       |  GROUP BY 1, 2),
+       |sfa0 AS (SELECT b.vec_id, w.tf, b.y, w.w, ${insubSql("stn")}
+       |      AS insub,
+       |    0 AS node,
+       |    $binCols
+       |  FROM stbase b JOIN sfw w ON w.vec_id = b.vec_id
+       |    CROSS JOIN stmm m
+       |  WHERE w.w > 0),
+       |sfat0 AS (SELECT b.vec_id, w.tf, b.y, w.w, TRUE AS insub, 0 AS node,
+       |    $binCols
+       |  FROM stbase b JOIN sfw w ON w.vec_id = b.vec_id
+       |    CROSS JOIN stmm m),
+       |${(0 until depth).map(level).mkString(",\n")},
+       |sfleaf AS (SELECT tf, node, y AS pred FROM (SELECT tf, node, y,
+       |    ROW_NUMBER() OVER (PARTITION BY tf, node ORDER BY c DESC, y)
+       |      AS rn
+       |  FROM (SELECT tf, node, y, SUM(w) AS c FROM sfa$depth
+       |    GROUP BY 1, 2, 3) t) z
+       |  WHERE rn = 1),
+       |sfpred AS (SELECT t.vec_id, t.y, l.pred
+       |  FROM sfat$depth t JOIN sfleaf l
+       |    ON l.tf = t.tf AND l.node = t.node)""".stripMargin
+  }
+
+  /** Exact floor division (rounds toward −∞, like Math.floorDiv): the
+    * numerator is made divisible first, so `//`'s rounding mode is
+    * immaterial. DuckDB's `%` follows the dividend's sign, like Java. */
+  private def floordivSql(a: String, b: String): String =
+    s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+
+  /** The boosting chain: residuals g0 → per round t (per level:
+    * histogram of (Σr, count), variance-gain argmax with the HUGEINT
+    * strict-improvement test, reassignment) → leaf stats → floor-div
+    * leaf values → updated residuals g$t. Mirrors HistGbtR.fit. */
+  private def gbtCtes: String = {
+    val B = GbtBins
+    val binCols = (0 until D).map(i =>
+      s"CAST(greatest(least(floor(((b.x$i - m.mn$i) * $B.0) / " +
+        s"(m.mx$i - m.mn$i + 1.0)), ${B - 1}.0), 0.0) AS INTEGER) AS b$i")
+      .mkString(",\n    ")
+    def level(t: Int, l: Int): String = {
+      val melt = (0 until D).map(i =>
+        s"SELECT node, r, $i AS f, b$i AS b FROM ga${t}l$l")
+        .mkString("\n      UNION ALL ")
+      s"""gc${t}_$l AS (SELECT node, f, b, SUM(r) AS s, COUNT(*) AS c
+         |  FROM ($melt) t GROUP BY 1, 2, 3),
+         |gg${t}_$l AS (SELECT n.node, CAST(ff.f AS INTEGER) AS f,
+         |    CAST(bb.b AS INTEGER) AS b
+         |  FROM (SELECT DISTINCT node FROM ga${t}l$l) n
+         |  CROSS JOIN (SELECT unnest(range(0, $D)) AS f) ff
+         |  CROSS JOIN (SELECT unnest(range(0, $B)) AS b) bb),
+         |gm${t}_$l AS (SELECT g.node, g.f, g.b,
+         |    SUM(COALESCE(c.s, 0)) OVER (PARTITION BY g.node, g.f
+         |      ORDER BY g.b) AS cs,
+         |    SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.node, g.f
+         |      ORDER BY g.b) AS cc,
+         |    SUM(COALESCE(c.s, 0)) OVER (PARTITION BY g.node, g.f) AS ts,
+         |    SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.node, g.f) AS tc
+         |  FROM gg${t}_$l g LEFT JOIN gc${t}_$l c
+         |    ON c.node = g.node AND c.f = g.f AND c.b = g.b),
+         |gbst${t}_$l AS (SELECT * FROM (SELECT node, f, b,
+         |      cc AS nl, tc - cc AS nr, cs AS sl, ts - cs AS sr,
+         |      CAST(cs*cs*(tc - cc) + (ts - cs)*(ts - cs)*cc AS DOUBLE) /
+         |        CAST(cc*(tc - cc) AS DOUBLE) AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY
+         |        CAST(cs*cs*(tc - cc) + (ts - cs)*(ts - cs)*cc AS DOUBLE) /
+         |          CAST(cc*(tc - cc) AS DOUBLE) DESC, f, b) AS rn
+         |    FROM gm${t}_$l
+         |    WHERE cc > 0 AND tc - cc > 0
+         |      AND tc*(cs*cs*(tc - cc) + (ts - cs)*(ts - cs)*cc)
+         |        > ts*ts*cc*(tc - cc)) z
+         |  WHERE rn = 1),
+         |ga${t}l${l + 1} AS (SELECT a.r, a.b0, a.b1, a.b2, a.b3,
+         |    CASE WHEN s.node IS NULL THEN a.node
+         |         WHEN (CASE s.f WHEN 0 THEN a.b0 WHEN 1 THEN a.b1
+         |               WHEN 2 THEN a.b2 ELSE a.b3 END) <= s.b
+         |           THEN 2*a.node + 1
+         |         ELSE 2*a.node + 2 END AS node
+         |  FROM ga${t}l$l a LEFT JOIN gbst${t}_$l s
+         |    ON s.node = a.node)""".stripMargin
+    }
+    def round(t: Int): String =
+      s"""ga${t}l0 AS (SELECT r, b0, b1, b2, b3, 0 AS node FROM g${t - 1}),
+         |${(0 until GbtDepth).map(l => level(t, l)).mkString(",\n")},
+         |gleaf$t AS (SELECT node, SUM(r) AS s, COUNT(*) AS c,
+         |    SUM(r*r) AS s2
+         |  FROM ga${t}l$GbtDepth GROUP BY node),
+         |glv$t AS (SELECT node,
+         |    ${floordivSql("s", "2*c")} AS v FROM gleaf$t),
+         |g$t AS (SELECT a.r - l.v AS r, a.b0, a.b1, a.b2, a.b3
+         |  FROM ga${t}l$GbtDepth a JOIN glv$t l ON l.node = a.node)"""
+        .stripMargin
+    s"""gf0 AS (SELECT ${floordivSql("SUM(CAST(y AS BIGINT))", "COUNT(*)")}
+       |      AS f0 FROM stbase),
+       |g0 AS (SELECT CAST(b.y AS BIGINT) - (SELECT f0 FROM gf0) AS r,
+       |    $binCols
+       |  FROM stbase b CROSS JOIN stmm m),
+       |${(1 to GbtRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q_l_tree_sub_params" -> {
+      val union = (0 until ForestQueries.Depth)
+        .map(l => s"SELECT node, f, b, nl, nr, score FROM stbest$l")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $subBaseCtes,
+         |$subTreeChain
+         |SELECT node, f AS feature, b AS threshold_bin,
+         |  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+         |  score
+         |FROM ($union) u ORDER BY node""".stripMargin
+    },
+
+    "q_l_rf_sub_confusion" ->
+      s"""WITH $subBaseCtes,
+         |$subForestCtes,
+         |sfvote AS (SELECT vec_id, y, pred, count(*) AS v FROM sfpred
+         |  GROUP BY 1, 2, 3),
+         |sfbestv AS (SELECT vec_id, y, pred FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY v DESC, pred)
+         |      AS rn FROM sfvote) z WHERE rn = 1)
+         |SELECT y AS label, pred AS prediction, count(*) AS n
+         |FROM sfbestv GROUP BY 1, 2 ORDER BY label, prediction""".stripMargin,
+
+    // The q_l_rf_* forest fit (ForestQueries.forestCtes) + the md5-rank
+    // cyclic rotation of each feature in turn, routed through the same
+    // fitted trees; accuracies from the majority votes.
+    "q_m14_perm_importance" -> {
+      val depth = ForestQueries.Depth
+      def permSel(i: Int): String = {
+        val cols = (0 until D).map(j =>
+          if (j == i) s"s.x$j AS x$j" else s"a.x$j AS x$j").mkString(", ")
+        s"""SELECT $i AS pf, a.vec_id, a.y, $cols
+           |  FROM m14rk a JOIN m14rk s
+           |    ON a.rn = (s.rn % (SELECT n FROM m14n)) + 1""".stripMargin
+      }
+      val binCols = (0 until D).map(i =>
+        s"CAST(greatest(least(floor(((p.x$i - m.mn$i) * " +
+          s"${ForestQueries.Bins}.0) / (m.mx$i - m.mn$i + 1.0)), " +
+          s"${ForestQueries.Bins - 1}.0), 0.0) AS INTEGER) AS b$i")
+        .mkString(",\n    ")
+      def routeLevel(l: Int): String = {
+        val pick = "CASE s.f WHEN 0 THEN a.b0 WHEN 1 THEN a.b1 " +
+          "WHEN 2 THEN a.b2 ELSE a.b3 END"
+        s"""m14a${l + 1} AS (SELECT a.pf, a.tf, a.vec_id, a.y,
+           |    a.b0, a.b1, a.b2, a.b3,
+           |    CASE WHEN s.node IS NULL THEN a.node
+           |         WHEN ($pick) <= s.b THEN 2*a.node + 1
+           |         ELSE 2*a.node + 2 END AS node
+           |  FROM m14a$l a LEFT JOIN fbest$l s
+           |    ON s.tf = a.tf AND s.node = a.node)""".stripMargin
+      }
+      s"""WITH ${ForestQueries.forestCtes(cv = false)},
+         |m14bv AS (SELECT vec_id, y, pred FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY v DESC, pred)
+         |      AS rn FROM (SELECT vec_id, y, pred, count(*) AS v
+         |    FROM fpred GROUP BY 1, 2, 3) t) z WHERE rn = 1),
+         |m14b AS (SELECT
+         |    CAST(SUM(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS bc,
+         |    COUNT(*) AS bt
+         |  FROM m14bv),
+         |m14rk AS (SELECT vec_id, y, x0, x1, x2, x3,
+         |    ROW_NUMBER() OVER (ORDER BY MD5(CONCAT_WS(':', '$PermSeed',
+         |      CAST(vec_id AS VARCHAR))), vec_id) AS rn
+         |  FROM fbase),
+         |m14n AS (SELECT COUNT(*) AS n FROM fbase),
+         |m14p AS (
+         |  ${(0 until D).map(permSel).mkString("\n  UNION ALL\n  ")}),
+         |m14a0 AS (SELECT p.pf, fd.tf, p.vec_id, p.y, 0 AS node,
+         |    $binCols
+         |  FROM m14p p CROSS JOIN ftr fd CROSS JOIN fmm m),
+         |${(0 until depth).map(routeLevel).mkString(",\n")},
+         |m14pred AS (SELECT t.pf, t.vec_id, t.y, l.pred
+         |  FROM m14a$depth t JOIN fleaf l
+         |    ON l.tf = t.tf AND l.node = t.node),
+         |m14pv AS (SELECT pf, vec_id, y, pred FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY pf, vec_id
+         |      ORDER BY v DESC, pred) AS rn
+         |  FROM (SELECT pf, vec_id, y, pred, count(*) AS v FROM m14pred
+         |    GROUP BY 1, 2, 3, 4) t) z WHERE rn = 1),
+         |m14pa AS (SELECT pf,
+         |    CAST(SUM(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |    COUNT(*) AS t
+         |  FROM m14pv GROUP BY pf)
+         |SELECT pf AS feature,
+         |  CAST(b.bc AS DOUBLE)/CAST(b.bt AS DOUBLE) AS base_acc,
+         |  CAST(p.c AS DOUBLE)/CAST(p.t AS DOUBLE) AS perm_acc,
+         |  CAST(b.bc AS DOUBLE)/CAST(b.bt AS DOUBLE)
+         |    - CAST(p.c AS DOUBLE)/CAST(p.t AS DOUBLE) AS importance
+         |FROM m14pa p CROSS JOIN m14b b ORDER BY feature""".stripMargin
+    },
+
+    "q_l_gbt_params" -> {
+      val union = (1 to GbtRounds).flatMap(t =>
+        (0 until GbtDepth).map(l =>
+          s"SELECT $t AS round, node, f, b, nl, nr, sl, sr, score " +
+            s"FROM gbst${t}_$l"))
+        .mkString("\n  UNION ALL ")
+      s"""WITH $subBaseCtes,
+         |$gbtCtes
+         |SELECT round, node, f AS feature, b AS threshold_bin,
+         |  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+         |  CAST(sl AS BIGINT) AS s_left, CAST(sr AS BIGINT) AS s_right,
+         |  score
+         |FROM ($union) u ORDER BY round, node""".stripMargin
+    },
+
+    "q_l_gbt_curve" -> {
+      val rounds = (1 to GbtRounds).map(t =>
+        s"""SELECT $t AS round,
+           |  CAST((SELECT SUM(g.s2 - 2*l.v*g.s + g.c*l.v*l.v)
+           |    FROM gleaf$t g JOIN glv$t l ON l.node = g.node) AS BIGINT)
+           |    AS sse,
+           |  (SELECT COUNT(*) FROM gleaf$t) AS n_leaves""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      s"""WITH $subBaseCtes,
+         |$gbtCtes
+         |SELECT round, sse, n_leaves FROM (
+         |  SELECT 0 AS round,
+         |    CAST((SELECT SUM(r*r) FROM g0) AS BIGINT) AS sse,
+         |    CAST(1 AS BIGINT) AS n_leaves
+         |  UNION ALL ${"\n  "}$rounds) u
+         |ORDER BY round""".stripMargin
+    })
+}

@@ -288,6 +288,75 @@ object Tests {
           - col("tie") / 48.0)).as("z"))
   }
 
+  /** T11 exact — the small-sample Wilcoxon signed-rank tail, where the
+    * normal approximation is at its worst: zero diffs dropped, |d|
+    * MIDRANKED (doubled to stay integer — r2 = 2·midrank), and the
+    * p-values are exact fractions of the 2^m sign assignments whose
+    * positive-rank sum reaches W⁺ (resp. falls to W⁻). This is scipy's
+    * `wilcoxon(mode='exact')` made total: scipy REFUSES ties in exact
+    * mode; the midrank permutation tail is the same test with midranks
+    * substituted, and it degenerates to the classical exact table when
+    * there are no ties (StatsSpec pins published values). The
+    * distribution is built by the classical generating-function DP
+    * Π(1 + x^{r2_i}) over exact BigInt counts — O(m · Σr2) driver work
+    * on the ≤ m ≤ 25 collected (r2, count) pairs (fitted-statistic
+    * scale; the heavy part, ranking, is the distributed Ranks pass).
+    * The same tail runs distributed inside q_l_tournament_sig's oracle
+    * (explicit 2^m mask explosion — affordable at m ≤ 5); this library
+    * form is the n ≤ 25 operator the reference's tournament decision
+    * (wine_analysis.py:142-154) actually needs.
+    * Output: (w_plus, w_minus, n, p_greater, p_less, p_two_sided). */
+  def wilcoxonSignedRankExact(df: DataFrame, diffCol: String,
+                              maxN: Int = 25): DataFrame = {
+    val d = col(diffCol)
+    val nz = df.filter(d.isNotNull && d =!= 0)
+      .select(abs(d).as("absd"), when(d > 0, 1L).otherwise(0L).as("pos"))
+    val ranked = Ranks.byValue(nz, "absd", Seq(sum("pos").as("n_pos_at")))
+      // r2 = 2·midrank — avg_rank is integer-or-half-integer, so the
+      // doubled value is an exact integer-valued double
+      .select((col("avg_rank") * 2).cast("long").as("r2"),
+        col("cnt").cast("long").as("cnt"),
+        col("n_pos_at").cast("long").as("npos"))
+    val rows = ranked.collect()
+      .map(r => (r.getAs[Long]("r2"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("npos")))
+    val m = rows.map(_._2).sum
+    require(m <= maxN,
+      s"wilcoxonSignedRankExact: $m nonzero pairs exceed the exact-tail " +
+        s"bound $maxN — use wilcoxonSignedRank's normal approximation")
+    val w2Plus = rows.map { case (r2, _, npos) => r2 * npos }.sum
+    val w2Minus = rows.map { case (r2, cnt, npos) => r2 * (cnt - npos) }.sum
+    // generating function over all m signed ranks (each of the cnt
+    // tied ranks flips independently): coeff[s] = #assignments with
+    // positive doubled-rank sum s
+    val total = rows.map { case (r2, cnt, _) => r2 * cnt }.sum
+    val coeff = Array.fill(total.toInt + 1)(BigInt(0))
+    coeff(0) = BigInt(1)
+    var used = 0L
+    rows.foreach { case (r2, cnt, _) =>
+      (1L to cnt).foreach { _ =>
+        used += r2
+        var s = used.toInt
+        while (s >= r2) {
+          coeff(s) += coeff(s - r2.toInt)
+          s -= 1
+        }
+      }
+    }
+    val denom = BigInt(2).pow(m.toInt)
+    def tail(ge: Long): BigInt =
+      (ge.max(0L).toInt to total.toInt).map(coeff(_)).sum
+    def le(x: Long): BigInt = (0 to x.min(total).toInt).map(coeff(_)).sum
+    val pGreater = BigDecimal(tail(w2Plus)) / BigDecimal(denom)
+    val pLess = BigDecimal(le(w2Plus)) / BigDecimal(denom)
+    val pTwo = (BigDecimal(2) * pGreater.min(pLess)).min(BigDecimal(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((w2Plus.toDouble / 2, w2Minus.toDouble / 2, m,
+      pGreater.toDouble, pLess.toDouble, pTwo.toDouble))
+      .toDF("w_plus", "w_minus", "n", "p_greater", "p_less", "p_two_sided")
+  }
+
   /** T13 — Kruskal-Wallis H across the groups of `groupCol` (tie-corrected).
     * H = [12/(N(N+1)) Σ R_g²/n_g − 3(N+1)] / (1 − Σ(τ³−τ)/(N³−N)).
     * Ref: wine nb 11 cell 50; iris stat nb cell 3. */

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ml.{Extras, Forest, HistGbtR, HistTree}
+
+/** Round-10 additions: subsampled split selection (the path past the
+  * 2^53 exact-fit ceiling), the hash-exact squared-error GBDT, and the
+  * permutation-importance discipline. */
+class R10Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame(rows: Seq[(Long, Int, Seq[Double])]) =
+    rows.toDF("id", "y", "xs").select(col("id"), col("y"),
+      col("xs").cast("array<double>").as("x"))
+
+  private def fixture(n: Int, seed: Int = 7) = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val c = rng.nextInt(3)
+      (i.toLong, c, Seq(c * 50.0 + rng.nextInt(80),
+        rng.nextInt(200).toDouble, c * 30.0 + rng.nextInt(100),
+        rng.nextInt(50).toDouble))
+    }
+  }
+
+  test("tree subsample: no-op below the cap, deterministic above it") {
+    val df = frame(fixture(500))
+    val full = HistTree.fit(df, "x", "y", 4, depth = 3, bins = 32)
+    val noop = HistTree.fit(df, "x", "y", 4, depth = 3, bins = 32,
+      keyCol = Some("id"), sampleCap = 100000)
+    assert(full.splits == noop.splits && full.leaves == noop.leaves)
+    val sub1 = HistTree.fit(df, "x", "y", 4, depth = 3, bins = 32,
+      keyCol = Some("id"), sampleCap = 200)
+    val sub2 = HistTree.fit(df.repartition(13), "x", "y", 4, depth = 3,
+      bins = 32, keyCol = Some("id"), sampleCap = 200)
+    assert(sub1.splits == sub2.splits && sub1.leaves == sub2.leaves)
+    // split selection saw ~200 rows, but leaf majorities cover FULL
+    // data: every train row routes to a leaf with a prediction
+    val covered = df.select(sub1.predictExpr("x").as("p"))
+      .filter(col("p").isNotNull).count()
+    assert(covered == 500)
+    // a subsampled fit is still a sensible fit on this separable data:
+    // it must split at least the root
+    assert(sub1.splits.exists(_.node == 0))
+  }
+
+  test("tree subsample refuses without a key column") {
+    val df = frame(fixture(400))
+    val e = intercept[IllegalArgumentException] {
+      HistTree.fit(df, "x", "y", 4, depth = 2, bins = 16,
+        sampleCap = 100)
+    }
+    assert(e.getMessage.contains("keyCol"))
+  }
+
+  test("forest subsample: deterministic, mtry respected, full-data leaves") {
+    val df = frame(fixture(500))
+    val m1 = Forest.fit(df, "id", "x", "y", 4, nTrees = 3, depth = 3,
+      bins = 32, mtry = 2, sampleCap = 200)
+    val m2 = Forest.fit(df.repartition(11), "id", "x", "y", 4, nTrees = 3,
+      depth = 3, bins = 32, mtry = 2, sampleCap = 200)
+    assert(m1.trees.map(_.splits) == m2.trees.map(_.splits))
+    assert(m1.trees.map(_.leaves) == m2.trees.map(_.leaves))
+    m1.trees.zipWithIndex.foreach { case (t, ti) =>
+      t.splits.foreach(s =>
+        assert(Forest.allowedFeatures(42, ti, s.node, 4, 2)(s.feature)))
+    }
+    // leaf majorities come from the FULL bootstrap-weighted data, so
+    // in-sample coverage stays total (every row gets a vote)
+    val covered = m1.predict(df, "x", "p").filter(col("p").isNotNull).count()
+    assert(covered == 500)
+  }
+
+  test("gbt: integer SSE curve descends and matches the fitted predictor") {
+    val df = frame(fixture(600))
+    val (m, curve) = HistGbtR.fit(df, "x", "y", 4, rounds = 3, depth = 2,
+      bins = 16)
+    assert(curve.map(_._1) == Seq(0, 1, 2, 3))
+    // squared-error boosting with exact leaf means (up to the floor-div
+    // quantization) never increases training SSE
+    curve.sliding(2).foreach { case Seq((_, s1, _), (_, s2, _)) =>
+      assert(s2 <= s1, s"SSE rose $s1 -> $s2")
+    }
+    // the curve's final SSE is EXACTLY Σ(y − F_R)² of the compiled
+    // predictor — the model and the curve describe the same fit
+    val sse = df.select(
+        (col("y").cast("long") - m.predictExpr("x")).as("r"))
+      .agg(sum(col("r") * col("r"))).head().getLong(0)
+    assert(sse == curve.last._2)
+    // determinism under repartitioning
+    val (m2, curve2) = HistGbtR.fit(df.repartition(17), "x", "y", 4,
+      rounds = 3, depth = 2, bins = 16)
+    assert(m2.splits == m.splits && m2.leaves == m.leaves &&
+      curve2 == curve)
+  }
+
+  test("gbt refuses when score operands could leave the exact range") {
+    val big = (0 until 100).map(i =>
+      (i.toLong, 1 << 20, Seq(i.toDouble, 0.0, 0.0, 0.0)))
+    val df = big.toDF("id", "y", "xs").select(col("id"), col("y"),
+      col("xs").cast("array<double>").as("x"))
+    // n=100 but |r| ~ 2^20: (n·maxr)²·n ≈ 2^53.6 — must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      HistGbtR.fit(df, "x", "y", 4, rounds = 1, depth = 2, bins = 16)
+    }
+    assert(e.getMessage.contains("2^53"))
+  }
+
+  test("permutation importance: planted-signal dims dominate") {
+    // dims 0 and 2 carry the class; permuting them must cost accuracy,
+    // permuting pure-noise dims must cost (almost) nothing — the M14
+    // criterion under the md5-rotation permutation the query uses
+    val df = frame(fixture(600)).localCheckpoint(true)
+    val m = Forest.fit(df, "id", "x", "y", 4, nTrees = 4, depth = 3,
+      bins = 32, mtry = 2)
+    def acc(scored: org.apache.spark.sql.DataFrame): Double = {
+      val r = m.predict(scored, "x", "p").filter(col("p").isNotNull)
+        .agg(sum(when(col("y") === col("p"), 1L).otherwise(0L)).as("c"),
+          count(lit(1)).as("t")).head()
+      r.getAs[Long]("c").toDouble / r.getAs[Long]("t")
+    }
+    val n = df.count()
+    def permuted(i: Int) = {
+      val ranked = Extras.hashRank(df, "id", 1000, "__rn")
+      val shifted = ranked.select(
+        (pmod(col("__rn"), lit(n)) + 1).as("__rn"),
+        element_at(col("x"), i + 1).as("__xi"))
+      ranked.join(shifted, Seq("__rn"))
+        .withColumn("x", array((0 until 4).map(j =>
+          if (j == i) col("__xi") else element_at(col("x"), j + 1)): _*))
+        .drop("__rn", "__xi")
+    }
+    val base = acc(df)
+    val drops = (0 until 4).map(i => base - acc(permuted(i)))
+    assert(drops(0) > 0.1, s"signal dim 0 drop ${drops(0)}")
+    assert(drops(0) > drops(1) && drops(0) > drops(3),
+      s"signal must dominate noise: $drops")
+  }
+}

@@ -48,6 +48,61 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("z") - (-27.5 / math.sqrt(95.625))) < 1e-9)
   }
 
+  test("wilcoxon exact tail matches the classical tables (no ties)") {
+    // ranks of |d| are 1..5; positives at ranks {2,3,4,5} → W+ = 14;
+    // exact one-sided p = P(W+ ≥ 14) = 2/32 (classical n=5 table)
+    val d5 = Seq(0.1, 0.2, -0.05, 0.3, 0.15).toDF("d")
+    val r = Tests.wilcoxonSignedRankExact(d5, "d").head
+    assert(r.getAs[Double]("w_plus") == 14.0)
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("p_greater") == 0.0625)
+    // all-positive distinct: W+ = 15, p = 1/32
+    val allPos = Seq(0.1, 0.2, 0.3, 0.4, 0.5).toDF("d")
+    val r2 = Tests.wilcoxonSignedRankExact(allPos, "d").head
+    assert(r2.getAs[Double]("w_plus") == 15.0)
+    assert(r2.getAs[Double]("p_greater") == 1.0 / 32)
+    // n=10, W+ = 8 (positive only at rank 8): P(W+ ≤ 8) = 25/1024 —
+    // the published one-sided critical value at α = 0.025
+    val d10 = (1 to 10).map(i => if (i == 8) 8.0 else -i.toDouble).toDF("d")
+    val r3 = Tests.wilcoxonSignedRankExact(d10, "d").head
+    assert(r3.getAs[Double]("w_plus") == 8.0)
+    assert(r3.getAs[Double]("p_less") == 25.0 / 1024)
+  }
+
+  test("wilcoxon exact tail matches brute-force enumeration with ties") {
+    val diffs = Seq(0.5, 0.5, -0.5, 1.0, 1.0, -2.0)
+    val r = Tests.wilcoxonSignedRankExact(diffs.toDF("d"), "d").head
+    // brute force: midrank |d| (doubled to stay integer), enumerate all
+    // 2^m sign assignments, count those reaching the observed W2+
+    val absd = diffs.map(math.abs)
+    val r2s = diffs.map { d =>
+      val below = absd.count(_ < math.abs(d))
+      val tied = absd.count(_ == math.abs(d))
+      2L * (below + 1) + tied - 1
+    }
+    val w2obs = diffs.zip(r2s).collect { case (d, r2) if d > 0 => r2 }.sum
+    val m = diffs.length
+    val sums = (0 until (1 << m)).map(mask =>
+      r2s.indices.collect { case i if (mask & (1 << i)) != 0 => r2s(i) }.sum)
+    val pG = sums.count(_ >= w2obs).toDouble / (1 << m)
+    val pL = sums.count(_ <= w2obs).toDouble / (1 << m)
+    assert(r.getAs[Double]("w_plus") == w2obs.toDouble / 2)
+    assert(r.getAs[Double]("p_greater") == pG)
+    assert(r.getAs[Double]("p_less") == pL)
+    assert(r.getAs[Double]("p_two_sided") == math.min(1.0, 2 * math.min(pG, pL)))
+  }
+
+  test("wilcoxon exact agrees with the large-n operator's W+ and refuses past the bound") {
+    val r = Tests.wilcoxonSignedRankExact(paired, "d").head
+    val rn = Tests.wilcoxonSignedRank(paired, "d").head
+    assert(r.getAs[Double]("w_plus") == rn.getAs[Double]("w_plus"))
+    assert(r.getAs[Double]("p_greater") == 1.0) // W+ = 0 → every mask ≥ 0
+    val big = (1 to 30).map(_.toDouble).toDF("d")
+    intercept[IllegalArgumentException] {
+      Tests.wilcoxonSignedRankExact(big, "d")
+    }
+  }
+
   test("kruskal-wallis matches") {
     val r = Tests.kruskalWallis(twoGroups, "v", "g").head
     assert(math.abs(r.getAs[Double]("h") - 0.9657142857142915) < 1e-9)
