@@ -63,8 +63,9 @@ object HistGbtR {
       * train row reached contributes 0 — cannot happen in-sample). */
     def predictExpr(arrCol: String): Column =
       leaves.zipWithIndex.foldLeft(lit(f0): Column) { case (acc, (lv, t)) =>
+        // leaves(t) is ROUND t+1's tree (GSplit.round is 1-based)
         acc + lv.foldLeft(lit(0L): Column) { case (a, (node, v)) =>
-          when(leafExpr(arrCol, t) === node, lit(v)).otherwise(a)
+          when(leafExpr(arrCol, t + 1) === node, lit(v)).otherwise(a)
         }
       }
   }

@@ -40,11 +40,23 @@ object ForestQueries {
         floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e6)
           + lit(0.5)).cast("double")): _*).as("x"))
 
-  private def fitted(s: SparkSession, d: String): (DataFrame, Forest.ForestModel) = {
+  /** Process-scoped memo of the fitted forest, keyed by data dir — the
+    * same fitted-parameter discipline as R9Queries' tournament memo:
+    * FIVE catalog queries (q_l_rf_params/confusion/oob/importance and
+    * q_m14_perm_importance) fit the IDENTICAL model, and a ForestModel
+    * is driver-side data by construction (split tables + leaf
+    * majorities, O(trees·2^depth) scalars), so caching it is caching
+    * fitted parameters, not row data. Each query still re-reads and
+    * re-scores its own data. */
+  private val modelMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Forest.ForestModel]
+
+  private[queries] def fitted(s: SparkSession, d: String): (DataFrame, Forest.ForestModel) = {
     val base = frame(s, d).localCheckpoint(true)
-    (base, Forest.fit(base, "vec_id", "x", "y", D, nTrees = T,
-      depth = Depth, bins = Bins, mtry = Mtry, seed = Seed,
-      nTrials = NTrials))
+    (base, modelMemo.getOrElseUpdate(d,
+      Forest.fit(base, "vec_id", "x", "y", D, nTrees = T,
+        depth = Depth, bins = Bins, mtry = Mtry, seed = Seed,
+        nTrials = NTrials)))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -83,18 +83,19 @@ object R10Queries {
     // = base accuracy − permuted accuracy (abstaining rows dropped on
     // both engines). Ref: wine nb 11 cell 46 (permutation_importance).
     "q_m14_perm_importance" -> ((s, d) => {
-      val base = frame(s, d).localCheckpoint(true)
-      val m = Forest.fit(base, "vec_id", "x", "y", D,
-        nTrees = ForestQueries.T, depth = ForestQueries.Depth,
-        bins = ForestQueries.Bins, mtry = ForestQueries.Mtry,
-        seed = ForestQueries.Seed, nTrials = ForestQueries.NTrials)
+      // shares ForestQueries' memoized fit — the scorer IS q_l_rf_*'s
+      // model, and the memo stores only driver-side fitted parameters
+      val (base, m) = ForestQueries.fitted(s, d)
       def acc(df: DataFrame): DataFrame =
         m.predict(df, "x", "p").filter(col("p").isNotNull)
           .agg(sum(when(col("y") === col("p"), 1L).otherwise(0L)).as("c"),
             count(lit(1)).as("t"))
       val n = base.count()
+      // rank ONCE (checkpointed) — the four per-feature branches of the
+      // union otherwise each recompute the bucketed global rank
+      val ranked = Extras.hashRank(base, "vec_id", PermSeed, "__rn")
+        .localCheckpoint(true)
       def permuted(i: Int): DataFrame = {
-        val ranked = Extras.hashRank(base, "vec_id", PermSeed, "__rn")
         val shifted = ranked.select(
           (pmod(col("__rn"), lit(n)) + 1).as("__rn"),
           element_at(col("x"), i + 1).as("__xi"))
@@ -448,12 +449,15 @@ object R10Queries {
     // fitted trees; accuracies from the majority votes.
     "q_m14_perm_importance" -> {
       val depth = ForestQueries.Depth
+      // the donor's shifted rank is a PLAIN column (m14sh) so the
+      // rotation join is a hash equi-join — an expression-with-subquery
+      // key nested-loops n² pairs (measured: DuckDB spilled to disk at
+      // sf1's 20k rows)
       def permSel(i: Int): String = {
         val cols = (0 until D).map(j =>
           if (j == i) s"s.x$j AS x$j" else s"a.x$j AS x$j").mkString(", ")
         s"""SELECT $i AS pf, a.vec_id, a.y, $cols
-           |  FROM m14rk a JOIN m14rk s
-           |    ON a.rn = (s.rn % (SELECT n FROM m14n)) + 1""".stripMargin
+           |  FROM m14rk a JOIN m14sh s ON a.rn = s.rnext""".stripMargin
       }
       val binCols = (0 until D).map(i =>
         s"CAST(greatest(least(floor(((p.x$i - m.mn$i) * " +
@@ -486,6 +490,8 @@ object R10Queries {
          |      CAST(vec_id AS VARCHAR))), vec_id) AS rn
          |  FROM fbase),
          |m14n AS (SELECT COUNT(*) AS n FROM fbase),
+         |m14sh AS (SELECT *, (rn % (SELECT n FROM m14n)) + 1 AS rnext
+         |  FROM m14rk),
          |m14p AS (
          |  ${(0 until D).map(permSel).mkString("\n  UNION ALL\n  ")}),
          |m14a0 AS (SELECT p.pf, fd.tf, p.vec_id, p.y, 0 AS node,

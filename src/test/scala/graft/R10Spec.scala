@@ -97,11 +97,13 @@ class R10Spec extends AnyFunSuite {
   }
 
   test("gbt refuses when score operands could leave the exact range") {
+    // y alternates 0 / 2^20 so RESIDUALS (not just the label) are ~2^19
+    // — a constant y would give r=0 everywhere and nothing to refuse
     val big = (0 until 100).map(i =>
-      (i.toLong, 1 << 20, Seq(i.toDouble, 0.0, 0.0, 0.0)))
+      (i.toLong, (i % 2) * (1 << 20), Seq(i.toDouble, 0.0, 0.0, 0.0)))
     val df = big.toDF("id", "y", "xs").select(col("id"), col("y"),
       col("xs").cast("array<double>").as("x"))
-    // n=100 but |r| ~ 2^20: (n·maxr)²·n ≈ 2^53.6 — must refuse loudly
+    // n=100, max|r| ≈ 2^19: (n·maxr)²·n ≈ 2^57.9 — must refuse loudly
     val e = intercept[IllegalArgumentException] {
       HistGbtR.fit(df, "x", "y", 4, rounds = 1, depth = 2, bins = 16)
     }
