@@ -44,6 +44,47 @@ object SparkEntry {
     if (!sql.trim.regionMatches(true, 0, "WITH", 0, 4)) sql
     else sql.replaceAll("(?<!WINDOW )\\b(\\w+) AS \\(", "$1 AS MATERIALIZED (")
 
+  /** DuckDB's direct DECIMAL→DOUBLE cast is NOT correctly rounded once
+    * the sum needs more than 15 significant digits (measured at sf1: 2 of
+    * TPC-H Q1's 6 sum_charge groups drift 1 ulp from the true nearest
+    * double; Spark's BigDecimal.doubleValue is correct). Routing the O(1)
+    * final conversion through VARCHAR — exact decimal digits, then a
+    * correctly-rounded string parse — makes the oracle's double
+    * bit-identical to Spark's at ANY scale, not just below the 15-digit
+    * boundary. Applied mechanically at oracle assembly so authored SQL
+    * stays plain: every `CAST(SUM(CAST(e AS DECIMAL(p,s))) AS DOUBLE)`
+    * becomes `CAST(CAST(SUM(CAST(e AS DECIMAL(p,s))) AS VARCHAR) AS
+    * DOUBLE)`. A paren-balanced scan (not a regex — the summand nests
+    * arbitrary parens); occurrences that don't end in `AS DOUBLE)` or
+    * don't carry a DECIMAL cast inside are left untouched. */
+  private[graft] def exactDecimalCasts(sql: String): String = {
+    val marker = "CAST(SUM(CAST("
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val j = sql.indexOf(marker, i)
+      if (j < 0) { sb.append(sql.substring(i)); i = sql.length }
+      else {
+        sb.append(sql.substring(i, j))
+        var k = j + 5 // just past the outer "CAST("
+        var depth = 1
+        while (depth > 0 && k < sql.length) {
+          val c = sql.charAt(k)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          k += 1
+        }
+        val occ = sql.substring(j, k)
+        if (depth == 0 && occ.endsWith(" AS DOUBLE)") &&
+            occ.contains(" AS DECIMAL(")) {
+          val body = occ.substring(5, occ.length - " AS DOUBLE)".length)
+          sb.append("CAST(CAST(").append(body).append(" AS VARCHAR) AS DOUBLE)")
+        } else sb.append(occ)
+        i = k
+      }
+    }
+    sb.toString
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
@@ -55,5 +96,5 @@ object SparkEntry {
       R7Queries.oracles ++ R8Queries.oracles ++ R9Queries.oracles ++
       ForestQueries.oracles ++ Ep4Queries.oracles ++ Ep2Queries.oracles ++
       R10Queries.oracles)
-      .map { case (k, v) => k -> materializeCtes(v) }
+      .map { case (k, v) => k -> materializeCtes(exactDecimalCasts(v)) }
 }

@@ -248,13 +248,23 @@ object R6Queries {
          |shb AS (SELECT doc_id, $shinglesSql AS sh FROM batch),
          |sigc AS (SELECT doc_id, sh, [$mins] AS sg FROM shc),
          |sigb AS (SELECT doc_id, sh, [$mins] AS sg FROM shb),
-         |cand AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |bndc AS (SELECT doc_id, bno,
+         |    array_to_string(CASE WHEN bno = 0 THEN sg[1:8] ELSE sg[9:16] END,
+         |      '|') AS bkey
+         |  FROM sigc CROSS JOIN (SELECT unnest([0, 1]) AS bno) t),
+         |bndb AS (SELECT doc_id, bno,
+         |    array_to_string(CASE WHEN bno = 0 THEN sg[1:8] ELSE sg[9:16] END,
+         |      '|') AS bkey
+         |  FROM sigb CROSS JOIN (SELECT unnest([0, 1]) AS bno) t),
+         |cp AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+         |  FROM bndb x JOIN bndc y ON x.bno = y.bno AND x.bkey = y.bkey),
+         |cand AS (SELECT batch_id, corpus_id,
          |    b.sh AS shb2, c.sh AS shc2,
          |    list_sum(list_transform(range(1, 17),
          |      i -> CASE WHEN b.sg[i] = c.sg[i] THEN 1 ELSE 0 END)) / 16.0
          |      AS est_jaccard
-         |  FROM sigb b JOIN sigc c
-         |    ON (b.sg[1:8] = c.sg[1:8] OR b.sg[9:16] = c.sg[9:16])),
+         |  FROM cp JOIN sigb b ON b.doc_id = batch_id
+         |    JOIN sigc c ON c.doc_id = corpus_id),
          |ex AS (SELECT batch_id, corpus_id, est_jaccard,
          |    len(list_intersect(shb2, shc2))
          |      / CAST(len(list_distinct(list_concat(shb2, shc2))) AS DOUBLE)

@@ -253,20 +253,27 @@ object R7Queries {
       val mins = (0 until 16).map(i =>
         s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
         .mkString(",\n   ")
-      val bandEq = (0 until 4).map(b =>
-        s"sa.sg[${4 * b + 1}:${4 * b + 4}] = sb.sg[${4 * b + 1}:${4 * b + 4}]")
-        .mkString(" OR ")
+      val bandCase = (0 until 4).map(b =>
+        s"WHEN bno = $b THEN sg[${4 * b + 1}:${4 * b + 4}]")
+        .mkString(" ")
+      // band candidacy via a bucket equi-join on unnested band rows —
+      // the OR-of-slices theta-join form nested-loops the per-lang pair
+      // space (intractable at sf1; the levenshtein in its filter made
+      // DuckDB grind for >1 h); pair set is bit-identical.
       s"""WITH n AS (SELECT doc_id, lang, ${TextSimQueries.normSql} AS norm,
          |    length(${TextSimQueries.normSql}) AS len FROM documents),
          |shx AS (SELECT doc_id, ${TextSimQueries.shinglesSql} AS sh FROM documents),
-         |sig AS (SELECT doc_id, [$mins] AS sg FROM shx)
+         |sig AS (SELECT doc_id, [$mins] AS sg FROM shx),
+         |bnd AS (SELECT doc_id, bno,
+         |    array_to_string(CASE $bandCase END, '|') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bno) t),
+         |cp AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bnd x JOIN bnd y
+         |    ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS dist
-         |FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |  AND abs(a.len - b.len) <= 32
-         |JOIN sig sa ON sa.doc_id = a.doc_id
-         |JOIN sig sb ON sb.doc_id = b.doc_id
-         |WHERE ($bandEq)
+         |FROM cp JOIN n a ON a.doc_id = cp.da JOIN n b ON b.doc_id = cp.db
+         |WHERE a.lang = b.lang AND abs(a.len - b.len) <= 32
          |  AND levenshtein(a.norm, b.norm) <= 32
          |ORDER BY doc_a, doc_b""".stripMargin
     },

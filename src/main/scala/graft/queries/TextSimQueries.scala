@@ -455,17 +455,28 @@ object TextSimQueries {
       val mins = (0 until 16).map(i =>
         s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
         .mkString(",\n   ")
+      // band candidacy as a BUCKET equi-join (bands unnested to rows,
+      // DISTINCT pairs), not an OR-of-slices theta-join: the theta form
+      // nested-loops |docs|² pairs — measured intractable at sf1's 100k
+      // docs — while this is exactly the engine's bucket shape, with a
+      // bit-identical pair set.
       s"""WITH u AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 100000, text FROM documents),
          |shx AS (SELECT doc_id, $shinglesSql AS sh FROM u),
          |sig AS (SELECT doc_id, sh, [$mins] AS sg FROM shx),
-         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    a.sh AS sha, b.sh AS shb,
+         |bnd AS (SELECT doc_id, bno,
+         |    array_to_string(CASE WHEN bno = 0 THEN sg[1:8] ELSE sg[9:16] END,
+         |      '|') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1]) AS bno) t),
+         |cp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bnd x JOIN bnd y
+         |    ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |cand AS (SELECT id_a, id_b, a.sh AS sha, b.sh AS shb,
          |    list_sum(list_transform(range(1, 17),
          |      i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
          |      AS est_jaccard
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |    AND (a.sg[1:8] = b.sg[1:8] OR a.sg[9:16] = b.sg[9:16])),
+         |  FROM cp JOIN sig a ON a.doc_id = id_a
+         |    JOIN sig b ON b.doc_id = id_b),
          |ex AS (SELECT id_a, id_b, est_jaccard,
          |    len(list_intersect(sha, shb))
          |      / CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE)
@@ -485,13 +496,19 @@ object TextSimQueries {
          |  UNION ALL SELECT doc_id + 100000, text FROM documents),
          |shx AS (SELECT doc_id, $shinglesSql AS sh FROM u),
          |sig AS (SELECT doc_id, sh, [$mins] AS sg FROM shx),
-         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    a.sh AS sha, b.sh AS shb,
+         |bnd AS (SELECT doc_id, bno,
+         |    array_to_string(CASE WHEN bno = 0 THEN sg[1:8] ELSE sg[9:16] END,
+         |      '|') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1]) AS bno) t),
+         |cp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bnd x JOIN bnd y
+         |    ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |cand AS (SELECT id_a, id_b, a.sh AS sha, b.sh AS shb,
          |    list_sum(list_transform(range(1, 17),
          |      i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
          |      AS est_jaccard
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |    AND (a.sg[1:8] = b.sg[1:8] OR a.sg[9:16] = b.sg[9:16])),
+         |  FROM cp JOIN sig a ON a.doc_id = id_a
+         |    JOIN sig b ON b.doc_id = id_b),
          |p AS (SELECT id_a, id_b FROM cand WHERE est_jaccard >= 0.25
          |  AND len(list_intersect(sha, shb))
          |    / CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE) >= 0.5),
@@ -522,36 +539,55 @@ object TextSimQueries {
         |  GROUP BY doc_id, b),
         |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 0
         |  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
-        |  FROM bits GROUP BY doc_id)
-        |SELECT CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming,
+        |  FROM bits GROUP BY doc_id),
+        |bnd AS (SELECT doc_id, sh, bno, (sh >> (bno * 12)) & 4095 AS bkey
+        |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bno) t),
+        |cp AS (SELECT DISTINCT x.doc_id AS da, x.sh AS sha,
+        |    y.doc_id AS db, y.sh AS shb
+        |  FROM bnd x JOIN bnd y
+        |    ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming,
         |  COUNT(*) AS n_pairs
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |FROM cp WHERE bit_count(xor(sha, shb)) <= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_x_embed_neardup" ->
-      """WITH u AS (SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
-        |idx AS (SELECT unnest(range(1, 65)) AS i),
-        |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-        |    * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS n2
-        |  FROM u, idx GROUP BY vec_id),
-        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    a.embedding AS va, b.embedding AS vb
-        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
-        |  WHERE list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    >= 0.9 * sqrt(list_sum(list_transform(a.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(b.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-        |dots AS (SELECT id_a, id_b, CAST(SUM(CAST(CAST(va[i] AS DOUBLE)
-        |    * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
-        |  FROM cand, idx GROUP BY id_a, id_b)
-        |SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
-        |FROM dots JOIN n2 na ON na.vec_id = id_a JOIN n2 nb ON nb.vec_id = id_b
-        |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.999
-        |ORDER BY id_a, id_b""".stripMargin,
+    // Still the brute pair relation, but the quadratic scan's prefilter
+    // is now ~20 flops per pair instead of three 64-element lambda
+    // reductions (measured intractable at sf1's 40k vectors): by
+    // Cauchy–Schwarz on the dim-9..64 residual, dot(a,b) ≤
+    // prefix8(a,b) + |a_r|·|b_r|, so every pair with true cosine
+    // ≥ 0.999 passes the prefix condition at 0.99899 — the 1e-5
+    // relative margin dwarfs the ~1e-14 rounding of the precomputed
+    // doubles. The FINAL decimal-exact ≥ 0.999 filter is unchanged, so
+    // the result set is bit-identical.
+    "q_x_embed_neardup" -> {
+      val pcols = (1 to 8).map(k =>
+        s"CAST(embedding[$k] AS DOUBLE) AS p$k").mkString(", ")
+      val pdot = (1 to 8).map(k => s"a.p$k * b.p$k").mkString(" + ")
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |idx AS (SELECT unnest(range(1, 65)) AS i),
+         |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+         |    * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS n2
+         |  FROM u, idx GROUP BY vec_id),
+         |pf AS (SELECT vec_id, embedding, $pcols,
+         |    sqrt(greatest(list_sum(list_transform(embedding[9:64],
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)) AS nr,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nf
+         |  FROM u),
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    a.embedding AS va, b.embedding AS vb
+         |  FROM pf a JOIN pf b ON a.vec_id < b.vec_id
+         |  WHERE $pdot + a.nr * b.nr >= 0.99899 * a.nf * b.nf),
+         |dots AS (SELECT id_a, id_b, CAST(SUM(CAST(CAST(va[i] AS DOUBLE)
+         |    * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM cand, idx GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+         |FROM dots JOIN n2 na ON na.vec_id = id_a JOIN n2 nb ON nb.vec_id = id_b
+         |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.999
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_x_corpus_pipeline" -> {
       val mins = (0 until 16).map(i =>

@@ -80,4 +80,24 @@ class SchemaSpec extends AnyFunSuite {
     SparkEntry.oracleSql.values.foreach { sql =>
       assert(sql.count(_ == '(') == sql.count(_ == ')'), sql.take(80)) }
   }
+
+  test("exactDecimalCasts routes decimal-sum finals through VARCHAR, leaves the rest") {
+    val e = SparkEntry.exactDecimalCasts _
+    // the dsumSql shape — VARCHAR-routed (DuckDB's direct DECIMAL→DOUBLE
+    // drifts 1 ulp past 15 significant digits; string parse is correct)
+    assert(e("CAST(SUM(CAST((a * (1 - b)) AS DECIMAL(30,6))) AS DOUBLE) AS x") ==
+      "CAST(CAST(SUM(CAST((a * (1 - b)) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS x")
+    // nested inside larger expressions: each occurrence independently
+    val two = "(CAST(SUM(CAST((q) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(q))"
+    assert(e(two) ==
+      "(CAST(CAST(SUM(CAST((q) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(q))")
+    // non-decimal inner casts and non-DOUBLE outers untouched
+    val intSum = "CAST(SUM(CAST(x AS INT)) AS DOUBLE)"
+    assert(e(intSum) == intSum)
+    val toBig = "CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DECIMAL(38,6))"
+    assert(e(toBig) == toBig)
+    // shipped oracles keep balanced parens after BOTH rewrites
+    SparkEntry.oracleSql.values.foreach { sql =>
+      assert(sql.count(_ == '(') == sql.count(_ == ')'), sql.take(80)) }
+  }
 }
