@@ -76,6 +76,20 @@ object Bench {
     }
     calibrationRun() // warm the codegen path before measuring
     val calibrationSec = (1 to 3).map(_ => calibrationRun()).min
+    // Per-JOB latency probe: 10 minimal jobs, averaged. calibration_sec is
+    // pure CPU throughput and stayed flat across a round-10 episode where
+    // EVERY query inflated ~1.8× with bit-identical shuffle bytes — the
+    // drift was scheduler/virtualization latency per job, which multiplies
+    // with job COUNT, not data volume. The pair (throughput, job latency)
+    // adjudicates both drift modes without hand-analysis.
+    def jobLatencyRun(): Double = {
+      val t0 = System.nanoTime()
+      (1 to 10).foreach(_ => spark.range(0L, cpus.toLong, 1L, cpus.toInt)
+        .selectExpr("count(1)").collect())
+      (System.nanoTime() - t0) / 1e9 / 10
+    }
+    jobLatencyRun() // warm
+    val jobLatencySec = (1 to 3).map(_ => jobLatencyRun()).min
     // The driver captures only the LAST 2000 chars of run output (measured:
     // BENCH_r01/r02 tail length == 2000), and sbt appends a ~80-char
     // "[success] Total time" line after our println. A per-query map for ~97
@@ -185,7 +199,7 @@ object Bench {
     val memRegressJson = reportAndJson("MEMORY",
       regressions(loadBudget("mem_budget.json"), 64L * 1024 * 1024, _._4))
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"iterations":$iterations,"calibration_sec":${r3(calibrationSec)},"queries":${toJson(times)},"metrics":$metricsJson,"shuffle_regressions":$regressJson,"mem_regressions":$memRegressJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"iterations":$iterations,"calibration_sec":${r3(calibrationSec)},"job_latency_sec":${r3(jobLatencySec)},"queries":${toJson(times)},"metrics":$metricsJson,"shuffle_regressions":$regressJson,"mem_regressions":$memRegressJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()

@@ -10,68 +10,40 @@ object Scratch {
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.text.TextOps
 
-    def time(tag: String)(f: => Long): Unit = {
-      (1 to 2).foreach { i =>
+    def time[T](tag: String)(f: => T): T = {
+      (1 to 2).map { i =>
         val t0 = System.nanoTime()
-        val n = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"PROF $tag%-28s rep$i $dt%7.3f s  rows=$n")
-        graft.ops.Leaks.sweep(spark)
-      }
+        val r = f
+        println(f"[scratch] $tag#$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }.last
     }
-
-    val docs = graft.core.Tables(spark, "/root/testdata/sf0.1", "documents")
-      .select("doc_id", "text", "lang")
-    time("A1.normalize_only") {
-      docs.select(TextOps.normalizeText(col("text")).as("n"))
-        .select(sum(length(col("n")))).head; 5000L
+    val d = "/root/testdata/sf0.1"
+    val docs = core.Tables(spark, d, "documents")
+    val toks = TextOps.tokens(TextOps.normalizeText(col("text")))
+    time("explode tokens count")(
+      docs.select(explode(toks).as("w")).count())
+    time("uni agg")(
+      docs.select(toks.as("t")).select(explode(col("t")).as("w1"))
+        .groupBy("w1").agg(count(lit(1))).count())
+    val bigramsOfT = {
+      val t = col("t")
+      when(size(t) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - 1),
+          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
     }
-    time("A2.plus_hist") {
-      val n = docs.select(TextOps.normalizeText(col("text")).as("norm"))
-      n.select(length(col("norm")).as("l"))
-        .select(sum(col("l"))).head; 5000L
-    }
-    time("A3.sigs_only") {
-      docs.select(TextOps.minhashSignatureFast(col("text"), 16, 3).as("s"))
-        .select(count(element_at(col("s"), 1))).head.getLong(0)
-    }
-    time("A4.bands_only") {
-      docs.select(TextOps.lshBandKeys(
-          TextOps.minhashSignatureFast(col("text"), 16, 3), 4, 4).as("mh"))
-        .select(count(element_at(col("mh"), 1))).head.getLong(0)
-    }
-    time("A5.norm_nopersist_count") {
-      docs.select(col("lang"), col("doc_id").as("id"),
-          TextOps.normalizeText(col("text")).as("norm"),
-          TextOps.lshBandKeys(
-            TextOps.minhashSignatureFast(col("text"), 16, 3), 4, 4).as("mh"))
-        .withColumn("len", length(col("norm")))
-        .count()
-    }
-    time("E.noPersist_exhaustive_like_r7") {
-      // replicate the r7 unpersisted exhaustive operator inline
-      val bw = 33
-      val norm = docs.select(col("lang"), col("doc_id").as("id"),
-          TextOps.normalizeText(col("text")).as("norm"))
-        .withColumn("len", length(col("norm")))
-      val keyed = norm.select(col("lang"), col("id"), col("len"),
-        explode(array((col("len") / bw).cast("long"),
-          (col("len") / bw).cast("long") + lit(1L))).as("band"))
-      val l = keyed.select(col("lang"), col("band"), col("id").as("doc_a"), col("len").as("la"))
-      val r = keyed.select(col("lang"), col("band"), col("id").as("doc_b"), col("len").as("lb"))
-      val cand = l.join(r, Seq("lang", "band")).filter(col("doc_a") < col("doc_b"))
-        .filter(abs(col("la") - col("lb")) <= 32)
-        .select("doc_a", "doc_b").distinct()
-      cand.join(norm.select(col("id").as("doc_a"), col("norm").as("na")), Seq("doc_a"))
-        .join(norm.select(col("id").as("doc_b"), col("norm").as("nb")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("na"), col("nb"), 32).as("dist"))
-        .filter(col("dist") >= 0 && col("dist") <= 32).count()
-    }
+    time("bigrams explode count")(
+      docs.select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), explode(bigramsOfT).as("bg")).count())
+    val full = TextOps.bigramLmScore(docs, docs, "doc_id", "text")
+    time("full lm")(full.count())
+    println(full.queryExecution.executedPlan.toString.take(4000))
     spark.stop()
   }
 }

@@ -84,16 +84,25 @@ object TextOps {
   def bigramLmScore(corpus: DataFrame, docs: DataFrame,
                     idCol: String, textCol: String): DataFrame = {
     val toks = tokens(normalizeText(col(textCol)))
-    val uni = corpus.select(explode(toks).as("w1"))
+    // Materialize the token ARRAY as a column before bigramsOf: its
+    // lambda indexes the array per element, and Spark does not eliminate
+    // common subexpressions across a lambda boundary — element_at over
+    // the raw split() expression re-runs the regex split for EVERY
+    // bigram, turning tokenization O(len) into O(len²) (measured 37 s →
+    // 1.5 s scoring 5 000 sf0.1 docs). Values are identical either way.
+    val uni = corpus.select(toks.as("t"))
+      .select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cu"))
     // scalar vocabulary size rides along as a literal-free cross join of a
     // one-row aggregate (the triangleCount precedent)
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = corpus
-      .select(explode(bigramsOf(toks)).as("bg"))
+      .select(toks.as("t"))
+      .select(explode(bigramsOf(col("t"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cb"))
     val docBigrams = docs
-      .select(col(idCol), explode(bigramsOf(toks)).as("bg"))
+      .select(col(idCol), toks.as("t"))
+      .select(col(idCol), explode(bigramsOf(col("t"))).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     docBigrams
       .join(big, Seq("bg"), "left")
@@ -105,6 +114,109 @@ object TextOps {
           log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
             (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")))
           / count(lit(1)).cast("double")).as("avg_lp"))
+  }
+
+  /** Interpolated Kneser-Ney bigram LM — the smoothing real perplexity
+    * gates use (KenLM is modified KN; Wenzek et al. 2020). Absolute
+    * discount d = 3/4, so everything stays RATIONAL:
+    *
+    *   p(w₂|w₁) = max(4·c₁₂ − 3, 0)/(4·c₁)  +  (3·N₁₊(w₁·))/(4·c₁) · p_cont(w₂)
+    *   p_cont(w₂) = (N₁₊(·w₂) + 1) / (|distinct bigrams| + V)
+    *
+    * where c₁ = Σ_w₂ c₁₂ is the BIGRAM-prefix total (not the unigram
+    * count — see the fwd rollup below).
+    *
+    * The add-one on the continuation counts makes the model TOTAL
+    * (unseen words get mass; unseen w₁ backs off to p_cont alone) and
+    * — because Σ_w N₁₊(·w) = |distinct bigrams| — preserves EXACT
+    * normalization: Σ_{w₂∈V} p(w₂|w₁) = 1 (KnLmSpec pins it). Every
+    * ln() input is a fixed sequence of exact-integer-ratio double ops
+    * (two divisions, one multiply, one add — mirrored op for op in the
+    * oracle), and per-doc sums accumulate in DECIMAL(30,12): the whole
+    * score is hash-exact cross-engine, the bigramLmScore discipline.
+    *
+    * Scale shape: four vocabulary-bounded count relations (uni, big,
+    * and the two continuation rollups are aggregates OF aggregates);
+    * scoring is the same term-key join as bigramLmScore — the exchange
+    * carries (doc, token-key) rows, never text. */
+  def kneserNeyLmScore(corpus: DataFrame, docs: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(normalizeText(col(textCol)))
+    val corpusTok = corpus.select(toks.as("t"))
+    val uni = corpusTok.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu0"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = corpusTok.select(explode(bigramsOf(col("t"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    // One prefix rollup gives BOTH the continuation count N₁₊(w₁·) and
+    // the context total c(w₁) = Σ_w₂ c(w₁w₂). The context total must
+    // come from the BIGRAM relation, not the unigram counts: a
+    // document-final token has a unigram count but NO successors, and
+    // dividing by its unigram count would leak that mass (caught by
+    // KnLmSpec's normalization test — context 'log' summed to 0, not 1).
+    val fwd = big
+      .select(substring_index(col("bg"), " ", 1).as("w1f"), col("cb"))
+      .groupBy("w1f").agg(count(lit(1)).as("nf"), sum("cb").as("cu"))
+    val rev = big.select(substring_index(col("bg"), " ", -1).as("w2r"))
+      .groupBy("w2r").agg(count(lit(1)).as("nr"))
+    val nb = big.agg(count(lit(1)).as("nbig"))
+    val docBigrams = docs
+      .select(col(idCol), toks.as("t"))
+      .select(col(idCol), explode(bigramsOf(col("t"))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    docBigrams
+      .join(big, Seq("bg"), "left")
+      .join(fwd, col("w1") === col("w1f"), "left")
+      .join(rev, col("w2") === col("w2r"), "left")
+      .crossJoin(nb).crossJoin(vocab)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (graft.ops.Num.dsum12(log(knP(
+          coalesce(col("cb"), lit(0L)), coalesce(col("cu"), lit(0L)),
+          coalesce(col("nf"), lit(0L)), coalesce(col("nr"), lit(0L)),
+          col("nbig"), col("v"))))
+          / count(lit(1)).cast("double")).as("avg_lp"))
+  }
+
+  /** The KN probability as a fixed double-op sequence (div, div, mult,
+    * add) over exact integers — the oracle mirrors it op for op. */
+  private[text] def knP(cb: Column, cu: Column, nf: Column, nr: Column,
+                        nbig: Column, v: Column): Column = {
+    val pcont = (nr + 1).cast("double") / (nbig + v).cast("double")
+    val main = greatest(cb * 4 - 3, lit(0L)).cast("double") /
+      (cu * 4).cast("double") +
+      ((nf * 3).cast("double") / (cu * 4).cast("double")) * pcont
+    when(cu === 0, pcont).otherwise(main)
+  }
+
+  /** (w1, w2, p) for explicit pairs under the corpus-fitted KN model —
+    * the normalization-testing surface (Σ_{w2∈V} p = 1 exactly). */
+  def kneserNeyProbs(corpus: DataFrame, pairs: DataFrame,
+                     textCol: String): DataFrame = {
+    val toks = tokens(normalizeText(col(textCol)))
+    val corpusTok = corpus.select(toks.as("t"))
+    val uni = corpusTok.select(explode(col("t")).as("uw"))
+      .groupBy("uw").agg(count(lit(1)).as("cu0"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = corpusTok.select(explode(bigramsOf(col("t"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val fwd = big
+      .select(substring_index(col("bg"), " ", 1).as("w1f"), col("cb"))
+      .groupBy("w1f").agg(count(lit(1)).as("nf"), sum("cb").as("cu"))
+    val rev = big.select(substring_index(col("bg"), " ", -1).as("w2r"))
+      .groupBy("w2r").agg(count(lit(1)).as("nr"))
+    val nb = big.agg(count(lit(1)).as("nbig"))
+    pairs
+      .withColumn("bg", concat(col("w1"), lit(" "), col("w2")))
+      .join(big, Seq("bg"), "left")
+      .join(fwd, col("w1") === col("w1f"), "left")
+      .join(rev, col("w2") === col("w2r"), "left")
+      .crossJoin(nb).crossJoin(vocab)
+      .select(col("w1"), col("w2"), knP(
+        coalesce(col("cb"), lit(0L)), coalesce(col("cu"), lit(0L)),
+        coalesce(col("nf"), lit(0L)), coalesce(col("nr"), lit(0L)),
+        col("nbig"), col("v")).as("p"))
   }
 
   /** Adjacent token pairs as "w1 w2" strings (tokens are whitespace-split,
