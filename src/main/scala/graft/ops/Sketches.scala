@@ -42,6 +42,62 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
         .as("approx_distinct_total"))
 
+  /** md5-register HyperLogLog (Flajolet et al. 2007, the 32-bit original:
+    * m = 64 registers, α₆₄ = 0.709, linear-counting small-range and
+    * 2³²-based large-range corrections). Unlike the DataSketches
+    * aggregates above, every step is bit-reproducible across engines, so
+    * THIS estimator ships with a hash-exact DuckDB oracle:
+    *
+    *   - hash = first 8 md5 hex digits as a 32-bit integer (engine-stable);
+    *   - register = top 6 bits (shiftright), rank = leading-zero count of
+    *     the remaining 26 bits + 1 via `27 - length(bin(w))` — pure
+    *     integer/string ops, no float log2 whose boundary rounding could
+    *     diverge;
+    *   - Σ 2^(−M_j) accumulates EXACTLY in doubles regardless of order:
+    *     every term is a multiple of 2⁻²⁷ and the total stays below 2⁶,
+    *     so each partial sum needs ≤ 33 mantissa bits — well inside a
+    *     double. No decimal accumulator required;
+    *   - the correction branches' ln() goes through the DECIMAL(30,12)
+    *     cast discipline, then an exact double multiply by the m / 2³²
+    *     constant (both powers of two).
+    *
+    * Scale shape: one groupBy(group, register) — at most 64·|groups| rows
+    * exit the exchange with map-side combine — then a 64-row-per-group
+    * rollup. σ ≈ 1.04/√64 ≈ 13%; raise b for tighter error, the plan
+    * shape is unchanged. */
+  def hllMd5PerGroup(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    val m = 64
+    val rankBits = 26 // 32 - log2(m)
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = h.bitwiseAND(lit((1L << rankBits) - 1))
+    val rank = when(w === 0, rankBits + 1)
+      .otherwise(lit(rankBits + 1) - length(bin(w)))
+    val regs = df
+      .select(col(groupCol), shiftright(h, rankBits).as("reg"), rank.as("r"))
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max("r").as("mr"))
+    val est = regs.groupBy(col(groupCol))
+      .agg((sum(lit(1.0) /
+          expr("shiftleft(CAST(1 AS BIGINT), mr)").cast("double")) +
+          (lit(m) - count(lit(1)))).as("s"),
+        (lit(m) - count(lit(1))).as("v0"))
+      .withColumn("raw", lit(0.709 * m * m) / col("s"))
+    val two32 = 4294967296.0
+    est.withColumn("approx_distinct",
+        when(col("raw") <= 2.5 * m && col("v0") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v0"))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 12))
+            .cast("double"))
+          .when(col("raw") > two32 / 30.0,
+            lit(-two32) * log(lit(1.0) - col("raw") / two32)
+              .cast(org.apache.spark.sql.types.DecimalType(30, 12))
+              .cast("double"))
+          .otherwise(col("raw")))
+      .select(col(groupCol), col("approx_distinct"))
+  }
+
   /** Approximate top-k heavy hitters of `valueCol` (frequent-items
     * sketch): (item, estimated count) rows, k items. */
   def approxTopK(df: DataFrame, valueCol: String, k: Int): DataFrame =

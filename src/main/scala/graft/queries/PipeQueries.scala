@@ -190,14 +190,21 @@ object PipeQueries {
         .limit(10)
     }),
 
-    // HLL approximate distinct users per event type (DataSketches):
-    // deliberately rows-only at the gate — cross-engine sketch estimates
-    // differ by construction; SketchSpec bounds the relative error and
-    // asserts merge consistency instead.
-    "q_u_hll_distinct" -> ((s, d) =>
-      graft.ops.Sketches.approxDistinctPerGroup(
-        Tables(s, d, "events"), "event_type", "user_id")
-        .orderBy("event_type")),
+    // HLL approximate distinct users per event type. The estimator is the
+    // engine's md5-register HyperLogLog (Flajolet 2007, m=64) — every
+    // register/rank/correction step is bit-reproducible, so the LAST
+    // formerly rows-only query now carries a full hash oracle. The
+    // DataSketches fast path (approxDistinctPerGroup) remains the
+    // production default and keeps its error-bound/merge property tests
+    // in SketchSpec — estimates of the two differ only by hash family.
+    "q_u_hll_distinct" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      graft.ops.Sketches.hllMd5PerGroup(ev, "event_type", "user_id")
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct("user_id").as("exact_distinct")),
+          Seq("event_type"))
+        .orderBy("event_type")
+    }),
 
     // Per-class embedding centroids (the classwise mean vector a nearest-
     // centroid classifier / IVF coarse quantizer fits): one posexplode +
@@ -465,7 +472,42 @@ object PipeQueries {
         .orderBy("bucket")
     }))
 
+  /** 8-hex-char md5 prefix → 32-bit integer (the q_x_feature_hash
+    * nibble-positional-sum idiom). */
+  private def nibbleInt8(h: String): String =
+    (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+      .mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
+    "q_u_hll_distinct" ->
+      s"""WITH hx AS (SELECT event_type,
+         |    substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS h FROM events),
+         |hv AS (SELECT event_type, ${nibbleInt8("h")} AS v FROM hx),
+         |hr AS (SELECT event_type, v >> 26 AS reg,
+         |    CASE WHEN (v & 67108863) = 0 THEN 27
+         |         ELSE 27 - length(bin(v & 67108863)) END AS r
+         |  FROM hv),
+         |hm AS (SELECT event_type, reg, MAX(r) AS mr FROM hr GROUP BY 1, 2),
+         |hs AS (SELECT event_type,
+         |    CAST(SUM(1.0 / CAST((1::BIGINT << mr) AS DOUBLE)) AS DOUBLE)
+         |      + (64 - COUNT(*)) AS s,
+         |    64 - COUNT(*) AS v0
+         |  FROM hm GROUP BY 1),
+         |he AS (SELECT event_type, ${0.709 * 64 * 64} / s AS raw, v0 FROM hs)
+         |SELECT e.event_type,
+         |  CASE WHEN raw <= 160.0 AND v0 > 0
+         |      THEN 64.0 * CAST(CAST(ln(64.0 / v0) AS DECIMAL(30,12)) AS DOUBLE)
+         |    WHEN raw > ${4294967296.0 / 30.0}
+         |      THEN -4294967296.0 *
+         |        CAST(CAST(ln(1.0 - raw / 4294967296.0) AS DECIMAL(30,12))
+         |          AS DOUBLE)
+         |    ELSE raw END AS approx_distinct,
+         |  x.exact_distinct
+         |FROM he e JOIN (SELECT event_type,
+         |    COUNT(DISTINCT user_id) AS exact_distinct
+         |  FROM events GROUP BY 1) x USING (event_type)
+         |ORDER BY 1""".stripMargin,
     "q_x_redact" -> {
       val red = TextOps.PiiPatterns.foldLeft(piiAugmentedSql) {
         case (acc, (pat, tag)) => s"regexp_replace($acc, '$pat', '$tag', 'g')"

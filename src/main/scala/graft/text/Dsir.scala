@@ -1,0 +1,129 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ml.Split
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023): pick raw-corpus documents whose hashed n-gram statistics look
+  * like a curated TARGET corpus. The standard pretraining-data selection
+  * move when a quality classifier is too blunt: fit two bag-of-hashed-
+  * n-grams multinomial models (target p̂, raw q̂), weight every raw doc by
+  * its log importance ratio Σ_features [ln p̂(b) − ln q̂(b)], then Gumbel
+  * top-k resample (equivalent to sampling without replacement with
+  * probability ∝ the importance weight).
+  *
+  * Everything is relational and deterministic, so one DuckDB statement
+  * replays the whole fit+select pipeline bit-for-bit:
+  *
+  *   features = hashed unigram+bigram stream — explode each doc's token
+  *              array ONCE (the bigramLmScore materialization fix), md5
+  *              bucket per feature; the exchange carries (id, bucket)
+  *              pairs, never text;
+  *   fit      = two B-row count aggregates over the full bucket domain,
+  *              add-one smoothed; B is a constant, so the fitted
+  *              log-ratio relation broadcasts at any corpus scale;
+  *   weights  = broadcast-join the B-row model into the feature stream,
+  *              per-doc DECIMAL(30,12) log-sum (order-independent — the
+  *              q_x_lm_quality discipline);
+  *   resample = Gumbel key logw + g(id) with g = −ln(−ln(u)) from the
+  *              md5-uniform u (deterministic, engine-reproducible); the
+  *              top-k is TakeOrderedAndProject (per-partition heaps + a
+  *              k-row driver merge), never a global sort.
+  *
+  * At 100 TB: the only full-data passes are the feature explosion and its
+  * two bucket-bounded aggregates; the model is O(B) rows; selection exits
+  * the map side with k rows. The paper uses B = 10⁴ buckets — here B = 64
+  * keeps the oracle's bucket join readable; the plan shape is identical
+  * at any B because the model relation stays broadcast-size.
+  */
+object Dsir {
+
+  /** Hashed feature-space size. A constant, not fitted: the log-ratio
+    * relation has exactly this many rows. */
+  val Buckets = 64
+
+  /** md5 feature bucket — first 8 hex digits as an integer, mod B (the
+    * q_x_feature_hash idiom; nibble-positional-sum on the oracle side). */
+  def bucketOf(f: Column): Column =
+    pmod(conv(substring(md5(f), 1, 8), 16, 10).cast("long"), lit(Buckets))
+
+  /** Hashed unigram+bigram feature stream: one (id, bucket) row per
+    * feature occurrence. The token array is materialized as a column
+    * BEFORE the bigram lambda — Spark does not eliminate common
+    * subexpressions across a lambda boundary, so indexing the raw split()
+    * would re-run the regex per element (the measured O(len²) trap). */
+  def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol),
+      TextOps.tokens(TextOps.normalizeText(col(textCol))).as("__t"))
+    val unis = base.select(col(idCol), explode(col("__t")).as("f"))
+    val bis = base.select(col(idCol),
+      explode(TextOps.bigramsOf(col("__t"))).as("f"))
+    unis.unionByName(bis).select(col(idCol), bucketOf(col("f")).as("bucket"))
+  }
+
+  private def decLog(x: Column): Column = log(x).cast(DecimalType(30, 12))
+
+  /** The fitted importance model: B rows (bucket, lr) with
+    * lr = ln p̂_target(b) − ln p̂_raw(b), each an add-one-smoothed
+    * multinomial ln((c_b+1)/(N+B)). Built over the FULL bucket domain so
+    * zero-count buckets still carry their smoothed ratio. Both ln inputs
+    * are exact integer ratios → bit-identical doubles on any engine; the
+    * DECIMAL(30,12) cast pins the stored coefficient. */
+  def logRatios(target: DataFrame, raw: DataFrame,
+                idCol: String, textCol: String): DataFrame = {
+    val spark = target.sparkSession
+    def bucketCounts(df: DataFrame, n: String) =
+      features(df, idCol, textCol).groupBy("bucket")
+        .agg(count(lit(1)).as(n))
+    val ct = bucketCounts(target, "ct")
+    val cr = bucketCounts(raw, "cr")
+    val nt = ct.agg(sum("ct").as("nt"))
+    val nr = cr.agg(sum("cr").as("nr"))
+    val dom = spark.range(Buckets).select(col("id").as("bucket"))
+    dom.join(ct, Seq("bucket"), "left").join(cr, Seq("bucket"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bucket"),
+        (decLog((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + Buckets).cast("double")) -
+          decLog((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+            (col("nr") + Buckets).cast("double"))).as("lr"))
+  }
+
+  /** Per-doc importance weight: (id, n_feats, logw) with logw the exact
+    * DECIMAL sum of the doc's per-feature log ratios. Broadcast model
+    * join + one shuffle on id with map-side partials. */
+  def importanceWeights(raw: DataFrame, model: DataFrame,
+                        idCol: String, textCol: String): DataFrame =
+    features(raw, idCol, textCol)
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("logw"))
+
+  /** Gumbel top-k importance resample: key = logw + g(id), where
+    * g = −ln(−ln(u)) and u ∈ (0,1) is md5-uniform in the doc id — the
+    * Gumbel-max trick makes the deterministic top-k BY KEY a sample
+    * without replacement with P ∝ exp(logw). u = (h+0.5)/2³² never hits
+    * 0 or 1, and −ln(u) ≥ 1.16e-10 survives the 12-decimal rounding, so
+    * both ln calls are total. Keys stay DECIMAL end-to-end: the ORDER BY
+    * compares exact decimals, not doubles. */
+  def resample(raw: DataFrame, target: DataFrame, idCol: String,
+               textCol: String, k: Int, seed: Int = 77): DataFrame = {
+    val model = logRatios(target, raw, idCol, textCol)
+    val w = importanceWeights(raw, model, idCol, textCol)
+    val h = conv(substring(Split.hashKey(col(idCol), seed), 1, 8), 16, 10)
+      .cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    val v = (-log(u)).cast(DecimalType(30, 12))
+    val g = (-log(v.cast("double"))).cast(DecimalType(30, 12))
+    // Narrow logw (the SUM widened it to DECIMAL(38,12)) before the add:
+    // Spark's decimal-addition result precision would exceed 38 and
+    // silently SHED the 12th decimal (scale 11) — measured as a 4e-12
+    // cross-engine drift. (30,12)+(30,12) → (31,12), lossless.
+    w.withColumn("gkey", col("logw").cast(DecimalType(30, 12)) + g)
+      .orderBy(col("gkey").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -60,6 +60,60 @@ object TextOps {
       .withColumn("alpha_ratio", alphaRatio(t))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix A —
+    * the rule set MassiveWeb was filtered with, reused by MassiveText /
+    * RefinedWeb / Dolma). One narrow codegen'd map pass: each rule is a
+    * boolean column; no shuffle until the caller aggregates. Both the
+    * token array and the non-empty line array are materialized ONCE
+    * before their lambdas (the bigramLmScore O(len²) fix).
+    *
+    * Rules (flag = true means the rule REJECTS the document):
+    *   f_word_count — word count outside [50, 100 000]
+    *   f_word_len   — mean word length outside [3, 10]
+    *   f_symbol     — (# + …)-to-word ratio > 0.1
+    *   f_bullet     — > 90% of lines start with a bullet
+    *   f_ellipsis   — > 30% of lines end with "..."
+    *   f_alpha      — < 80% of words contain an alphabetic character
+    *   f_stop       — < 2 of Gopher's 8 required stop words present
+    */
+  def gopherFlags(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val requiredStops =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val occurrences = (s: String) =>
+      (length(t) - length(replace(t, lit(s)))) / s.length
+    df.withColumn("__t", tokens(normalizeText(t)))
+      .withColumn("__lines",
+        filter(split(t, "\n", -1), l => length(trim(l)) > 0))
+      .withColumn("n_words", size(col("__t")).cast("long"))
+      .withColumn("__mwl",
+        aggregate(col("__t"), lit(0L), (a, w) => a + length(w))
+          .cast("double") / col("n_words"))
+      .withColumn("f_word_count",
+        col("n_words") < 50 || col("n_words") > 100000)
+      .withColumn("f_word_len", col("__mwl") < 3.0 || col("__mwl") > 10.0)
+      .withColumn("f_symbol",
+        (occurrences("#") + occurrences("...")).cast("double") /
+          col("n_words") > 0.1)
+      .withColumn("f_bullet",
+        size(col("__lines")) > 0 &&
+          size(filter(col("__lines"),
+              l => trim(l).rlike("^[-*•] "))).cast("double") /
+            size(col("__lines")) > 0.9)
+      .withColumn("f_ellipsis",
+        size(col("__lines")) > 0 &&
+          size(filter(col("__lines"), l => endswith(trim(l), lit("..."))))
+            .cast("double") / size(col("__lines")) > 0.3)
+      .withColumn("f_alpha",
+        size(filter(col("__t"), w => w.rlike("[a-z]"))).cast("double") /
+          col("n_words") < 0.8)
+      .withColumn("f_stop",
+        size(filter(
+          lit(requiredStops.toArray),
+          s => array_contains(col("__t"), s))) < 2)
+      .drop("__t", "__lines", "__mwl")
+  }
+
   /** CCNet-style statistical quality scoring: an add-one-smoothed bigram
     * language model fitted ON the corpus scores each document's average
     * token log-probability — documents far below the corpus's own
@@ -223,7 +277,7 @@ object TextOps {
     * so the single-space separator is unambiguous). The <2-token guard
     * matters: Spark's sequence(1, 0) counts DOWN, so the unguarded form
     * would fabricate a bigram for single-token docs. */
-  private def bigramsOf(toks: Column): Column =
+  private[text] def bigramsOf(toks: Column): Column =
     when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
