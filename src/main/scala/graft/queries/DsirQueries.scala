@@ -42,9 +42,16 @@ object DsirQueries {
     // explosion and its bucket-bounded aggregates.
     "q_x_dsir_weights" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val model = Dsir.logRatios(target(s, d), docs, "doc_id", "text")
-      Dsir.importanceWeights(docs, model, "doc_id", "text")
-        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      // ONE tokenization pass: the feature stream carries the source
+      // column, so the target slice, the raw counts, and the per-doc
+      // weights all read the same persisted (id, source, bucket) rows.
+      val feats = Dsir.features(docs, "doc_id", "text", keep = Seq("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = Dsir.logRatiosOf(
+        feats.filter(col("source").isin(targetSources: _*)), feats)
+      feats.join(broadcast(model), Seq("bucket"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_feats"), sum("lr").as("logw"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_feats").as("n_feats"),

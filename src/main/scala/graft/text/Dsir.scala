@@ -55,31 +55,28 @@ object Dsir {
     * BEFORE the bigram lambda — Spark does not eliminate common
     * subexpressions across a lambda boundary, so indexing the raw split()
     * would re-run the regex per element (the measured O(len²) trap). */
-  def features(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df.select(col(idCol),
-      TextOps.tokens(TextOps.normalizeText(col(textCol))).as("__t"))
-    val unis = base.select(col(idCol), explode(col("__t")).as("f"))
-    val bis = base.select(col(idCol),
-      explode(TextOps.bigramsOf(col("__t"))).as("f"))
-    unis.unionByName(bis).select(col(idCol), bucketOf(col("f")).as("bucket"))
+  def features(df: DataFrame, idCol: String, textCol: String,
+               keep: Seq[String] = Nil): DataFrame = {
+    val keyCols = col(idCol) +: keep.map(col)
+    val base = df.select(keyCols :+
+      TextOps.tokens(TextOps.normalizeText(col(textCol))).as("__t"): _*)
+    val unis = base.select(keyCols :+ explode(col("__t")).as("f"): _*)
+    val bis = base.select(keyCols :+
+      explode(TextOps.bigramsOf(col("__t"))).as("f"): _*)
+    unis.unionByName(bis)
+      .select(keyCols :+ bucketOf(col("f")).as("bucket"): _*)
   }
 
-  private def decLog(x: Column): Column = log(x).cast(DecimalType(30, 12))
-
-  /** The fitted importance model: B rows (bucket, lr) with
-    * lr = ln p̂_target(b) − ln p̂_raw(b), each an add-one-smoothed
-    * multinomial ln((c_b+1)/(N+B)). Built over the FULL bucket domain so
-    * zero-count buckets still carry their smoothed ratio. Both ln inputs
-    * are exact integer ratios → bit-identical doubles on any engine; the
-    * DECIMAL(30,12) cast pins the stored coefficient. */
-  def logRatios(target: DataFrame, raw: DataFrame,
-                idCol: String, textCol: String): DataFrame = {
-    val spark = target.sparkSession
-    def bucketCounts(df: DataFrame, n: String) =
-      features(df, idCol, textCol).groupBy("bucket")
-        .agg(count(lit(1)).as(n))
-    val ct = bucketCounts(target, "ct")
-    val cr = bucketCounts(raw, "cr")
+  /** logRatios over PREBUILT feature streams — the one-tokenization-pass
+    * form: callers materialize `features(corpus, …, keep = Seq(src))`
+    * once and slice the target out of it, so the corpus text is read and
+    * tokenized exactly once no matter how many stages consume it. */
+  def logRatiosOf(targetFeats: DataFrame, rawFeats: DataFrame): DataFrame = {
+    val spark = targetFeats.sparkSession
+    def bucketCounts(f: DataFrame, n: String) =
+      f.groupBy("bucket").agg(count(lit(1)).as(n))
+    val ct = bucketCounts(targetFeats, "ct")
+    val cr = bucketCounts(rawFeats, "cr")
     val nt = ct.agg(sum("ct").as("nt"))
     val nr = cr.agg(sum("cr").as("nr"))
     val dom = spark.range(Buckets).select(col("id").as("bucket"))
@@ -92,15 +89,32 @@ object Dsir {
             (col("nr") + Buckets).cast("double"))).as("lr"))
   }
 
+  private def decLog(x: Column): Column = log(x).cast(DecimalType(30, 12))
+
+  /** The fitted importance model: B rows (bucket, lr) with
+    * lr = ln p̂_target(b) − ln p̂_raw(b), each an add-one-smoothed
+    * multinomial ln((c_b+1)/(N+B)). Built over the FULL bucket domain so
+    * zero-count buckets still carry their smoothed ratio. Both ln inputs
+    * are exact integer ratios → bit-identical doubles on any engine; the
+    * DECIMAL(30,12) cast pins the stored coefficient. */
+  def logRatios(target: DataFrame, raw: DataFrame,
+                idCol: String, textCol: String): DataFrame =
+    logRatiosOf(features(target, idCol, textCol),
+      features(raw, idCol, textCol))
+
   /** Per-doc importance weight: (id, n_feats, logw) with logw the exact
     * DECIMAL sum of the doc's per-feature log ratios. Broadcast model
     * join + one shuffle on id with map-side partials. */
-  def importanceWeights(raw: DataFrame, model: DataFrame,
-                        idCol: String, textCol: String): DataFrame =
-    features(raw, idCol, textCol)
+  def importanceWeightsOf(rawFeats: DataFrame, model: DataFrame,
+                          idCol: String): DataFrame =
+    rawFeats
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum("lr").as("logw"))
+
+  def importanceWeights(raw: DataFrame, model: DataFrame,
+                        idCol: String, textCol: String): DataFrame =
+    importanceWeightsOf(features(raw, idCol, textCol), model, idCol)
 
   /** Gumbel top-k importance resample: key = logw + g(id), where
     * g = −ln(−ln(u)) and u ∈ (0,1) is md5-uniform in the doc id — the
@@ -111,8 +125,13 @@ object Dsir {
     * compares exact decimals, not doubles. */
   def resample(raw: DataFrame, target: DataFrame, idCol: String,
                textCol: String, k: Int, seed: Int = 77): DataFrame = {
-    val model = logRatios(target, raw, idCol, textCol)
-    val w = importanceWeights(raw, model, idCol, textCol)
+    // The raw feature stream feeds BOTH the model's raw counts and the
+    // per-doc weights — persist it so the corpus is tokenized once, not
+    // twice (at 100 TB the explosion pass dominates everything else).
+    val rawFeats = features(raw, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = logRatiosOf(features(target, idCol, textCol), rawFeats)
+    val w = importanceWeightsOf(rawFeats, model, idCol)
     val h = conv(substring(Split.hashKey(col(idCol), seed), 1, 8), 16, 10)
       .cast("double")
     val u = (h + lit(0.5)) / lit(4294967296.0)
