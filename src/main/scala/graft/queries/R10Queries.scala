@@ -148,6 +148,28 @@ object R10Queries {
         rounds = GbtRounds, depth = GbtDepth, bins = GbtBins)
       import s.implicits._
       curve.toDF("round", "sse", "n_leaves").orderBy("round")
+    }),
+
+    // GBDT CLASSIFICATION, hash-exact — Friedman's LS-Boost on the
+    // binary target: squared-error boosting fits E[y|x] = P(y=1|x)
+    // directly, so thresholding the regression prediction at 1/2 IS the
+    // classifier (the principled probability-regression route; logistic
+    // Newton boosting stays in ml/Boost where transcendental gradient
+    // sums preclude an oracle). The 0/1 label is scaled ×8 so the
+    // INTEGER leaf updates (floorDiv, lr = 1/2) can move in sub-unit
+    // probability steps — granularity 1/8, threshold = 4/8 exactly;
+    // |r| ≤ ~8 keeps the exact-ranking bound satisfied through sf1.
+    // In-sample confusion of the thresholded prediction.
+    "q_l_gbt_class" -> ((s, d) => {
+      val base = frame(s, d)
+        .withColumn("yb", (col("y") % 2).cast("int"))
+        .withColumn("ys", (col("yb") * 8).cast("long"))
+      val (m, _) = HistGbtR.fit(base, "x", "ys", D,
+        rounds = GbtRounds, depth = GbtDepth, bins = GbtBins)
+      base.select(col("yb").as("label"),
+          when(m.predictExpr("x") >= 4, 1).otherwise(0).as("prediction"))
+        .groupBy("label", "prediction").agg(count(lit(1)).as("n"))
+        .orderBy("label", "prediction")
     }))
 
   private val PermSeed = 1000
@@ -361,8 +383,14 @@ object R10Queries {
   /** The boosting chain: residuals g0 → per round t (per level:
     * histogram of (Σr, count), variance-gain argmax with the HUGEINT
     * strict-improvement test, reassignment) → leaf stats → floor-div
-    * leaf values → updated residuals g$t. Mirrors HistGbtR.fit. */
-  private def gbtCtes: String = {
+    * leaf values → updated residuals g$t. Mirrors HistGbtR.fit.
+    * `yExpr` is the integer target as an expression over stbase row `b`
+    * (regression: the raw label; classification: the scaled binary
+    * label); (vec_id, y) ride through every round so consumers can
+    * recover the prediction F = target − r_final. */
+  private def gbtCtes: String = gbtCtesFor("CAST(b.y AS BIGINT)")
+
+  private def gbtCtesFor(yExpr: String): String = {
     val B = GbtBins
     val binCols = (0 until D).map(i =>
       s"CAST(greatest(least(floor(((b.x$i - m.mn$i) * $B.0) / " +
@@ -400,7 +428,8 @@ object R10Queries {
          |      AND tc*(cs*cs*(tc - cc) + (ts - cs)*(ts - cs)*cc)
          |        > ts*ts*cc*(tc - cc)) z
          |  WHERE rn = 1),
-         |ga${t}l${l + 1} AS (SELECT a.r, a.b0, a.b1, a.b2, a.b3,
+         |ga${t}l${l + 1} AS (SELECT a.vec_id, a.y, a.r,
+         |    a.b0, a.b1, a.b2, a.b3,
          |    CASE WHEN s.node IS NULL THEN a.node
          |         WHEN (CASE s.f WHEN 0 THEN a.b0 WHEN 1 THEN a.b1
          |               WHEN 2 THEN a.b2 ELSE a.b3 END) <= s.b
@@ -410,19 +439,23 @@ object R10Queries {
          |    ON s.node = a.node)""".stripMargin
     }
     def round(t: Int): String =
-      s"""ga${t}l0 AS (SELECT r, b0, b1, b2, b3, 0 AS node FROM g${t - 1}),
+      s"""ga${t}l0 AS (SELECT vec_id, y, r, b0, b1, b2, b3, 0 AS node
+         |  FROM g${t - 1}),
          |${(0 until GbtDepth).map(l => level(t, l)).mkString(",\n")},
          |gleaf$t AS (SELECT node, SUM(r) AS s, COUNT(*) AS c,
          |    SUM(r*r) AS s2
          |  FROM ga${t}l$GbtDepth GROUP BY node),
          |glv$t AS (SELECT node,
          |    ${floordivSql("s", "2*c")} AS v FROM gleaf$t),
-         |g$t AS (SELECT a.r - l.v AS r, a.b0, a.b1, a.b2, a.b3
+         |g$t AS (SELECT a.vec_id, a.y, a.r - l.v AS r,
+         |    a.b0, a.b1, a.b2, a.b3
          |  FROM ga${t}l$GbtDepth a JOIN glv$t l ON l.node = a.node)"""
         .stripMargin
-    s"""gf0 AS (SELECT ${floordivSql("SUM(CAST(y AS BIGINT))", "COUNT(*)")}
+    val ySum = yExpr.replace("b.y", "y")
+    s"""gf0 AS (SELECT ${floordivSql(s"SUM($ySum)", "COUNT(*)")}
        |      AS f0 FROM stbase),
-       |g0 AS (SELECT CAST(b.y AS BIGINT) - (SELECT f0 FROM gf0) AS r,
+       |g0 AS (SELECT b.vec_id, b.y,
+       |    $yExpr - (SELECT f0 FROM gf0) AS r,
        |    $binCols
        |  FROM stbase b CROSS JOIN stmm m),
        |${(1 to GbtRounds).map(round).mkString(",\n")}""".stripMargin
@@ -557,5 +590,18 @@ object R10Queries {
          |    CAST(1 AS BIGINT) AS n_leaves
          |  UNION ALL ${"\n  "}$rounds) u
          |ORDER BY round""".stripMargin
-    })
+    },
+
+    // The classification chain is the regression chain on the ×8-scaled
+    // binary target; the prediction is recovered from the carried
+    // residual (F = target − r_final), thresholded at 4/8 = 1/2.
+    "q_l_gbt_class" ->
+      s"""WITH $subBaseCtes,
+         |${gbtCtesFor("CAST((b.y % 2) * 8 AS BIGINT)")}
+         |SELECT label, prediction, COUNT(*) AS n FROM (
+         |  SELECT y % 2 AS label,
+         |    CASE WHEN (CAST((y % 2) * 8 AS BIGINT) - r) >= 4
+         |      THEN 1 ELSE 0 END AS prediction
+         |  FROM g$GbtRounds) t
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -96,6 +96,34 @@ class R10Spec extends AnyFunSuite {
       curve2 == curve)
   }
 
+  test("gbt classification: LS-Boost on the scaled binary target " +
+    "separates a planted signal") {
+    // y = 1 iff x0 > 100 — perfectly separable on the first feature;
+    // fitting the ×8-scaled label and thresholding at 4 (= 1/2) must
+    // recover it almost exactly (floor-div leaf quantization can leave
+    // a sliver near the bin boundary)
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 600).map { i =>
+      val x0 = rng.nextInt(200).toDouble
+      (i.toLong, if (x0 > 100) 1 else 0,
+        Seq(x0, rng.nextInt(200).toDouble, rng.nextInt(200).toDouble,
+          rng.nextInt(200).toDouble))
+    }
+    val df = frame(rows).withColumn("ys", (col("y") * 8).cast("long"))
+    val (m, _) = HistGbtR.fit(df, "x", "ys", 4, rounds = 3, depth = 2,
+      bins = 16)
+    val acc = df.select(
+        when((m.predictExpr("x") >= 4) === (col("y") === 1), 1L)
+          .otherwise(0L).as("ok"))
+      .agg(sum("ok")).head().getLong(0).toDouble / rows.size
+    assert(acc > 0.95, s"planted-signal accuracy $acc")
+    // prediction granularity is 1/8: every in-sample prediction stays
+    // inside the scaled label range
+    val mm = df.select(m.predictExpr("x").as("f"))
+      .agg(min("f"), max("f")).head()
+    assert(mm.getLong(0) >= -8 && mm.getLong(1) <= 16)
+  }
+
   test("gbt refuses when score operands could leave the exact range") {
     // y alternates 0 / 2^20 so RESIDUALS (not just the label) are ~2^19
     // — a constant y would give r=0 everywhere and nothing to refuse
