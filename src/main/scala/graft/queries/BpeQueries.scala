@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.text.{Bpe, NbClassifier}
+import graft.text.{Bpe, NbClassifier, TextOps}
 
 /** Tokenizer-training and classifier-distillation queries — the two
   * training-data-pipeline stages the catalog still computed with fixed
@@ -95,6 +95,62 @@ object BpeQueries {
         .orderBy("doc_id")
     }),
 
+    // Composition: the full training-data LOADER — what actually feeds a
+    // trainer once the corpus is curated. Five stages, one hash:
+    //   1. mixture RATES per language (q_x_mixture_plan's DoReMi-style
+    //      computation: min(1, target·T_total/T_lang));
+    //   2. deterministic mixture SAMPLING — keep a doc iff its md5
+    //      uniform < floor(rate·2³²) (q_x_weighted_sample's mechanism,
+    //      driven by the mixture rate instead of a quality weight);
+    //   3. deterministic epoch SHUFFLE of the kept docs (hashRank — the
+    //      256-bucket distributed global rank, no single-partition sort);
+    //   4. re-tokenization under the FITTED BPE table (the shared
+    //      mergeMemo — one fit per process per dir);
+    //   5. greedy 512-subword context-window PACKING in shuffle order
+    //      (distributed prefix sum), rolled into 16 shard manifests
+    //      (n_docs + distinct batches + token totals + id_sum pin the
+    //      whole permutation and batch structure at any scale).
+    "q_pipe_dataloader" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      // 1. per-language sampling rates
+      import s.implicits._
+      val perLang = docs.groupBy("lang")
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
+      val total = perLang.agg(sum("tokens").as("total_tokens"))
+      val rates = perLang
+        .join(broadcast(PipeQueries.MixtureTargets.toDF("lang", "target_share")),
+          Seq("lang"))
+        .crossJoin(broadcast(total))
+        .select(col("lang"), least(lit(1.0), col("target_share")
+          * col("total_tokens").cast("double") / col("tokens").cast("double"))
+          .as("rate"))
+      // 2. deterministic mixture sampling
+      val uInt = conv(substring(
+        graft.ml.Split.hashKey(col("doc_id"), 19), 1, 8), 16, 10).cast("long")
+      val kept = docs.join(broadcast(rates), Seq("lang"))
+        .filter(uInt < floor(col("rate") * 4294967296.0).cast("long"))
+        .select("doc_id", "text")
+      // 3. epoch shuffle
+      val ranked = graft.ml.Extras.hashRank(
+        kept.select("doc_id"), "doc_id", seed = 23, "pos")
+      // 4. fitted-BPE tokenization (inner join drops no-valid-word docs,
+      // the q_pipe_tokenize_pack semantic)
+      val m = fitted(s, d)
+      val toks = Bpe.encode(m, kept, "doc_id", "text")
+        .join(ranked, Seq("doc_id"))
+        .select(col("doc_id"), col("pos"), col("n_bpe_tokens").as("n_tok"))
+      // 5. pack in shuffle order, roll into 16 shards
+      graft.ops.Prefix
+        .runningSum(toks, Seq(col("pos")), col("n_tok"), "cum_tok")
+        .withColumn("batch", expr("CAST((cum_tok - n_tok) DIV 512 AS INT)"))
+        .groupBy((col("batch") % 16).cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("batch")).as("n_batches"),
+          sum("n_tok").cast("long").as("shard_tokens"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("shard")
+    }),
+
     // Composition: the FITTED tokenizer feeds the context-window packer —
     // train BPE, re-tokenize the corpus under it, then greedy-pack docs
     // into 512-subword batches in doc_id order (q_x_seq_pack's shape, but
@@ -149,7 +205,57 @@ object BpeQueries {
   private val bpeChain =
     bpeBase + ",\n" + (0 until K).map(bpeStage).mkString(",\n")
 
+  /** 8-hex-char md5 prefix → integer (nibble positional sum). */
+  private def nibbleInt(h: String): String =
+    (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+      .mkString("(", " + ", ")")
+
   def oracles: Map[String, String] = Map(
+    "q_pipe_dataloader" -> {
+      val targets = PipeQueries.MixtureTargets
+        .map { case (l, s) => s"('$l', $s)" }.mkString(", ")
+      val rawToks = """len(regexp_split_to_array(trim(text), '\s+'))"""
+      s"""WITH $bpeChain,
+         |dlT AS (SELECT lang, CAST(SUM($rawToks) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY lang),
+         |dlTot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens
+         |  FROM dlT),
+         |dlR AS (SELECT dlT.lang, LEAST(1.0,
+         |    CAST(target_share AS DOUBLE) * CAST(total_tokens AS DOUBLE)
+         |      / CAST(tokens AS DOUBLE)) AS rate
+         |  FROM dlT JOIN (VALUES $targets) tg(lang, target_share)
+         |    ON tg.lang = dlT.lang, dlTot),
+         |dlH AS (SELECT doc_id, lang, text,
+         |    MD5(CONCAT_WS(':', '19', CAST(doc_id AS VARCHAR))) AS h
+         |  FROM documents),
+         |dlK AS (SELECT doc_id, text FROM dlH JOIN dlR USING (lang)
+         |  WHERE ${nibbleInt("h")}
+         |    < CAST(floor(rate * 4294967296.0) AS BIGINT)),
+         |dlP AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+         |    MD5(CONCAT_WS(':', '23', CAST(doc_id AS VARCHAR))), doc_id)
+         |    AS pos
+         |  FROM dlK),
+         |dlNs AS (SELECT w, len(string_split(trim(sym), ' ')) AS nsym
+         |  FROM bpeV$K),
+         |dlDw AS (SELECT doc_id, unnest($normToksSql) AS w FROM dlK),
+         |dlDoc AS (SELECT d.doc_id, CAST(SUM(nsym) AS BIGINT) AS n_tok
+         |  FROM dlDw d JOIN dlNs USING (w)
+         |  WHERE regexp_matches(d.w, '^[a-z0-9]+${"$"}')
+         |  GROUP BY d.doc_id),
+         |dlC AS (SELECT t.doc_id, p.pos, t.n_tok,
+         |    SUM(t.n_tok) OVER (ORDER BY p.pos ROWS UNBOUNDED PRECEDING)
+         |      AS cum
+         |  FROM dlDoc t JOIN dlP p USING (doc_id)),
+         |dlB AS (SELECT doc_id, n_tok,
+         |    CAST((cum - n_tok) // 512 AS INTEGER) AS batch FROM dlC)
+         |SELECT CAST(batch % 16 AS INTEGER) AS shard, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT batch) AS n_batches,
+         |  CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM dlB GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "q_x_bpe_merges" ->
       s"""WITH $bpeChain
          |SELECT rank, pair, replace(pair, ' ', '') AS merged, cnt FROM (

@@ -21,7 +21,7 @@ object PipeQueries {
   private val Bm25Terms = Seq("spark", "merge", "window")
 
   /** Target language mixture for the domain-reweighting plan. */
-  private val MixtureTargets = Seq(
+  private[queries] val MixtureTargets = Seq(
     ("de", 0.15), ("en", 0.5), ("es", 0.15), ("fr", 0.1), ("zh", 0.1))
 
   /** Deterministic synthetic PII suffix (the corpus itself is clean, so
