@@ -198,6 +198,78 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__sh")
       .drop("__sh")
 
+  /** Per-batch accounting row of [[corpusIngestSink]]. */
+  final case class IngestCounts(batchId: Long, raw: Long, quality: Long,
+                                langOk: Long, exactNew: Long, nearNew: Long)
+
+  /** EP4's STREAMING twin — the corpus build as continuous ingest: every
+    * micro-batch runs the hygiene chain (the EXACT CorpusBuild stage-1/2
+    * predicates: alpha-ratio + token-count quality gate, language
+    * agreement), then dedups against a PERSISTENT fingerprint index —
+    * exact (normalized-content md5) and near (48-bit distinct-token-set
+    * simhash) — keeping the min-doc_id row per new fingerprint inside the
+    * batch. Survivors append to `<dir>/docs`; their (fp, sh) pairs append
+    * to `<dir>/index`; `onBatch` receives the per-stage counts (the
+    * manifest CorpusBuild writes, incrementally).
+    *
+    * Scale shape: hygiene is a narrow map; the index carries 24 bytes per
+    * KEPT document (the q_x_ingest_dedup incremental-index discipline) —
+    * the anti-join is fingerprint-vs-fingerprint, never text-vs-text, and
+    * its cost is bounded by the distilled corpus, not the raw stream.
+    * Unlike [[streamingNearDedup]]'s watermark state (which forgets), the
+    * index is the corpus itself — exactly-once dedup across restarts
+    * comes from the index living next to the docs it admitted. */
+  def corpusIngestSink(stream: DataFrame, tableDir: String,
+                       onBatch: IngestCounts => Unit = _ => ())
+  : DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val docsDir = s"$tableDir/docs"
+        val idxDir = s"$tableDir/index"
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val raw = batch.persist(lvl)
+        val nRaw = raw.count()
+        val quality = graft.text.TextOps.qualityFeatures(raw)
+          .filter(col("alpha_ratio") > 0.7 &&
+            col("n_tokens").between(20, 2000))
+        val langOk = quality
+          .filter(graft.text.TextOps.langIdFast(col("text")) === col("lang"))
+          .select(raw.columns.map(col): _*)
+        val nQ = quality.count()
+        val fped = langOk
+          .withColumn("__fp", graft.text.TextOps.contentFingerprint(col("text")))
+          .withColumn("__sh", graft.text.TextOps.simhashFast(col("text"), 48))
+          .persist(lvl)
+        val nL = fped.count()
+        val idx =
+          if (new java.io.File(idxDir).exists) spark.read.parquet(idxDir)
+          else fped.select(col("__fp").as("fp"), col("__sh").as("sh")).limit(0)
+        val wFp = org.apache.spark.sql.expressions.Window
+          .partitionBy("__fp").orderBy("doc_id")
+        val exact = fped
+          .join(idx.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+          .withColumn("__rn", row_number().over(wFp))
+          .filter(col("__rn") === 1).drop("__rn")
+        val nE = exact.count()
+        val wSh = org.apache.spark.sql.expressions.Window
+          .partitionBy("__sh").orderBy("doc_id")
+        val near = exact
+          .join(idx.select(col("sh").as("__sh")), Seq("__sh"), "left_anti")
+          .withColumn("__rn", row_number().over(wSh))
+          .filter(col("__rn") === 1).drop("__rn")
+          .persist(lvl)
+        val nN = near.count()
+        near.select(raw.columns.map(col): _*)
+          .write.mode("append").parquet(docsDir)
+        near.select(col("__fp").as("fp"), col("__sh").as("sh"))
+          .write.mode("append").parquet(idxDir)
+        onBatch(IngestCounts(id, nRaw, nQ, nL, nE, nN))
+        raw.unpersist()
+        fped.unpersist()
+        near.unpersist(): Unit
+    }
+
   /** foreachBatch CDC-compaction sink: every micro-batch merges into a
     * keyed parquet table with latest-wins semantics (`tsCol` desc per
     * `keyCol`) — the incremental upsert a change-stream consumer runs

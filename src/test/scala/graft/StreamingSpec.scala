@@ -12,6 +12,8 @@ case class EvU(ts: Timestamp, event_type: String, user_id: Long)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class UserEv(ts: Timestamp, user_id: Long, value: Double)
 case class Promo(p_ts: Timestamp, p_user_id: Long, promo: String)
+case class CorpusDoc(ts: Timestamp, doc_id: Long, text: String,
+                     lang: String, source: String)
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -496,6 +498,70 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
     assert(batch.nonEmpty)
+  }
+
+  test("streaming corpus ingest: hygiene + persistent-index dedup " +
+    "equals the batch chain; index survives restart") {
+    val base = "the quick brown fox and the lazy dog run to the old mill " +
+      "of the green valley and they rest in the warm sun for a while"
+    def doc(id: Long, text: String, lang: String = "en") =
+      CorpusDoc(ts(id.toInt), id, text, lang, "s")
+    val b1 = Seq(
+      doc(1, s"$base alpha"),
+      doc(2, "zzz 123 !!!"), // fails the quality gate
+      doc(3, s"$base bravo", lang = "de")) // fails language agreement
+    val b2 = Seq(
+      doc(4, s"$base alpha"), // exact dup of 1 (cross-batch, via index)
+      doc(5, ("alpha " + base).trim), // reordered tokens: near dup of 1
+      doc(6, s"$base delta"))
+    val b3 = Seq(
+      doc(7, s"$base delta"), // exact dup of 6
+      doc(8, s"$base echo"),
+      doc(9, s"$base fox trot"), doc(10, s"$base fox trot")) // in-batch dup
+    val dir = java.nio.file.Files.createTempDirectory("corpus-ingest").toString
+    val counts = scala.collection.mutable.ArrayBuffer[StreamOps.IngestCounts]()
+    val stream = MemoryStream[CorpusDoc](spark)
+    val q = StreamOps.corpusIngestSink(stream.toDF(), dir, counts += _)
+      .start()
+    Seq(b1, b2, b3).foreach { b =>
+      stream.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val keptIds = spark.read.parquet(s"$dir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    // the batch-global twin: same predicates, keep-min per fingerprint
+    val all = (b1 ++ b2 ++ b3).toDF()
+    val hygiene = graft.text.TextOps.qualityFeatures(all)
+      .filter(col("alpha_ratio") > 0.7 && col("n_tokens").between(20, 2000))
+      .filter(graft.text.TextOps.langIdFast(col("text")) === col("lang"))
+      .withColumn("__fp", graft.text.TextOps.contentFingerprint(col("text")))
+      .withColumn("__sh", graft.text.TextOps.simhashFast(col("text"), 48))
+    import org.apache.spark.sql.expressions.Window
+    val exact = hygiene.withColumn("__rn",
+        row_number().over(Window.partitionBy("__fp").orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn")
+    val near = exact.withColumn("__rn",
+        row_number().over(Window.partitionBy("__sh").orderBy("doc_id")))
+      .filter(col("__rn") === 1)
+    val wantIds = near.select("doc_id").as[Long].collect().toSet
+    assert(keptIds == wantIds)
+    assert(keptIds == Set(1L, 6L, 8L, 9L))
+    // stage accounting: batch 2 loses one doc to the exact index and one
+    // to the near index
+    val c2 = counts(1)
+    assert((c2.raw, c2.quality, c2.langOk, c2.exactNew, c2.nearNew)
+      == ((3L, 3L, 3L, 2L, 1L)))
+    // restart: a NEW query against the same dir still drops d1's dup —
+    // the index IS the state, no watermark amnesia
+    val stream2 = MemoryStream[CorpusDoc](spark)
+    val q2 = StreamOps.corpusIngestSink(stream2.toDF(), dir, counts += _)
+      .start()
+    stream2.addData(doc(11, s"$base alpha"), doc(12, s"$base golf"))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = spark.read.parquet(s"$dir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == Set(1L, 6L, 8L, 9L, 12L))
   }
 
   test("props JSON extraction") {
