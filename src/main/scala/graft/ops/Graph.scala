@@ -186,6 +186,48 @@ object Graph {
     Seq(n).toDF("n_triangles")
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), made deterministic: label₀(v) = v; each round every node
+    * takes the most frequent label among its neighbors, ties broken
+    * (count DESC, label ASC). Synchronous updates + the total tie-break
+    * make the result independent of partitioning and engine — a K-round
+    * fit one SQL CTE chain replays bit-for-bit (the Lloyd's/PageRank
+    * precedent; classic asynchronous LPA is RNG-ordered and
+    * unreproducible by design).
+    *
+    * Scale shape: per round ONE shuffle join of the edge relation with
+    * the current label vector plus one grouped count and a per-node
+    * argmax window (partitioned by node — parallel). `rounds` is small
+    * and fixed; at power-law degree the count relation is bounded by
+    * Σ distinct neighbor labels ≤ |edges|.
+    *
+    * `edgesDistinct`: as in [[pageRank]] — caller guarantees a
+    * deduplicated edge list with disjoint endpoint spaces, so the
+    * symmetrize-dedup shuffle is skipped. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3,
+                       edgesDistinct: Boolean = false): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val symRaw = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = (if (edgesDistinct) symRaw else symRaw.distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val cnt = sym
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("label"))
+      labels = cnt.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select("node", "label")
+    }
+    labels
+  }
+
   /** Damped PageRank by power iteration — each round is ONE shuffle join
     * of the edge relation with the current rank vector plus ONE grouped
     * aggregation, i.e. the same shuffle-on-key shape as every other

@@ -61,6 +61,29 @@ object WarehouseQueries {
     // (2·custkey / 2·suppkey+1); output = top-20 suppliers by rank.
     // Decimal-quantized contributions make the rank vector bit-exact on
     // any engine, so even the 3-hop fixpoint is oracle-hash-checkable.
+    // Synchronous label-propagation communities on the customer-supplier
+    // bipartite graph (same even/odd-encoded edge relation as pagerank):
+    // 3 deterministic rounds, then the top-20 communities by size with
+    // member-id sums pinning the exact membership.
+    "q_g_communities" -> ((s, d) => {
+      val edges = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cnode"),
+          (col("l_suppkey") * 2 + 1).as("snode"))
+        .distinct()
+      val comms = graft.ops.Graph
+        .labelPropagation(edges, "cnode", "snode", rounds = 3,
+          edgesDistinct = true)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum("node").cast("long").as("node_sum"))
+      graft.ops.Ranking.topKRanked(comms,
+          Seq("n_nodes" -> true, "community" -> false), 20)
+        .select("rank", "community", "n_nodes", "node_sum")
+        .orderBy("rank")
+    }),
+
     "q_g_pagerank" -> ((s, d) => {
       val edges = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey")
         .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
@@ -273,6 +296,34 @@ object WarehouseQueries {
          |    (ORDER BY pmi_ratio DESC, a, b) AS rn
          |  FROM scored) r
          |WHERE rn <= 30 ORDER BY rank""".stripMargin,
+
+    "q_g_communities" -> {
+      // one synchronous LPA round: neighbor-label counts → per-node
+      // (count DESC, label ASC) argmax — mirrors Graph.labelPropagation
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (SELECT node, label FROM (
+           |  SELECT s.dst AS node, r.label, COUNT(*) AS c,
+           |    ROW_NUMBER() OVER (PARTITION BY s.dst
+           |      ORDER BY COUNT(*) DESC, r.label) AS rn
+           |  FROM sym s JOIN $prev r ON s.src = r.node
+           |  GROUP BY s.dst, r.label) z WHERE rn = 1)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |sym AS (SELECT src, dst FROM e0
+         |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")},
+         |cm AS (SELECT label AS community, COUNT(*) AS n_nodes,
+         |    CAST(SUM(node) AS BIGINT) AS node_sum
+         |  FROM l3 GROUP BY 1)
+         |SELECT CAST(rn AS INTEGER) AS rank, community, n_nodes, node_sum
+         |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_nodes DESC,
+         |    community) AS rn FROM cm) t
+         |WHERE rn <= 20 ORDER BY rank""".stripMargin
+    },
 
     "q_g_pagerank" -> {
       // one unrolled power-iteration round, mirroring Graph.pageRank's

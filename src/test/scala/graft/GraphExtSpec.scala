@@ -47,6 +47,28 @@ class GraphExtSpec extends AnyFunSuite {
     assert(m == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("label propagation separates two cliques joined by one bridge") {
+    // cliques {1..4} and {10..13}, bridged 4-10: LPA must give each
+    // clique one label and must NOT merge them (CC would)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L))).toDF("a", "b")
+    val labels = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = Seq(1L, 2L, 3L, 4L).map(labels)
+    val c2 = Seq(10L, 11L, 12L, 13L).map(labels)
+    assert(c1.distinct.size == 1, s"clique 1 split: $labels")
+    assert(c2.distinct.size == 1, s"clique 2 split: $labels")
+    assert(c1.head != c2.head, s"cliques merged: $labels")
+    // determinism under repartitioning (synchronous rounds + total
+    // tie-break — the property the oracle replay depends on)
+    val again = Graph
+      .labelPropagation(edges.repartition(7, col("b")), "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == labels)
+  }
+
   test("componentSizes summarizes duplicate groups") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val sizes = Graph.componentSizes(edges, "a", "b")
