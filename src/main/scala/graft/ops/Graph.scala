@@ -211,7 +211,11 @@ object Graph {
       col(dstCol).cast("long").as("dst"))
     val symRaw = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
+    // pre-partition the cached edge relation on the per-round join key:
+    // the cached distribution satisfies the join's requirement, so each
+    // round exchanges only the (shrinking) label vector, not 2|E| edges
     val sym = (if (edgesDistinct) symRaw else symRaw.distinct())
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
