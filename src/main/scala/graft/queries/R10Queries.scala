@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ml.{Extras, Forest, HistGbtR, HistTree}
+import graft.ml.{Extras, Forest, HistGbtR, HistTree, IsoForest}
 
 /** Round-10 queries: the SUBSAMPLED-SPLIT-SELECTION path of the
   * hash-exact tree/forest family, oracle-verified.
@@ -150,6 +150,25 @@ object R10Queries {
       curve.toDF("round", "sse", "n_leaves").orderBy("round")
     }),
 
+    // Isolation forest (Liu et al. 2008), hash-exact: md5-deterministic
+    // per-tree subsampling, md5-derived split feature + uniform
+    // threshold in the node's [min, max], sklearn's average-path
+    // adjustment — anomaly rank = ascending average path length. The
+    // anomaly-detection member of the from-scratch model family; fit is
+    // one (tree, node) min/max aggregation per level (PLANET shape with
+    // the tree dimension melted into the key).
+    "q_l_iforest" -> ((s, d) => {
+      val base = frame(s, d)
+      val m = IsoForest.fit(base, "vec_id", "x", D,
+        trees = IfTrees, depth = IfDepth, seed = IfSeed,
+        sampleFrac = IfFrac)
+      graft.ops.Ranking.topKRanked(
+          IsoForest.score(m, base, "vec_id", "x"),
+          Seq("avg_path" -> false, "vec_id" -> false), 20)
+        .select("rank", "vec_id", "avg_path")
+        .orderBy("rank")
+    }),
+
     // GBDT CLASSIFICATION, hash-exact — Friedman's LS-Boost on the
     // binary target: squared-error boosting fits E[y|x] = P(y=1|x)
     // directly, so thresholding the regression prediction at 1/2 IS the
@@ -176,6 +195,10 @@ object R10Queries {
   private val GbtRounds = 3
   private val GbtDepth = 2
   private val GbtBins = 16
+  private val IfTrees = 4
+  private val IfDepth = 5
+  private val IfSeed = 42
+  private val IfFrac = 0.5
 
   // ---- oracle SQL ---------------------------------------------------
 
@@ -590,6 +613,94 @@ object R10Queries {
          |    CAST(1 AS BIGINT) AS n_leaves
          |  UNION ALL ${"\n  "}$rounds) u
          |ORDER BY round""".stripMargin
+    },
+
+    // Isolation forest: mirrors IsoForest.fit/score level by level —
+    // md5 subsample, md5 split feature, uniform threshold in the node's
+    // [min, max], identity routing at terminal nodes, sklearn path
+    // adjustment, DECIMAL path sums.
+    "q_l_iforest" -> {
+      def nib(h: String): String =
+        (1 to 8).map(i =>
+          s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}")
+          .mkString("(", " + ", ")")
+      def uni(key: String): String =
+        s"((${nib(s"MD5($key)")} + 0.5) / 4294967296.0)"
+      def caseF(alias: String, cols: Int => String): String =
+        s"CASE $alias.f " + (0 until D - 1).map(i =>
+          s"WHEN $i THEN ${cols(i)}").mkString(" ") +
+          s" ELSE ${cols(D - 1)} END"
+      val xs = (0 until D).map(i => s"x$i").mkString(", ")
+      def level(rel: String, l: Int): String = {
+        val mnx = (0 until D).map(i =>
+          s"MIN(x$i) AS mn$i, MAX(x$i) AS mx$i").mkString(", ")
+        val fKey = s"'iff:$IfSeed:' || CAST(tree AS VARCHAR) || ':' || " +
+          "CAST(node AS VARCHAR)"
+        val uKey = s"'ifu:$IfSeed:' || CAST(tree AS VARCHAR) || ':' || " +
+          "CAST(node AS VARCHAR)"
+        val mnOf = (i: Int) => s"mn$i"
+        val mxOf = (i: Int) => s"mx$i"
+        s"""ifst$rel$l AS (SELECT tree, node, COUNT(*) AS n, $mnx
+           |  FROM if$rel$l GROUP BY 1, 2),
+           |ifsp$rel$l AS (SELECT tree, node, f,
+           |    ${caseF("z", mnOf)} AS mn, ${caseF("z", mxOf)} AS mx,
+           |    ${uni(uKey)} AS u
+           |  FROM (SELECT *,
+           |      CAST(${nib(s"MD5($fKey)")} % $D AS INTEGER) AS f
+           |    FROM ifst$rel$l) z
+           |  WHERE n > 1 AND ${caseF("z", mxOf)} > ${caseF("z", mnOf)}),
+           |if$rel${l + 1} AS (SELECT a.tree, a.vec_id, ${
+            (0 until D).map(i => s"a.x$i").mkString(", ")},
+           |    CASE WHEN s.node IS NULL THEN a.node
+           |         WHEN (${caseF("s", i => s"a.x$i")})
+           |             < (s.mn + s.u * (s.mx - s.mn))
+           |           THEN 2*a.node + 1
+           |         ELSE 2*a.node + 2 END AS node
+           |  FROM if$rel$l a LEFT JOIN ifsp$rel$l s
+           |    ON s.tree = a.tree AND s.node = a.node)""".stripMargin
+      }
+      // the scoring relation reuses the TRAIN chain's split CTEs
+      def scoreLevel(l: Int): String =
+        s"""ifS${l + 1} AS (SELECT a.tree, a.vec_id, ${
+          (0 until D).map(i => s"a.x$i").mkString(", ")},
+           |    CASE WHEN s.node IS NULL THEN a.node
+           |         WHEN (${caseF("s", i => s"a.x$i")})
+           |             < (s.mn + s.u * (s.mx - s.mn))
+           |           THEN 2*a.node + 1
+           |         ELSE 2*a.node + 2 END AS node
+           |  FROM ifS$l a LEFT JOIN ifspT$l s
+           |    ON s.tree = a.tree AND s.node = a.node)""".stripMargin
+      val sKey = s"'ifs:$IfSeed:' || CAST(tree AS VARCHAR) || ':' || " +
+        "CAST(vec_id AS VARCHAR)"
+      s"""WITH $subBaseCtes,
+         |iftr AS (SELECT CAST(unnest(range(0, $IfTrees)) AS INTEGER)
+         |    AS tree),
+         |ifT0 AS (SELECT t.tree, b.vec_id, $xs, 0 AS node
+         |  FROM stbase b CROSS JOIN iftr t
+         |  WHERE ${uni(sKey)} < $IfFrac),
+         |${(0 until IfDepth).map(l => level("T", l)).mkString(",\n")},
+         |ifls AS (SELECT tree, node, COUNT(*) AS m FROM ifT$IfDepth
+         |  GROUP BY 1, 2),
+         |ifS0 AS (SELECT t.tree, b.vec_id, $xs, 0 AS node
+         |  FROM stbase b CROSS JOIN iftr t),
+         |${(0 until IfDepth).map(scoreLevel).mkString(",\n")},
+         |ifpath AS (SELECT s.vec_id,
+         |    CAST((length(bin(CAST(s.node + 1 AS BIGINT))) - 1) +
+         |      CASE WHEN l.m = 1 THEN 0.0
+         |           WHEN l.m = 2 THEN 1.0
+         |           ELSE 2.0 * (CAST(CAST(ln(CAST(l.m - 1 AS DOUBLE))
+         |               AS DECIMAL(30,12)) AS DOUBLE) + ${IsoForest.Gamma}E0)
+         |             - 2.0 * CAST(l.m - 1 AS DOUBLE) / CAST(l.m AS DOUBLE)
+         |      END AS DECIMAL(30,12)) AS p
+         |  FROM ifS$IfDepth s JOIN ifls l
+         |    ON l.tree = s.tree AND l.node = s.node),
+         |ifavg AS (SELECT vec_id, COUNT(*) AS nt,
+         |    CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS sp
+         |  FROM ifpath GROUP BY 1)
+         |SELECT CAST(rn AS INTEGER) AS rank, vec_id, sp / nt AS avg_path
+         |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY sp / nt, vec_id)
+         |    AS rn FROM ifavg) t
+         |WHERE rn <= 20 ORDER BY rank""".stripMargin
     },
 
     // The classification chain is the regression chain on the ×8-scaled

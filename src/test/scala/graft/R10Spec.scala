@@ -138,6 +138,31 @@ class R10Spec extends AnyFunSuite {
     assert(e.getMessage.contains("2^53"))
   }
 
+  test("isolation forest: planted outliers isolate in the shortest paths") {
+    // tight cluster around (100, 100, 100, 100) plus two far outliers —
+    // the outliers must take the two smallest average path lengths
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 400).map(i =>
+      (i.toLong, 0, Seq.fill(4)(100.0 + rng.nextInt(11) - 5))) ++
+      Seq((900L, 0, Seq(1000.0, 1000.0, 1000.0, 1000.0)),
+        (901L, 0, Seq(-800.0, -800.0, -800.0, -800.0)))
+    val df = frame(rows)
+    val m = graft.ml.IsoForest.fit(df, "id", "x", 4,
+      trees = 8, depth = 6, seed = 42, sampleFrac = 0.7)
+    val scored = graft.ml.IsoForest.score(m, df, "id", "x")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val byPath = scored.sortBy(_._2).map(_._1).take(2).toSet
+    assert(byPath == Set(900L, 901L), s"top-2 anomalous: $byPath")
+    // determinism: same model and scores under repartitioning
+    val m2 = graft.ml.IsoForest.fit(df.repartition(9, col("id")), "id", "x",
+      4, trees = 8, depth = 6, seed = 42, sampleFrac = 0.7)
+    assert(m2.splits == m.splits &&
+      m2.leafSizes.sorted == m.leafSizes.sorted)
+    val scored2 = graft.ml.IsoForest.score(m2, df, "id", "x")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(scored2.toSeq == scored.sorted.toSeq)
+  }
+
   test("permutation importance: planted-signal dims dominate") {
     // dims 0 and 2 carry the class; permuting them must cost accuracy,
     // permuting pure-noise dims must cost (almost) nothing — the M14
