@@ -198,9 +198,11 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__sh")
       .drop("__sh")
 
-  /** Per-batch accounting row of [[corpusIngestSink]]. */
+  /** Per-batch accounting row of [[corpusIngestSink]]. `gateKept` = rows
+    * surviving the optional distilled-classifier gate (−1 = gate off). */
   final case class IngestCounts(batchId: Long, raw: Long, quality: Long,
-                                langOk: Long, exactNew: Long, nearNew: Long)
+                                langOk: Long, exactNew: Long, nearNew: Long,
+                                gateKept: Long = -1L)
 
   /** EP4's STREAMING twin — the corpus build as continuous ingest: every
     * micro-batch runs the hygiene chain (the EXACT CorpusBuild stage-1/2
@@ -218,9 +220,19 @@ object StreamOps {
     * its cost is bounded by the distilled corpus, not the raw stream.
     * Unlike [[streamingNearDedup]]'s watermark state (which forgets), the
     * index is the corpus itself — exactly-once dedup across restarts
-    * comes from the index living next to the docs it admitted. */
+    * comes from the index living next to the docs it admitted.
+    *
+    * The optional `nbGate` is the train-once-gate-the-stream pattern:
+    * a multinomial-NB quality classifier distilled OFFLINE from the LM
+    * perplexity gate (NbClassifier.distill — fitted relations are
+    * vocabulary/label-bounded and broadcast) scores every micro-batch
+    * with one broadcast-join map pass; only 'hq' rows continue to the
+    * dedup stages. That is exactly how production gates a crawl stream:
+    * the expensive LM fits ONCE, the cheap distilled model rides along
+    * with every executor. */
   def corpusIngestSink(stream: DataFrame, tableDir: String,
-                       onBatch: IngestCounts => Unit = _ => ())
+                       onBatch: IngestCounts => Unit = _ => (),
+                       nbGate: Option[graft.text.NbClassifier.Model] = None)
   : DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, id: Long) =>
@@ -237,7 +249,14 @@ object StreamOps {
           .filter(graft.text.TextOps.langIdFast(col("text")) === col("lang"))
           .select(raw.columns.map(col): _*)
         val nQ = quality.count()
-        val fped = langOk
+        val gated = nbGate.fold(langOk) { m =>
+          langOk.join(
+            graft.text.NbClassifier.predict(m, langOk, "doc_id", "text")
+              .filter(col("pred") === "hq").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        }
+        val nG = if (nbGate.isEmpty) -1L else gated.count()
+        val fped = gated
           .withColumn("__fp", graft.text.TextOps.contentFingerprint(col("text")))
           .withColumn("__sh", graft.text.TextOps.simhashFast(col("text"), 48))
           .persist(lvl)
@@ -264,7 +283,7 @@ object StreamOps {
           .write.mode("append").parquet(docsDir)
         near.select(col("__fp").as("fp"), col("__sh").as("sh"))
           .write.mode("append").parquet(idxDir)
-        onBatch(IngestCounts(id, nRaw, nQ, nL, nE, nN))
+        onBatch(IngestCounts(id, nRaw, nQ, nL, nE, nN, nG))
         raw.unpersist()
         fped.unpersist()
         near.unpersist(): Unit

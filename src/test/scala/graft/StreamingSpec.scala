@@ -564,6 +564,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == Set(1L, 6L, 8L, 9L, 12L))
   }
 
+  test("streaming corpus ingest with a distilled NB gate: train once, " +
+    "gate the stream") {
+    val base = "the quick brown fox and the lazy dog run to the old mill " +
+      "of the green valley and they rest in the warm sun for a while"
+    val junkWords = "the zz9 the qx7 the vv1 the kk3 the zz9 the qx7 " +
+      "the vv1 the kk3 the zz9 the qx7 the vv1 the kk3 the zz9 the qx7"
+    // offline distillation corpus: planted hq/lq labels
+    val train = (
+      (0 until 6).map(i => (i.toLong, s"$base variant$i", "hq")) ++
+        (0 until 6).map(i => (100L + i, s"$junkWords junk$i", "lq")))
+      .toDF("doc_id", "text", "gate_label")
+    val m = graft.text.NbClassifier.fit(train, "doc_id", "text", "gate_label")
+    // the stream: 2 prose docs, 2 junk-wordy docs (all pass the RULE
+    // gates — junk carries enough 'the' to lang-ID as en)
+    def doc(id: Long, text: String) = CorpusDoc(ts(id.toInt), id, text, "en", "s")
+    val docs = Seq(doc(1, s"$base alpha"), doc(2, s"$junkWords beta"),
+      doc(3, s"$base gamma"), doc(4, s"$junkWords delta"))
+    val dir = java.nio.file.Files.createTempDirectory("corpus-nb").toString
+    val counts = scala.collection.mutable.ArrayBuffer[StreamOps.IngestCounts]()
+    val stream = MemoryStream[CorpusDoc](spark)
+    val q = StreamOps.corpusIngestSink(stream.toDF(), dir, counts += _,
+      nbGate = Some(m)).start()
+    stream.addData(docs: _*); q.processAllAvailable(); q.stop()
+    val kept = spark.read.parquet(s"$dir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    // the gate must pass exactly what the batch classifier calls hq
+    val want = graft.text.NbClassifier
+      .predict(m, docs.toDF(), "doc_id", "text")
+      .filter(col("pred") === "hq").select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept == want)
+    assert(kept == Set(1L, 3L), s"kept $kept")
+    assert(counts.head.gateKept == 2L && counts.head.langOk == 2L)
+  }
+
   test("props JSON extraction") {
     val df = Seq(("""{"k": 42}""", "a")).toDF("props", "event_type")
     val k = StreamOps.withPropsField(df, "k", "k").head.getAs[Long]("k")
