@@ -74,6 +74,37 @@ object DsirQueries {
         .orderBy(col("gkey").desc, col("doc_id"))
     }),
 
+    // CCNet's head/middle/tail perplexity bucketing (Wenzek et al. 2020):
+    // the corpus-fitted LM scores every doc, exact tercile cuts split the
+    // corpus into the head (most in-distribution) / middle / tail slices
+    // a pretraining mix samples at different rates. Same fitted-parameter
+    // altitude as the NB distillation's median cut; the tercile constants
+    // are two driver scalars.
+    "q_x_ppl_buckets" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val scored = TextOps.bigramLmScore(docs, docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cuts = scored.agg(
+        expr(s"percentile(avg_lp, ${1.0 / 3}E0)").as("c1"),
+        expr(s"percentile(avg_lp, ${2.0 / 3}E0)").as("c2")).head()
+      val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+      val bucket = when(col("avg_lp") >= c2, "head")
+        .when(col("avg_lp") >= c1, "middle").otherwise("tail")
+      docs.select("doc_id", "source")
+        .join(scored.select("doc_id", "avg_lp"), Seq("doc_id"))
+        .groupBy(col("source"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          // pre-quantized integer sum (the q_x_repetition discipline):
+          // avg_lp is a COMPUTED double, and a direct DECIMAL(30,12)
+          // cast re-enters the cross-engine half-tie divergence
+          // (measured: 1 of 60 rows at sf0.01); floor(x·1e12 + 0.5) is
+          // the same IEEE ops on both engines, no decimal tie-break
+          (sum(floor(col("avg_lp") * lit(1.0e12) + lit(0.5))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / lit(1.0e12)).as("sum_lp"))
+        .orderBy("source", "bucket")
+    }),
+
     // Gopher rule-set rejection profile per source: how many documents
     // each published rule would drop, and how many survive all seven.
     "q_x_gopher_rules" -> ((s, d) => {
@@ -164,6 +195,37 @@ object DsirQueries {
          |SELECT g.doc_id, d.source, g.n_feats, g.logw, g.gkey
          |FROM dsG g JOIN documents d USING (doc_id)
          |ORDER BY g.gkey DESC, g.doc_id LIMIT $SelectK""".stripMargin,
+
+    "q_x_ppl_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, $normToksSql AS t FROM documents),
+         |uni AS (SELECT w1, count(*) AS cu FROM
+         |  (SELECT unnest(t) AS w1 FROM tok) GROUP BY 1),
+         |vv AS (SELECT COUNT(*) AS v FROM uni),
+         |bgs AS (SELECT doc_id, unnest(CASE WHEN len(t) < 2
+         |    THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i+1]) END) AS bg
+         |  FROM tok),
+         |big AS (SELECT bg, count(*) AS cb FROM bgs GROUP BY 1),
+         |sc AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bgs),
+         |lm AS (SELECT doc_id,
+         |    CAST(SUM(CAST(ln(CAST(COALESCE(cb, 0) + 1 AS DOUBLE)
+         |        / CAST(COALESCE(cu, 0) + (SELECT v FROM vv) AS DOUBLE))
+         |      AS DECIMAL(30,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |      AS avg_lp
+         |  FROM sc LEFT JOIN big USING (bg) LEFT JOIN uni USING (w1)
+         |  GROUP BY doc_id),
+         |cts AS (SELECT QUANTILE_CONT(avg_lp, ${1.0 / 3}E0) AS c1,
+         |    QUANTILE_CONT(avg_lp, ${2.0 / 3}E0) AS c2 FROM lm)
+         |SELECT d.source,
+         |  CASE WHEN avg_lp >= (SELECT c2 FROM cts) THEN 'head'
+         |       WHEN avg_lp >= (SELECT c1 FROM cts) THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(floor(avg_lp * 1.0E12 + 0.5) AS DECIMAL(38,0)))
+         |    AS DOUBLE) / 1.0E12 AS sum_lp
+         |FROM lm JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_x_gopher_rules" -> {
       val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -197,6 +197,25 @@ object TextSimQueries {
       exactCosineTopK(e, pairs, k = 5)
     }),
 
+    // Hard-negative mining for embedding training (the triplet/contrastive
+    // data op): for each query vector, the top-k most similar vectors of
+    // a DIFFERENT label — the negatives that actually move a metric-
+    // learning loss. Same brute candidate relation as q_v_knn_brute with
+    // the label-mismatch constraint pushed into the pair generator
+    // (broadcast query side; corpus never shuffles); at scale the pair
+    // relation swaps in lshCandidates unchanged.
+    "q_v_hard_negatives" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val pairs = e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__nl"))
+        .crossJoin(broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("label").as("__ql"))))
+        .filter(col("neighbor_id") =!= col("query_id") &&
+          col("__nl") =!= col("__ql"))
+        .select("query_id", "neighbor_id")
+      exactCosineTopK(e, pairs, k = 5)
+    }),
+
     // Hyperplane-LSH ANN. Oracle-checked: the plane constants are driver-
     // computed and inlined into the oracle SQL as literals, the signature
     // dot products accumulate left-to-right doubles in both engines, and
@@ -627,6 +646,13 @@ object TextSimQueries {
          |  FROM embeddings e CROSS JOIN
          |    (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
          |  WHERE e.vec_id != q.vec_id),
+         |${exactScoreSql(5)}""".stripMargin,
+
+    "q_v_hard_negatives" ->
+      s"""WITH pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+         |  FROM embeddings e CROSS JOIN
+         |    (SELECT vec_id, label FROM embeddings WHERE vec_id < 5) q
+         |  WHERE e.vec_id != q.vec_id AND e.label != q.label),
          |${exactScoreSql(5)}""".stripMargin,
 
     "q_v_lsh_ann" -> {
