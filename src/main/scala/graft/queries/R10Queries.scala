@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ml.{Extras, Forest, HistGbtR, HistTree, IsoForest}
+import graft.ml.{ElasticNet, Extras, Forest, HistGbtR, HistTree, IsoForest}
 
 /** Round-10 queries: the SUBSAMPLED-SPLIT-SELECTION path of the
   * hash-exact tree/forest family, oracle-verified.
@@ -150,6 +150,23 @@ object R10Queries {
       curve.toDF("round", "sse", "n_leaves").orderBy("round")
     }),
 
+    // Elastic-net coefficient path by cyclic coordinate descent (the
+    // glmnet algorithm), hash-exact: ONE decimal-exact moment pass over
+    // the integer-quantized features, then a fixed unrolled update
+    // sequence the oracle spells out CTE by CTE. λ = 0 is the OLS end of
+    // the path; the largest λ shrinks coefficients to exact zeros (the
+    // soft threshold's CASE arm, not numerics).
+    "q_l_enet_path" -> ((s, d) => {
+      val fits = ElasticNet.path(frame(s, d), "x", "y", D,
+        EnetLambdas, alpha = EnetAlpha, sweeps = EnetSweeps)
+      import s.implicits._
+      fits.flatMap(f =>
+          f.betas.zipWithIndex.map { case (b, j) => (f.lambda, s"b$j", b) }
+            :+ ((f.lambda, "icpt", f.intercept)))
+        .toDF("lambda", "coef", "value")
+        .orderBy("lambda", "coef")
+    }),
+
     // Isolation forest (Liu et al. 2008), hash-exact: md5-deterministic
     // per-tree subsampling, md5-derived split feature + uniform
     // threshold in the node's [min, max], sklearn's average-path
@@ -199,6 +216,9 @@ object R10Queries {
   private val IfDepth = 5
   private val IfSeed = 42
   private val IfFrac = 0.5
+  private val EnetLambdas = Seq(0.0, 2.0e4, 2.0e5)
+  private val EnetAlpha = 0.5
+  private val EnetSweeps = 5
 
   // ---- oracle SQL ---------------------------------------------------
 
@@ -613,6 +633,58 @@ object R10Queries {
          |    CAST(1 AS BIGINT) AS n_leaves
          |  UNION ALL ${"\n  "}$rounds) u
          |ORDER BY round""".stripMargin
+    },
+
+    // Elastic net: moments CTE + the UNROLLED coordinate-descent update
+    // sequence, one tiny CTE per (λ, sweep, coordinate) — op order
+    // mirrors ElasticNet.fitFromMoments statement for statement.
+    "q_l_enet_path" -> {
+      def ds(e: String) = s"CAST(SUM(CAST(($e) AS DECIMAL(38,0))) AS DOUBLE)"
+      val momCols = (Seq(s"CAST(COUNT(*) AS DOUBLE) AS n",
+        s"${ds("y")} AS sy") ++
+        (0 until D).map(j => s"${ds(s"x$j")} AS sx$j") ++
+        (0 until D).map(j => s"${ds(s"x$j * y")} AS sxy$j") ++
+        (for (j <- 0 until D; k <- j until D)
+          yield s"${ds(s"x$j * x$k")} AS sxx${j}_$k")).mkString(",\n    ")
+      def sxx(j: Int, k: Int) = s"sxx${math.min(j, k)}_${math.max(j, k)}"
+      def cxx(j: Int, k: Int) = s"(${sxx(j, k)} - sx$j * sx$k / n)"
+      def cxy(j: Int) = s"(sxy$j - sx$j * sy / n)"
+      def lam(li: Int) = s"${EnetLambdas(li)}E0"
+      def l1(li: Int) = s"(n * ${lam(li)} * ${EnetAlpha}E0)"
+      def l2(li: Int) = s"(n * ${lam(li)} * ${1.0 - EnetAlpha}E0)"
+      // latest beta CTE for coordinate k as of (sweep s, updating j)
+      def bref(li: Int, s: Int, j: Int, k: Int): String =
+        if (k < j) s"(SELECT v FROM bet${li}_${s}_$k)"
+        else if (s > 1) s"(SELECT v FROM bet${li}_${s - 1}_$k)"
+        else "0.0E0"
+      val upd = (for (li <- EnetLambdas.indices; s <- 1 to EnetSweeps;
+                      j <- 0 until D) yield {
+        val rho = (0 until D).filter(_ != j)
+          .map(k => s" - ${cxx(j, k)} * ${bref(li, s, j, k)}")
+          .mkString(cxy(j), "", "")
+        s"""bet${li}_${s}_$j AS (SELECT
+           |    CASE WHEN rho > t1 THEN (rho - t1) / z
+           |         WHEN rho < -t1 THEN (rho + t1) / z
+           |         ELSE 0.0E0 END AS v
+           |  FROM (SELECT ($rho) AS rho, ${l1(li)} AS t1,
+           |      (${cxx(j, j)} + ${l2(li)}) AS z FROM enmom) t)""".stripMargin
+      }).mkString(",\n")
+      val out = EnetLambdas.indices.flatMap { li =>
+        def bFinal(j: Int) = s"(SELECT v FROM bet${li}_${EnetSweeps}_$j)"
+        (0 until D).map(j =>
+          s"SELECT ${lam(li)} AS lambda, 'b$j' AS coef, ${bFinal(j)} AS value FROM enmom") :+
+          (s"SELECT ${lam(li)} AS lambda, 'icpt' AS coef, (sy / n" +
+            (0 until D).map(j => s" - sx$j / n * ${bFinal(j)}").mkString +
+            ") AS value FROM enmom")
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $subBaseCtes,
+         |enmom AS (SELECT
+         |    $momCols
+         |  FROM stbase),
+         |$upd
+         |SELECT lambda, coef, value FROM (
+         |  $out) u
+         |ORDER BY lambda, coef""".stripMargin
     },
 
     // Isolation forest: mirrors IsoForest.fit/score level by level —

@@ -138,6 +138,51 @@ class R10Spec extends AnyFunSuite {
     assert(e.getMessage.contains("2^53"))
   }
 
+  test("elastic net: lasso recovers the planted coefficient and zeroes " +
+    "noise dims exactly") {
+    // y = x0/50 (+ small integer noise); x1..x3 pure noise
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 800).map { i =>
+      val x0 = rng.nextInt(5000).toDouble
+      (i.toLong, (x0 / 50.0).toInt + rng.nextInt(2),
+        Seq(x0, rng.nextInt(5000).toDouble, rng.nextInt(5000).toDouble,
+          rng.nextInt(5000).toDouble))
+    }
+    val df = frame(rows)
+    val Seq(ols, mid, big) = graft.ml.ElasticNet.path(df, "x", "y", 4,
+      lambdas = Seq(0.0, 2.0e4, 2.0e5), alpha = 0.5, sweeps = 25)
+    assert(math.abs(ols.betas(0) - 0.02) < 0.001, ols.betas.toSeq.toString)
+    assert((1 to 3).forall(j => math.abs(ols.betas(j)) < 0.002))
+    // moderate λ keeps the signal, kills the noise dims EXACTLY (the
+    // soft threshold's zero arm, not numerics)
+    assert(mid.betas(0) > 0.012)
+    assert((1 to 3).forall(j => mid.betas(j) == 0.0), mid.betas.toSeq.toString)
+    // huge λ zeroes everything; intercept falls back to the mean
+    assert(big.betas.forall(_ == 0.0))
+    // λ = 0 with enough sweeps solves the normal equations: an
+    // independent pure-Scala Gaussian elimination on the same moments
+    val m = graft.ml.ElasticNet.moments(df, "x", "y", 4)
+    val a = Array.tabulate(4, 5)((j, k) =>
+      if (k < 4) m.sxx(j)(k) - m.sx(j) * m.sx(k) / m.n
+      else m.sxy(j) - m.sx(j) * m.sy / m.n)
+    for (p <- 0 until 4) {
+      val pv = a(p)(p)
+      for (c <- p to 4) a(p)(c) /= pv
+      for (r <- 0 until 4 if r != p) {
+        val f = a(r)(p)
+        for (c <- p to 4) a(r)(c) -= f * a(p)(c)
+      }
+    }
+    for (j <- 0 until 4)
+      assert(math.abs(ols.betas(j) - a(j)(4)) < 1e-9,
+        s"CD vs normal equations at $j: ${ols.betas(j)} vs ${a(j)(4)}")
+    // partition invariance is bit-exact (decimal moments)
+    val again = graft.ml.ElasticNet.path(df.repartition(13, col("id")),
+      "x", "y", 4, lambdas = Seq(0.0, 2.0e4, 2.0e5), alpha = 0.5,
+      sweeps = 25)
+    assert(again.map(_.betas.toSeq) == Seq(ols, mid, big).map(_.betas.toSeq))
+  }
+
   test("isolation forest: planted outliers isolate in the shortest paths") {
     // tight cluster around (100, 100, 100, 100) plus two far outliers —
     // the outliers must take the two smallest average path lengths
