@@ -1,13 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import java.util.concurrent.atomic.AtomicLong
 
 object Bench {
 
   /** Accumulates task-level shuffle/spill totals; reset per query so
     * bench_full.json can report measured shuffle volume per query (the
-    * 100 TB scale story should ride on bytes, not prose). */
+    * 100 TB scale story should ride on bytes, not prose).
+    *
+    * Also accumulates the CONTENTION-ATTRIBUTION triplet (round-10
+    * lesson: the driver's loaded run showed 11-34× wall spikes on
+    * byte-flat queries while the CPU-throughput calibration probe stayed
+    * flat — unattributable without per-query telemetry): job count (a
+    * query's wall multiplies with per-job scheduler latency), summed GC
+    * time across tasks (pause bursts), and summed executor run time
+    * (task-side CPU-seconds — if wall inflates while this stays flat,
+    * the time went to scheduling/queueing, not compute). */
   private class MetricsListener extends SparkListener {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
@@ -16,6 +25,12 @@ object Bench {
     // analogue of the shuffle budget (a query whose per-task peak doubles
     // is one sf-step from spilling or OOMing an executor)
     val memPeak = new AtomicLong
+    val jobs = new AtomicLong
+    val gcMs = new AtomicLong
+    val execRunMs = new AtomicLong
+    override def onJobStart(j: SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -24,10 +39,13 @@ object Bench {
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         memPeak.accumulateAndGet(m.peakExecutionMemory,
           (a: Long, b: Long) => math.max(a, b))
+        gcMs.addAndGet(m.jvmGCTime)
+        execRunMs.addAndGet(m.executorRunTime)
       }
     }
     def reset(): Unit = {
       shuffleRead.set(0); shuffleWrite.set(0); spill.set(0); memPeak.set(0)
+      jobs.set(0); gcMs.set(0); execRunMs.set(0)
     }
   }
 
@@ -102,9 +120,14 @@ object Bench {
     // JIT/GC noise into round-3's numbers (9 queries "regressed" 3-9×
     // with no code change); the min of two runs is the stable signal
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    // (time_sec, shuffle_read, shuffle_write, spill) per query; the byte
-    // counters come from the min-time iteration
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration-only name filter (regex), mirroring Verify's 3rd
+    // arg: a focused timing run on a handful of queries without paying
+    // the full catalog
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    def keep(name: String) = nameFilter.forall(_.findFirstIn(name).isDefined)
+    // (time_sec, byte+telemetry counters) per query; the counters come
+    // from the min-time iteration
+    val results = SparkEntry.queries.filter(kv => keep(kv._1)).map { case (name, fn) =>
       val runs = (1 to iterations).map { _ =>
         drainListenerBus(spark)
         listener.reset()
@@ -114,7 +137,8 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         drainListenerBus(spark)
         val m = (listener.shuffleRead.get, listener.shuffleWrite.get,
-          listener.spill.get, listener.memPeak.get)
+          listener.spill.get, listener.memPeak.get,
+          listener.jobs.get, listener.gcMs.get, listener.execRunMs.get)
         // queries are independent; drop whatever a pipeline pinned — BOTH
         // layers: clearCache() alone leaves localCheckpoint RDD blocks
         // resident, and 179 queries of accumulated orphans tax every
@@ -146,8 +170,9 @@ object Bench {
     val total = r3(times.values.filter(_ >= 0).sum)
     // full artifact: flat time map (backward-compatible) + per-query
     // {time, shuffle_read, shuffle_write, spill} byte metrics
-    val metricsJson = results.map { case (k, (t, (sr, sw, sp, mp))) =>
-      s""""$k":{"time":$t,"shuffle_read":$sr,"shuffle_write":$sw,"spill":$sp,"mem_peak":$mp}"""
+    val metricsJson = results.map {
+      case (k, (t, (sr, sw, sp, mp, nj, gc, er))) =>
+        s""""$k":{"time":$t,"shuffle_read":$sr,"shuffle_write":$sw,"spill":$sp,"mem_peak":$mp,"jobs":$nj,"gc_ms":$gc,"exec_run_ms":$er}"""
     }.mkString("{", ",", "}")
     // Budget regression gates: shuffle_budget.json / mem_budget.json hold
     // committed per-query ceilings (seeded from the accepted idle bench of
@@ -181,7 +206,7 @@ object Bench {
       }
     }
     def regressions(budget: Map[String, Long], slack: Long,
-                    pick: ((Long, Long, Long, Long)) => Long) =
+                    pick: ((Long, Long, Long, Long, Long, Long, Long)) => Long) =
       results.toSeq.collect {
         case (k, (_, m))
           if budget.get(k).exists(b => pick(m) > 2 * b && pick(m) - b > slack) =>

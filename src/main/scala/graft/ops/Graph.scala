@@ -186,6 +186,33 @@ object Graph {
     Seq(n).toDF("n_triangles")
   }
 
+  /** Canonical symmetric edge relation for the iterative graph operators:
+    * (src, dst) longs, both orientations, deduplicated, hash-partitioned
+    * on `src` (the per-round join key) and pinned MEMORY_AND_DISK. Built
+    * ONCE and shared by [[labelPropagationPre]]/[[pageRankPre]] — a
+    * catalog running several graph queries over the same graph pays the
+    * symmetrize+dedup+partition shuffle once, not per query. Dedup runs
+    * AFTER the repartition so HashPartitioning(src) satisfies the
+    * (src, dst) dedup clustering and the whole build is ONE exchange.
+    * Caller owns the unpersist. */
+  def symmetrize(edges: DataFrame, srcCol: String, dstCol: String,
+                 edgesDistinct: Boolean = false): DataFrame =
+    symmetrizePlan(edges, srcCol, dstCol, edgesDistinct)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** The lazy plan behind [[symmetrize]], for callers that pin it their
+    * own way (the Shared.pinned process memo checkpoints it instead of
+    * persisting). */
+  def symmetrizePlan(edges: DataFrame, srcCol: String, dstCol: String,
+                     edgesDistinct: Boolean = false): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val part = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+    if (edgesDistinct) part else part.dropDuplicates("src", "dst")
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007), made deterministic: label₀(v) = v; each round every node
     * takes the most frequent label among its neighbors, ties broken
@@ -195,40 +222,57 @@ object Graph {
     * precedent; classic asynchronous LPA is RNG-ordered and
     * unreproducible by design).
     *
-    * Scale shape: per round ONE shuffle join of the edge relation with
-    * the current label vector plus one grouped count and a per-node
-    * argmax window (partitioned by node — parallel). `rounds` is small
-    * and fixed; at power-law degree the count relation is bounded by
-    * Σ distinct neighbor labels ≤ |edges|.
-    *
     * `edgesDistinct`: as in [[pageRank]] — caller guarantees a
     * deduplicated edge list with disjoint endpoint spaces, so the
     * symmetrize-dedup shuffle is skipped. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int = 3,
                        edgesDistinct: Boolean = false): DataFrame = {
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val symRaw = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst")))
-    // pre-partition the cached edge relation on the per-round join key:
-    // the cached distribution satisfies the join's requirement, so each
-    // round exchanges only the (shrinking) label vector, not 2|E| edges
-    val sym = (if (edgesDistinct) symRaw else symRaw.distinct())
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
-      val cnt = sym
+    val sym = symmetrize(edges, srcCol, dstCol, edgesDistinct)
+    // eager materialization while sym is cached, so the edge relation can
+    // release before returning (r10 leaked it for the session's life);
+    // the returned frame carries exactly one pinned RDD, swept by
+    // Leaks.sweep between pipelines
+    val (out, _) = checkpointTracked(labelPropagationPre(sym, rounds),
+      eager = true)
+    sym.unpersist()
+    out
+  }
+
+  /** LPA over a pre-built [[symmetrize]]d edge relation. Each round is
+    * ONE exchange: the count-then-argmax pair (groupBy(node,label).count
+    * exchange + per-node row_number window exchange + sort of the r10
+    * form) fuses into a single `mode(label, deterministic = true)` hash
+    * aggregate grouped by node — most-frequent value, ties to the LOWEST,
+    * which is exactly the (count DESC, label ASC) argmax the oracle
+    * replays, computed by an exact per-group count map with map-side
+    * partial merge and no sort anywhere. The per-round join is
+    * exchange-free: `sym` is src-partitioned, and the label vector
+    * arrives node(=src)-partitioned from the previous round's aggregate.
+    *
+    * Round 1 needs no join at all: labels₀ = identity over a DISTINCT
+    * symmetric edge set means every neighbor label has count 1, so the
+    * argmax degenerates to min(neighbor id).
+    *
+    * The whole K-round fit is one LAZY plan — no per-round
+    * materialization, no pinned state, nothing to unpersist; at 3 fixed
+    * rounds lineage stays shallow. (A delta-propagated variant — only
+    * re-propagate changed labels — was built and MEASURED WORSE here:
+    * 6.5 s vs 1.5 s at sf0.1, because synchronous LPA on a bipartite
+    * graph oscillates, the changed-set never shrinks below ~all nodes
+    * within 3 rounds, and the retract/assert explode doubles the rows
+    * exchanged. Delta-LPA pays off only past the convergence knee;
+    * see SCALE.md round 11.)
+    *
+    * `sym` is left persisted for the caller to reuse/release. */
+  def labelPropagationPre(sym: DataFrame, rounds: Int = 3): DataFrame = {
+    var labels = sym.groupBy(col("dst").as("node"))
+      .agg(min("src").as("label"))
+    for (_ <- 2 to rounds)
+      labels = sym
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("node").orderBy(col("c").desc, col("label"))
-      labels = cnt.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).select("node", "label")
-    }
+        .groupBy(col("dst").as("node"))
+        .agg(mode(col("label"), deterministic = true).as("label"))
     labels
   }
 
@@ -255,21 +299,20 @@ object Graph {
     // whose two endpoint spaces are disjoint (e.g. a bipartite graph with
     // even/odd node encoding), the symmetrized union cannot contain
     // duplicates and the global distinct — a full extra shuffle — is
-    // skipped.
-    val raw = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges
-        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-    // Exchange the edge list on `src` ONCE and let everything downstream
-    // reuse that partitioning: HashPartitioning(src) satisfies the
-    // clustered distribution for the (src,dst) dedup aggregate, the
-    // degree aggregate, AND the per-iteration join — so dedup, degree,
-    // and join all run exchange-free on top of this single shuffle
-    // (previously: distinct keyed (src,dst), then a groupBy(src)
-    // re-exchange, then a repartition(src) — three full-edge shuffles).
-    val part = raw.repartition(col("src"))
-    val sym = (if (edgesDistinct) part else part.dropDuplicates("src", "dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // skipped. symmetrize exchanges the edge list on `src` ONCE and
+    // everything downstream (dedup, degree, per-iteration join) reuses
+    // that partitioning exchange-free.
+    val sym = symmetrize(edges, srcCol, dstCol, edgesDistinct)
+    val out = pageRankPre(sym, iters, damping, teleport)
+    sym.unpersist()
+    out
+  }
+
+  /** PageRank over a pre-built [[symmetrize]]d edge relation (shared
+    * across graph queries on the same graph). `sym` is left persisted
+    * for the caller to reuse/release. */
+  def pageRankPre(sym: DataFrame, iters: Int = 3, damping: Double = 0.85,
+                  teleport: Double = 0.15): DataFrame = {
     // degree relation doubles as the node list (one row per node) — no
     // separate distinct shuffle; pinned because every iteration joins it
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -278,7 +321,7 @@ object Graph {
     // the previous round's groupBy("dst") (alias propagation keeps the
     // partitioning through the rename), and this side is already
     // partitioned on src — every iteration's join is exchange-free,
-    // ONE shuffle per round (the groupBy), at any cluster size
+    // ONE shuffle per round (the groupBy), at any cluster size.
     val withDeg = sym.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node count is a one-row scalar (the triangleCount precedent): the
@@ -301,7 +344,6 @@ object Graph {
     // ONE pinned RDD (its own checkpoint), swept by Leaks.sweep between
     // pipelines
     val out = ranks.localCheckpoint(true)
-    sym.unpersist()
     deg.unpersist()
     withDeg.unpersist()
     out

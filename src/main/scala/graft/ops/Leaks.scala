@@ -21,10 +21,22 @@ import org.apache.spark.sql.SparkSession
   * starting unrelated work.
   */
 object Leaks {
+
+  /** RDD ids `sweep` must NOT release: deliberate process-scoped caches
+    * (e.g. the shared graph edge relation in WarehouseQueries) that are
+    * pinned at the RDD layer via localCheckpoint precisely so
+    * clearCache() can't drop them between catalog queries. Registration
+    * is explicit and rare — everything else is swept as before. */
+  private val keepers = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[Int]()
+
+  def keep(ids: Iterable[Int]): Unit = ids.foreach(keepers.add(_))
+
   def sweep(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keepers.contains(id)) rdd.unpersist(blocking = true)
+    }
   }
 
   /** Number of RDDs currently pinned at the RDD layer (cache or

@@ -45,6 +45,32 @@ object BpeQueries {
     Bpe.Model(merges, Bpe.vocabFor(docs, "text", merges))
   }
 
+  /** Process-scoped distilled NB quality gate (teacher LM median split →
+    * NB student): the per-doc gate labels and the compiled per-word
+    * log-likelihood relation — the two corpus passes of the
+    * distillation — are [[Shared.pinned]], and the label-bounded
+    * scalars memoized, so a warm call costs only the scoring map. A
+    * streaming ingest over the same dir shares the fitted state by
+    * passing the returned model to corpusIngestSink's nbGate. */
+  private val nbGateMemo = TrieMap[String, NbClassifier.Compiled]()
+
+  private[queries] def distilledGate(s: SparkSession, d: String)
+      : (NbClassifier.Compiled, DataFrame) = {
+    val docs = Tables(s, d, "documents")
+    val labeled = Shared.pinned(s, "nb_gate_labels|" + d)(
+      NbClassifier.lmGateLabels(docs, "doc_id", "text"))
+    val compiled = nbGateMemo.getOrElseUpdate(
+      System.identityHashCode(s).toString + "|" + d, {
+        val counts = NbClassifier.tokenCounts(
+          docs.join(labeled, Seq("doc_id")), "text", "gate_label")
+        val c0 = NbClassifier.compile(
+          NbClassifier.modelFrom(counts, labeled, "gate_label"))
+        c0.copy(wordLls =
+          Shared.pinned(s, "nb_gate_wordlls|" + d)(c0.wordLls))
+      })
+    (compiled, labeled)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The learned merge table as data: rank, the symbol pair chosen at
     // that rank, its concatenation, and its corpus-weighted count at
@@ -78,10 +104,16 @@ object BpeQueries {
     // LM-gate distillation: median-split bigram-LM labels -> multinomial
     // NB fit -> gate-vs-classifier confusion. The classifier is the
     // artifact production would run (one broadcast-join map pass per
-    // shard) instead of re-fitting the LM everywhere.
-    "q_x_quality_nb" -> ((s, d) =>
-      NbClassifier.distillLmGate(Tables(s, d, "documents"), "doc_id", "text")
-        .orderBy("gate_label", "pred_label")),
+    // shard) instead of re-fitting the LM everywhere. The teacher fit +
+    // distillation are process-memoized (distilledGate) — warm
+    // invocations pay only the scoring map, the same division of labor
+    // the streaming ingest runs.
+    "q_x_quality_nb" -> ((s, d) => {
+      val (m, labeled) = distilledGate(s, d)
+      NbClassifier.confusion(m, labeled, Tables(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy("gate_label", "pred_label")
+    }),
 
     // Kneser-Ney perplexity gate — the smoothing production LM filters
     // actually use (KenLM is modified KN), with a rational d = 3/4

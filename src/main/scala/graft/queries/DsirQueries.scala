@@ -181,20 +181,27 @@ object DsirQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_x_dsir_select" ->
+      // the top-k LIMIT selects on the EXACT decimal key (matching
+      // Dsir.resample's contract); only the OUTPUT column is the double
+      // image — selecting on the double would collapse near-ties at the
+      // k boundary that the decimal keys distinguish
       s"""WITH $dsirChain,
          |dsU AS (SELECT doc_id, n_feats, logw,
          |    MD5(CONCAT_WS(':', '77', CAST(doc_id AS VARCHAR))) AS h
          |  FROM dsW),
          |dsG AS (SELECT doc_id, n_feats,
          |    CAST(CAST(logw AS VARCHAR) AS DOUBLE) AS logw,
-         |    CAST(CAST(logw + CAST(-ln(CAST(
+         |    CAST(logw + CAST(-ln(CAST(
          |        CAST(-ln((${nibbleInt("h")} + 0.5) / 4294967296.0)
          |          AS DECIMAL(30,12)) AS DOUBLE)) AS DECIMAL(30,12))
-         |      AS VARCHAR) AS DOUBLE) AS gkey
-         |  FROM dsU)
-         |SELECT g.doc_id, d.source, g.n_feats, g.logw, g.gkey
-         |FROM dsG g JOIN documents d USING (doc_id)
-         |ORDER BY g.gkey DESC, g.doc_id LIMIT $SelectK""".stripMargin,
+         |      AS DECIMAL(31,12)) AS gkey_x
+         |  FROM dsU),
+         |dsTop AS (SELECT * FROM dsG
+         |  ORDER BY gkey_x DESC, doc_id LIMIT $SelectK)
+         |SELECT g.doc_id, d.source, g.n_feats, g.logw,
+         |  CAST(CAST(g.gkey_x AS VARCHAR) AS DOUBLE) AS gkey
+         |FROM dsTop g JOIN documents d USING (doc_id)
+         |ORDER BY gkey DESC, g.doc_id""".stripMargin,
 
     "q_x_ppl_buckets" ->
       s"""WITH tok AS (SELECT doc_id, $normToksSql AS t FROM documents),

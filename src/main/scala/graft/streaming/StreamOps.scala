@@ -219,8 +219,24 @@ object StreamOps {
     * the anti-join is fingerprint-vs-fingerprint, never text-vs-text, and
     * its cost is bounded by the distilled corpus, not the raw stream.
     * Unlike [[streamingNearDedup]]'s watermark state (which forgets), the
-    * index is the corpus itself — exactly-once dedup across restarts
-    * comes from the index living next to the docs it admitted.
+    * index is the corpus itself.
+    *
+    * Commit protocol (foreachBatch is at-least-once, so appends alone
+    * would re-admit rows on replay): docs and index rows land in
+    * per-(run, batch) partition leaf directories (`ingest_run=X/
+    * ingest_batch=N`) written with OVERWRITE mode — a replay of the same
+    * batch recomputes the identical kept set (the pre-state index
+    * excludes the batch's own rows, so a half-committed index write
+    * can't anti-join the batch against itself) and rewrites the same
+    * directories in place. That makes same-run replays idempotent
+    * (exactly-once table contents) without a transactional format. A
+    * RESTARTED query draws a fresh run token, so its batch ids (which
+    * Spark restarts from the checkpoint, or from 0 for a new query)
+    * never collide with directories a previous run committed; cross-run
+    * dedup rides on the index as before. Existence checks go through the
+    * path's Hadoop FileSystem, so an HDFS/S3 `tableDir` resolves
+    * correctly (java.io.File would silently report absent and disable
+    * cross-batch dedup).
     *
     * The optional `nbGate` is the train-once-gate-the-stream pattern:
     * a multinomial-NB quality classifier distilled OFFLINE from the LM
@@ -230,15 +246,48 @@ object StreamOps {
     * dedup stages. That is exactly how production gates a crawl stream:
     * the expensive LM fits ONCE, the cheap distilled model rides along
     * with every executor. */
+  /** Scheme-aware existence check: resolves through the path's Hadoop
+    * FileSystem so HDFS/S3 table dirs work (java.io.File sees only the
+    * driver's local filesystem). */
+  private def dirExists(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def corpusIngestSink(stream: DataFrame, tableDir: String,
                        onBatch: IngestCounts => Unit = _ => (),
                        nbGate: Option[graft.text.NbClassifier.Model] = None)
-  : DataStreamWriter[Row] =
+  : DataStreamWriter[Row] = {
+    // per-run token: same-run replays of a batch id overwrite their own
+    // (run, batch) leaf dirs; a restarted query (fresh token) can never
+    // collide with directories a previous run committed
+    // leading letter keeps partition-value type inference on STRING even
+    // for an all-digit token
+    val runToken = "r" + java.util.UUID.randomUUID().toString.take(8)
+    // compile ONCE at sink creation (a few label-bounded collects), not
+    // per micro-batch: every batch then scores with the single-pass
+    // broadcast form
+    val compiled = nbGate.map(graft.text.NbClassifier.compile)
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, id: Long) =>
+        ingestBatch(batch, id, runToken, tableDir, onBatch, compiled)
+    }
+  }
+
+  /** One micro-batch of [[corpusIngestSink]], factored out so the replay
+    * path (same runToken + batch id processed twice — foreachBatch's
+    * at-least-once contract) is directly testable, including the
+    * crash-between-index-and-docs half-commit. */
+  private[graft] def ingestBatch(batch: DataFrame, id: Long,
+                                 runToken: String, tableDir: String,
+                                 onBatch: IngestCounts => Unit,
+                                 nbGate: Option[graft.text.NbClassifier.Compiled])
+  : Unit = {
         val spark = batch.sparkSession
         val docsDir = s"$tableDir/docs"
         val idxDir = s"$tableDir/index"
+        val leaf = s"ingest_run=$runToken/ingest_batch=$id"
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val raw = batch.persist(lvl)
         val nRaw = raw.count()
@@ -251,18 +300,27 @@ object StreamOps {
         val nQ = quality.count()
         val gated = nbGate.fold(langOk) { m =>
           langOk.join(
-            graft.text.NbClassifier.predict(m, langOk, "doc_id", "text")
+            graft.text.NbClassifier.predictCompiled(m, langOk, "doc_id", "text")
               .filter(col("pred") === "hq").select("doc_id"),
             Seq("doc_id"), "left_semi")
         }
-        val nG = if (nbGate.isEmpty) -1L else gated.count()
         val fped = gated
           .withColumn("__fp", graft.text.TextOps.contentFingerprint(col("text")))
           .withColumn("__sh", graft.text.TextOps.simhashFast(col("text"), 48))
           .persist(lvl)
-        val nL = fped.count()
+        val nFped = fped.count()
+        // langOk is the PRE-gate language-agreement count (one extra job
+        // only when the gate is on); gateKept is the post-gate count
+        val nL = if (nbGate.isEmpty) nFped else langOk.count()
+        val nG = if (nbGate.isEmpty) -1L else nFped
+        // pre-state index: everything EXCEPT this (run, batch)'s own rows
+        // — a replayed batch whose index write half-committed must not
+        // anti-join against itself
         val idx =
-          if (new java.io.File(idxDir).exists) spark.read.parquet(idxDir)
+          if (dirExists(spark, idxDir))
+            spark.read.parquet(idxDir)
+              .filter(!(col("ingest_run") === runToken &&
+                col("ingest_batch") === id))
           else fped.select(col("__fp").as("fp"), col("__sh").as("sh")).limit(0)
         val wFp = org.apache.spark.sql.expressions.Window
           .partitionBy("__fp").orderBy("doc_id")
@@ -279,15 +337,18 @@ object StreamOps {
           .filter(col("__rn") === 1).drop("__rn")
           .persist(lvl)
         val nN = near.count()
-        near.select(raw.columns.map(col): _*)
-          .write.mode("append").parquet(docsDir)
+        // idempotent commit: overwrite this batch's own leaf dirs (a
+        // replay rewrites identical content); index first, docs second —
+        // both orders are safe under the own-rows exclusion above
         near.select(col("__fp").as("fp"), col("__sh").as("sh"))
-          .write.mode("append").parquet(idxDir)
+          .write.mode("overwrite").parquet(s"$idxDir/$leaf")
+        near.select(raw.columns.map(col): _*)
+          .write.mode("overwrite").parquet(s"$docsDir/$leaf")
         onBatch(IngestCounts(id, nRaw, nQ, nL, nE, nN, nG))
         raw.unpersist()
         fped.unpersist()
         near.unpersist(): Unit
-    }
+  }
 
   /** foreachBatch CDC-compaction sink: every micro-batch merges into a
     * keyed parquet table with latest-wins semantics (`tsCol` desc per

@@ -568,8 +568,11 @@ class StreamingSpec extends AnyFunSuite {
     "gate the stream") {
     val base = "the quick brown fox and the lazy dog run to the old mill " +
       "of the green valley and they rest in the warm sun for a while"
-    val junkWords = "the zz9 the qx7 the vv1 the kk3 the zz9 the qx7 " +
-      "the vv1 the kk3 the zz9 the qx7 the vv1 the kk3 the zz9 the qx7"
+    // pure-alpha junk: PASSES the alpha-ratio + token-count + lang-ID
+    // rule gates (the original zz9-style fixture failed alpha-ratio, so
+    // the NB gate was never actually exercised), fails only the NB gate
+    val junkWords = "the zzq the qxv the vvj the kkz the zzq the qxv " +
+      "the vvj the kkz the zzq the qxv the vvj the kkz the zzq the qxv"
     // offline distillation corpus: planted hq/lq labels
     val train = (
       (0 until 6).map(i => (i.toLong, s"$base variant$i", "hq")) ++
@@ -596,7 +599,51 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSet
     assert(kept == want)
     assert(kept == Set(1L, 3L), s"kept $kept")
-    assert(counts.head.gateKept == 2L && counts.head.langOk == 2L)
+    // langOk is the PRE-gate language-agreement count (all 4 docs pass
+    // the rule gates); gateKept is what the NB gate then admits
+    assert(counts.head.gateKept == 2L && counts.head.langOk == 4L)
+  }
+
+  test("corpus ingest replay is idempotent: re-running a batch — even " +
+    "after a crash that committed the index but not the docs — yields " +
+    "exactly-once corpus rows") {
+    val base = "the quick brown fox and the lazy dog run to the old mill " +
+      "of the green valley and they rest in the warm sun for a while"
+    def doc(id: Long, text: String) = CorpusDoc(ts(id.toInt), id, text, "en", "s")
+    val dir = java.nio.file.Files.createTempDirectory("corpus-replay").toString
+    val counts = scala.collection.mutable.ArrayBuffer[StreamOps.IngestCounts]()
+    def snapshot() = spark.read.parquet(s"$dir/docs")
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 0 commits normally
+    val b0 = Seq(doc(1, s"$base alpha"), doc(2, s"$base bravo")).toDF()
+    StreamOps.ingestBatch(b0, 0L, "rTESTRUN", dir, counts += _, None)
+    assert(snapshot() == Map(1L -> 1L, 2L -> 1L))
+    // at-least-once: the SAME batch id replays (e.g. foreachBatch retry
+    // after a sink-side failure) — contents must be unchanged, not doubled
+    StreamOps.ingestBatch(b0, 0L, "rTESTRUN", dir, counts += _, None)
+    assert(snapshot() == Map(1L -> 1L, 2L -> 1L))
+    // crash-between-writes: batch 1's INDEX leaf committed but its docs
+    // leaf lost (the index-write-then-crash window). Simulate by running
+    // batch 1 fully, deleting its docs leaf, then replaying it.
+    val b1 = Seq(doc(3, s"$base alpha"), // exact dup of 1 via the index
+      doc(4, s"$base charlie")).toDF()
+    StreamOps.ingestBatch(b1, 1L, "rTESTRUN", dir, counts += _, None)
+    assert(snapshot() == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/docs/ingest_run=rTESTRUN/ingest_batch=1"))
+    // replay: the pre-state index must exclude batch 1's own rows, so
+    // doc 4 is re-admitted (not anti-joined against its own fingerprint)
+    // and doc 3 still dedups against batch 0 — exactly-once restored
+    StreamOps.ingestBatch(b1, 1L, "rTESTRUN", dir, counts += _, None)
+    assert(snapshot() == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+    // a LATER batch still sees the whole index (cross-batch dedup intact)
+    val b2 = Seq(doc(5, s"$base charlie"), doc(6, s"$base delta")).toDF()
+    StreamOps.ingestBatch(b2, 2L, "rTESTRUN", dir, counts += _, None)
+    assert(snapshot() == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 6L -> 1L))
   }
 
   test("props JSON extraction") {
