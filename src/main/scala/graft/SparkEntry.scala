@@ -27,7 +27,8 @@ object SparkEntry {
       WarehouseQueries.queries ++ R5Queries.queries ++ R6Queries.queries ++
       R7Queries.queries ++ R8Queries.queries ++ R9Queries.queries ++
       ForestQueries.queries ++ Ep4Queries.queries ++ Ep2Queries.queries ++
-      R10Queries.queries ++ BpeQueries.queries ++ DsirQueries.queries
+      R10Queries.queries ++ BpeQueries.queries ++ DsirQueries.queries ++
+      R11Queries.queries
 
   /** DuckDB 1.0 re-plans and RE-EXECUTES a WITH-clause CTE once per
     * reference unless it is marked AS MATERIALIZED — for the deep
@@ -95,6 +96,7 @@ object SparkEntry {
       WarehouseQueries.oracles ++ R5Queries.oracles ++ R6Queries.oracles ++
       R7Queries.oracles ++ R8Queries.oracles ++ R9Queries.oracles ++
       ForestQueries.oracles ++ Ep4Queries.oracles ++ Ep2Queries.oracles ++
-      R10Queries.oracles ++ BpeQueries.oracles ++ DsirQueries.oracles)
+      R10Queries.oracles ++ BpeQueries.oracles ++ DsirQueries.oracles ++
+      R11Queries.oracles)
       .map { case (k, v) => k -> materializeCtes(exactDecimalCasts(v)) }
 }

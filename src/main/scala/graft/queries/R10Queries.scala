@@ -30,7 +30,7 @@ object R10Queries {
   private val D = 4
   private val SubCap = 300L
 
-  private def frame(s: SparkSession, d: String): DataFrame =
+  private[queries] def frame(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings").select(
       col("vec_id"),
       col("label").cast("int").as("y"),
@@ -233,7 +233,7 @@ object R10Queries {
       s"END"
 
   /** Shared prefix: quantized base, row count, global min/max. */
-  private def subBaseCtes: String = {
+  private[queries] def subBaseCtes: String = {
     def x(i: Int) =
       s"floor(CAST(embedding[${i + 1}] AS DOUBLE)*1000000.0 + 0.5)"
     val baseCols = (0 until D).map(i => s"${x(i)} AS x$i").mkString(", ")
@@ -420,7 +420,7 @@ object R10Queries {
   /** Exact floor division (rounds toward −∞, like Math.floorDiv): the
     * numerator is made divisible first, so `//`'s rounding mode is
     * immaterial. DuckDB's `%` follows the dividend's sign, like Java. */
-  private def floordivSql(a: String, b: String): String =
+  private[queries] def floordivSql(a: String, b: String): String =
     s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
 
   /** The boosting chain: residuals g0 → per round t (per level:

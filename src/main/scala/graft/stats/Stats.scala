@@ -297,17 +297,22 @@ object Tests {
     * mode; the midrank permutation tail is the same test with midranks
     * substituted, and it degenerates to the classical exact table when
     * there are no ties (StatsSpec pins published values). The
-    * distribution is built by the classical generating-function DP
-    * Π(1 + x^{r2_i}) over exact BigInt counts — O(m · Σr2) driver work
-    * on the ≤ m ≤ 25 collected (r2, count) pairs (fitted-statistic
+    * distribution is built by the classical generating-function
+    * shift-DP Π(1 + x^{r2_i}) — count-of-rank-sums, O(m · Σr2) integer
+    * driver work on the collected (r2, count) pairs (fitted-statistic
     * scale; the heavy part, ranking, is the distributed Ranks pass).
-    * The same tail runs distributed inside q_l_tournament_sig's oracle
-    * (explicit 2^m mask explosion — affordable at m ≤ 5); this library
-    * form is the n ≤ 25 operator the reference's tournament decision
-    * (wine_analysis.py:142-154) actually needs.
+    * Counts stay in LONGS while they fit (Σ coeff = 2^m ≤ 2⁶² for
+    * m ≤ 62 — covers the reference's n = 40 shuffle-split comparisons
+    * in microseconds) and switch to BigInt beyond, exact to the n ≈ 500
+    * guard (~10⁸ BigInt adds — seconds, and far past any sample size
+    * where the normal approximation is still distinguishable from
+    * exact). The same tail runs distributed inside q_l_tournament_sig's
+    * oracle (explicit 2^m mask explosion — affordable at m ≤ 5).
+    * StatsSpec pins the published n = 40 critical values (two-sided
+    * T₀.₀₅ = 264, T₀.₀₁ = 220).
     * Output: (w_plus, w_minus, n, p_greater, p_less, p_two_sided). */
   def wilcoxonSignedRankExact(df: DataFrame, diffCol: String,
-                              maxN: Int = 25): DataFrame = {
+                              maxN: Int = 500): DataFrame = {
     val d = col(diffCol)
     val nz = df.filter(d.isNotNull && d =!= 0)
       .select(abs(d).as("absd"), when(d > 0, 1L).otherwise(0L).as("pos"))
@@ -328,25 +333,48 @@ object Tests {
     val w2Minus = rows.map { case (r2, cnt, npos) => r2 * (cnt - npos) }.sum
     // generating function over all m signed ranks (each of the cnt
     // tied ranks flips independently): coeff[s] = #assignments with
-    // positive doubled-rank sum s
+    // positive doubled-rank sum s. Long fast path while every count
+    // fits (Σ coeff = 2^m, so m ≤ 62 is overflow-safe); BigInt beyond.
     val total = rows.map { case (r2, cnt, _) => r2 * cnt }.sum
-    val coeff = Array.fill(total.toInt + 1)(BigInt(0))
-    coeff(0) = BigInt(1)
-    var used = 0L
-    rows.foreach { case (r2, cnt, _) =>
-      (1L to cnt).foreach { _ =>
-        used += r2
-        var s = used.toInt
-        while (s >= r2) {
-          coeff(s) += coeff(s - r2.toInt)
-          s -= 1
+    val (tail, le) =
+      if (m <= 62) {
+        val coeff = new Array[Long](total.toInt + 1)
+        coeff(0) = 1L
+        var used = 0L
+        rows.foreach { case (r2, cnt, _) =>
+          (1L to cnt).foreach { _ =>
+            used += r2
+            var s = used.toInt
+            while (s >= r2) {
+              coeff(s) += coeff(s - r2.toInt)
+              s -= 1
+            }
+          }
         }
+        ((ge: Long) => (ge.max(0L).toInt to total.toInt)
+           .foldLeft(BigInt(0))(_ + coeff(_)),
+         (x: Long) => (0 to x.min(total).toInt)
+           .foldLeft(BigInt(0))(_ + coeff(_)))
+      } else {
+        val coeff = Array.fill(total.toInt + 1)(BigInt(0))
+        coeff(0) = BigInt(1)
+        var used = 0L
+        rows.foreach { case (r2, cnt, _) =>
+          (1L to cnt).foreach { _ =>
+            used += r2
+            var s = used.toInt
+            while (s >= r2) {
+              coeff(s) += coeff(s - r2.toInt)
+              s -= 1
+            }
+          }
+        }
+        ((ge: Long) => (ge.max(0L).toInt to total.toInt)
+           .foldLeft(BigInt(0))(_ + coeff(_)),
+         (x: Long) => (0 to x.min(total).toInt)
+           .foldLeft(BigInt(0))(_ + coeff(_)))
       }
-    }
     val denom = BigInt(2).pow(m.toInt)
-    def tail(ge: Long): BigInt =
-      (ge.max(0L).toInt to total.toInt).map(coeff(_)).sum
-    def le(x: Long): BigInt = (0 to x.min(total).toInt).map(coeff(_)).sum
     val pGreater = BigDecimal(tail(w2Plus)) / BigDecimal(denom)
     val pLess = BigDecimal(le(w2Plus)) / BigDecimal(denom)
     val pTwo = (BigDecimal(2) * pGreater.min(pLess)).min(BigDecimal(1))

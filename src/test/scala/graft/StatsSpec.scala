@@ -99,8 +99,63 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p_greater") == 1.0) // W+ = 0 → every mask ≥ 0
     val big = (1 to 30).map(_.toDouble).toDF("d")
     intercept[IllegalArgumentException] {
-      Tests.wilcoxonSignedRankExact(big, "d")
+      Tests.wilcoxonSignedRankExact(big, "d", maxN = 25)
     }
+  }
+
+  test("wilcoxon exact at n=40 reproduces the published critical values") {
+    // published two-sided critical values of T = min(W+, W−) at n = 40:
+    // T₀.₀₅ = 264 and T₀.₀₁ = 220 (standard signed-rank tables) — i.e.
+    // 2·P(W ≤ 264) ≤ .05 < 2·P(W ≤ 265) and 2·P(W ≤ 220) ≤ .01 <
+    // 2·P(W ≤ 221). Construct n = 40 distinct-magnitude diffs whose
+    // negative ranks sum to exactly the target T, so W− = T.
+    def diffsWithWMinus(t: Long): Seq[Double] = {
+      // greedy: take ranks 40, 39, ... while they fit, then the remainder
+      var rem = t
+      val neg = scala.collection.mutable.Set[Int]()
+      var r = 40
+      while (rem > 0 && r >= 1) {
+        if (r <= rem && !neg(r)) { neg += r; rem -= r }
+        r -= 1
+      }
+      assert(rem == 0, s"cannot realize T=$t")
+      (1 to 40).map(i => if (neg(i)) -i.toDouble else i.toDouble)
+    }
+    def p2(t: Long): Double = Tests
+      .wilcoxonSignedRankExact(diffsWithWMinus(t).toDF("d"), "d")
+      .head.getAs[Double]("p_two_sided")
+    val (p264, p265) = (p2(264), p2(265))
+    val (p220, p221) = (p2(220), p2(221))
+    assert(p264 <= 0.05 && p265 > 0.05, s"T=264/265 gave $p264 / $p265")
+    assert(p220 <= 0.01 && p221 > 0.01, s"T=220/221 gave $p220 / $p221")
+    // the exact fractions themselves (independent python DP over the
+    // 2^40 sign assignments): 2·P(W ≤ 264) and 2·P(W ≤ 220)
+    assert(math.abs(p264 - 0.049760567819248536) < 1e-12, s"p264=$p264")
+    assert(math.abs(p220 - 0.009781997654499719) < 1e-12, s"p220=$p220")
+    // W− reported as constructed
+    val r264 = Tests
+      .wilcoxonSignedRankExact(diffsWithWMinus(264).toDF("d"), "d").head
+    assert(r264.getAs[Double]("w_minus") == 264.0)
+    assert(r264.getAs[Long]("n") == 40L)
+  }
+
+  test("wilcoxon exact BigInt path (n=70) integrates to 1 and is symmetric") {
+    // past the long fast path (m > 62): balanced ±ranks → W+ = W− →
+    // p_greater = p_less by symmetry, p_two_sided = 1 only if the mass
+    // at the center is included on both sides — check the invariants
+    // rather than a table (none published this deep).
+    val diffs = (1 to 70).map(i =>
+      if (i % 2 == 0) -i.toDouble else i.toDouble)
+    val r = Tests.wilcoxonSignedRankExact(diffs.toDF("d"), "d").head
+    val (pg, pl) = (r.getAs[Double]("p_greater"), r.getAs[Double]("p_less"))
+    assert(r.getAs[Long]("n") == 70L)
+    // P(W ≥ w) + P(W ≤ w) = 1 + P(W = w) ≥ 1
+    assert(pg + pl >= 1.0 && pg + pl < 1.1)
+    // observed W+ = odd-rank sum 1225, W− = 1260: W+ below center →
+    // p_greater on the heavier side
+    assert(r.getAs[Double]("w_plus") == 1225.0)
+    assert(r.getAs[Double]("w_minus") == 1260.0)
+    assert(pg > pl)
   }
 
   test("kruskal-wallis matches") {
