@@ -8,11 +8,26 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg (local iteration only): regex over query names
     val nameFilter = args.lift(2).map(_.r)
-    def keep(name: String) = nameFilter.forall(_.findFirstIn(name).isDefined)
+    // resume mode (local long-scale runs): skip queries whose output
+    // already materialized — a killed run can be re-launched until the
+    // catalog completes, then compared once
+    val resume = sys.env.get("SPARK_GRAFT_VERIFY_RESUME").contains("1")
+    def done(name: String) = resume &&
+      java.nio.file.Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))
+    // matched: in scope for this invocation (drives oracle_sql.json);
+    // keep: actually (re)computed this run
+    def matched(name: String) =
+      nameFilter.forall(_.findFirstIn(name).isDefined)
+    def keep(name: String) = matched(name) && !done(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // partitions are sized to DATA, not cores, past sf1: at sf10 the
+      // 100M-row edge relations need ≥96 partitions to keep per-task
+      // sorts inside execution memory (found by the sf10 gate — 24
+      // partitions OOM'd q_g_pagerank); AQE coalesces small stages back
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,7 +61,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val json = SparkEntry.oracleSql.filter(kv => matched(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Crashed queries write no parquet and would silently vanish from the

@@ -191,7 +191,7 @@ object DsirQueries {
          |  FROM dsW),
          |dsG AS (SELECT doc_id, n_feats,
          |    CAST(CAST(logw AS VARCHAR) AS DOUBLE) AS logw,
-         |    CAST(logw + CAST(-ln(CAST(
+         |    CAST(CAST(logw AS DECIMAL(30,12)) + CAST(-ln(CAST(
          |        CAST(-ln((${nibbleInt("h")} + 0.5) / 4294967296.0)
          |          AS DECIMAL(30,12)) AS DOUBLE)) AS DECIMAL(30,12))
          |      AS DECIMAL(31,12)) AS gkey_x

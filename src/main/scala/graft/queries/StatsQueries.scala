@@ -220,7 +220,7 @@ object StatsQueries {
          |a AS (SELECT ${dsumSql("n_pos_at * avg_rank")} AS w_plus,
          |  ${dsumSql("(cnt - n_pos_at) * avg_rank")} AS w_minus,
          |  CAST(SUM(cnt) AS DOUBLE) AS n,
-         |  CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tie FROM r)
+         |  CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE) AS tie FROM r)
          |SELECT w_plus, w_minus, n,
          | (w_plus - n * (n + 1) / 4.0) /
          |  SQRT(n * (n + 1) * (n * 2 + 1) / 24.0 - tie / 48.0) AS z
@@ -234,7 +234,7 @@ object StatsQueries {
          |a AS (SELECT ${dsumSql("n_g1_at * avg_rank")} AS r1,
          |  CAST(SUM(n_g1_at) AS DOUBLE) AS n1,
          |  CAST(SUM(cnt - n_g1_at) AS DOUBLE) AS n2,
-         |  CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tie FROM r)
+         |  CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE) AS tie FROM r)
          |SELECT r1 - n1 * (n1 + 1) / 2.0 AS u1, n1, n2,
          | ((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0) /
          |  SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1)
@@ -245,7 +245,7 @@ object StatsQueries {
       s"""WITH base AS (SELECT value AS v, event_type AS g FROM events
          |  WHERE value IS NOT NULL),
          |${midrankSql("base", "")},
-         |tie AS (SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tie,
+         |tie AS (SELECT CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE) AS tie,
          |  CAST(SUM(cnt) AS BIGINT) AS n_tot FROM r),
          |pg AS (SELECT g, ${dsumSql("avg_rank")} AS r_g,
          |  CAST(COUNT(*) AS DOUBLE) AS n_g
@@ -254,7 +254,8 @@ object StatsQueries {
          |  CAST(COUNT(*) AS BIGINT) AS k, MAX(tie) AS tie, MAX(n_tot) AS n_tot
          |  FROM pg CROSS JOIN tie)
          |SELECT (12.0 / (n_tot + 1) * s_norm - (n_tot + 1) * 3.0) /
-         |  (1.0 - tie / CAST(n_tot * n_tot * n_tot - n_tot AS DOUBLE)) AS h,
+         |  (1.0 - tie / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+         |    * CAST(n_tot AS DOUBLE) - CAST(n_tot AS DOUBLE))) AS h,
          | (k - 1) AS dof
          |FROM agg""".stripMargin,
 

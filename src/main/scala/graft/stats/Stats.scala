@@ -42,8 +42,16 @@ object Ranks {
   }
 
   /** Tie-correction term Σ(τ³−τ) over tie groups of `v`. */
-  def tieTerm(rankedByValue: DataFrame): Column =
-    sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).cast("double")
+  def tieTerm(rankedByValue: DataFrame): Column = {
+    // cnt³ through DECIMAL (HUGEINT in the oracle): a 2M-row tie group
+    // would overflow a long product, and the long SUM overflows even
+    // sooner — found by the sf10 gate (round 11). Values are unchanged
+    // wherever the long form didn't overflow.
+    val c = col("cnt").cast(org.apache.spark.sql.types.DecimalType(12, 0))
+    sum((c * c * c - col("cnt"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .cast("double")
+  }
 }
 
 /** Classification metrics (SURVEY.md §2.10 T1-T7). All are single
@@ -406,8 +414,12 @@ object Tests {
     ).select(
       ((lit(12.0) / (col("n_tot") + 1) * col("s_norm")
         - (col("n_tot") + 1) * 3.0) /
+        // N³ in DOUBLE: a 10M-row input overflows the long cube (found
+        // by the sf10 gate); exact while N³ < 2^53, deterministic and
+        // engine-identical rounding beyond
         (lit(1.0) - col("tie") /
-          (col("n_tot") * col("n_tot") * col("n_tot") - col("n_tot")).cast("double")))
+          (col("n_tot").cast("double") * col("n_tot").cast("double")
+            * col("n_tot").cast("double") - col("n_tot").cast("double"))))
         .as("h"),
       (col("k") - 1).as("dof"))
   }

@@ -16,7 +16,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, state=None):
+    # state file (long-scale runs): per-query results persist across
+    # kills; already-judged queries are skipped on relaunch
+    done = {}
+    if state and os.path.exists(state):
+        done = json.load(open(state))
+    def record(name, verdict):
+        if state:
+            done[name] = verdict
+            json.dump(done, open(state, "w"))
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata = single file; Sf1Gen output = Spark directory
@@ -27,17 +36,23 @@ def main(outdir, sfdir):
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if name in done:
+            n_pass += done[name] == "pass"
+            n_fail += done[name] != "pass"
+            continue
         sql = oracle[name]
         pq = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not pq:
-            print(f"FAIL {name}: no spark output")
+            print(f"FAIL {name}: no spark output", flush=True)
+            record(name, "no-output")
             n_fail += 1
             continue
         try:
             sp = con.execute(f"SELECT * FROM '{pq[0]}'").fetchdf()
             du = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            print(f"FAIL {name}: {e}", flush=True)
+            record(name, "error")
             n_fail += 1
             continue
         sp = sp.reindex(sorted(sp.columns), axis=1)
@@ -72,14 +87,17 @@ def main(outdir, sfdir):
                 if str(sp2[c].dtype) != str(du2[c].dtype):
                     problems.append(f"dtype-warn {c}: {sp2[c].dtype} vs {du2[c].dtype}")
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems[:4]))
+            print(f"FAIL {name}: " + "; ".join(problems[:4]), flush=True)
+            record(name, "mismatch")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sp)} rows)")
+            print(f"PASS {name} ({len(sp)} rows)", flush=True)
+            record(name, "pass")
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
