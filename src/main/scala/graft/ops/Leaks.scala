@@ -32,6 +32,15 @@ object Leaks {
 
   def keep(ids: Iterable[Int]): Unit = ids.foreach(keepers.add(_))
 
+  /** Release previously-kept ids (a memo owner evicting a dead entry):
+    * the next sweep may unpersist them if still resident. */
+  def unkeep(ids: Iterable[Int]): Unit = ids.foreach(keepers.remove(_))
+
+  /** Count of currently-registered keeper ids (gate telemetry: lets a
+    * bench artifact distinguish deliberately-resident shared relations
+    * from per-query memory growth). */
+  def pinnedCount: Int = keepers.size
+
   def sweep(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>

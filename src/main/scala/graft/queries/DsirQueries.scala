@@ -181,10 +181,13 @@ object DsirQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_x_dsir_select" ->
-      // the top-k LIMIT selects on the EXACT decimal key (matching
-      // Dsir.resample's contract); only the OUTPUT column is the double
-      // image — selecting on the double would collapse near-ties at the
-      // k boundary that the decimal keys distinguish
+      // the top-k LIMIT selects on the DOUBLE image of the decimal key,
+      // doc_id tiebreak (matching Dsir.resample's contract): ln is not
+      // correctly rounded, so the exact decimals can differ between
+      // engines in the 12th decimal — the double image absorbs a
+      // last-place wobble when |gkey|'s ulp exceeds 1e-12, and the
+      // doc_id tiebreak keeps k-boundary membership aligned where the
+      // double collapses decimal near-ties
       s"""WITH $dsirChain,
          |dsU AS (SELECT doc_id, n_feats, logw,
          |    MD5(CONCAT_WS(':', '77', CAST(doc_id AS VARCHAR))) AS h
@@ -197,7 +200,8 @@ object DsirQueries {
          |      AS DECIMAL(31,12)) AS gkey_x
          |  FROM dsU),
          |dsTop AS (SELECT * FROM dsG
-         |  ORDER BY gkey_x DESC, doc_id LIMIT $SelectK)
+         |  ORDER BY CAST(CAST(gkey_x AS VARCHAR) AS DOUBLE) DESC, doc_id
+         |  LIMIT $SelectK)
          |SELECT g.doc_id, d.source, g.n_feats, g.logw,
          |  CAST(CAST(g.gkey_x AS VARCHAR) AS DOUBLE) AS gkey
          |FROM dsTop g JOIN documents d USING (doc_id)

@@ -15,18 +15,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-query sweep leaves it resident. Partitioning survives the
   * checkpoint (LogicalRDD carries the physical plan's output
   * partitioning), so a pre-partitioned build stays exchange-free for
-  * every consumer. Keys carry the session identity: a stale entry from a
-  * stopped test session rebuilds instead of crashing. */
+  * every consumer.
+  *
+  * Entries are keyed by a per-session UUID minted on first use and held
+  * in a WeakHashMap (identityHashCode is NOT unique — a GC'd session's
+  * hash can be reissued, handing a caller a frame bound to a dead
+  * session), each hit re-validates that the cached frame's owner IS the
+  * calling session (rebuild on mismatch), and entries whose owner
+  * stopped are evicted — their kept RDD ids released back to the sweep —
+  * so a JVM running many sessions (test suites) doesn't grow the memo
+  * unboundedly. */
 object Shared {
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[String, DataFrame]
+  private final case class Entry(owner: SparkSession, kept: Set[Int],
+                                 df: DataFrame)
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, Entry]
+  // weak keys: a dropped session's UUID mapping goes with it; the memo
+  // entry itself is reaped by the eviction pass below
+  private val ids = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def idOf(s: SparkSession): String = ids.synchronized {
+    val got = ids.get(s)
+    if (got != null) got
+    else {
+      val u = java.util.UUID.randomUUID().toString
+      ids.put(s, u); u
+    }
+  }
 
   def pinned(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(System.identityHashCode(s).toString + "|" + key, {
-      val sc = s.sparkContext
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val df = build.localCheckpoint(true)
-      graft.ops.Leaks.keep(sc.getPersistentRDDs.keySet.toSet -- before)
-      df
-    })
+    synchronized {
+      // evict entries owned by stopped sessions; release their keepers
+      memo.filterInPlace { case (_, e) =>
+        val live = !e.owner.sparkContext.isStopped
+        if (!live) graft.ops.Leaks.unkeep(e.kept)
+        live
+      }
+      val k = idOf(s) + "|" + key
+      memo.get(k) match {
+        case Some(e) if e.owner eq s => e.df
+        case _ =>
+          val sc = s.sparkContext
+          val before = sc.getPersistentRDDs.keySet.toSet
+          val df = build.localCheckpoint(true)
+          val kept = sc.getPersistentRDDs.keySet.toSet -- before
+          graft.ops.Leaks.keep(kept)
+          memo.put(k, Entry(s, kept, df))
+          df
+      }
+    }
 }

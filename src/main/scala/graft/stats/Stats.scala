@@ -344,44 +344,34 @@ object Tests {
     // positive doubled-rank sum s. Long fast path while every count
     // fits (Σ coeff = 2^m, so m ≤ 62 is overflow-safe); BigInt beyond.
     val total = rows.map { case (r2, cnt, _) => r2 * cnt }.sum
-    val (tail, le) =
-      if (m <= 62) {
-        val coeff = new Array[Long](total.toInt + 1)
-        coeff(0) = 1L
-        var used = 0L
-        rows.foreach { case (r2, cnt, _) =>
-          (1L to cnt).foreach { _ =>
-            used += r2
-            var s = used.toInt
-            while (s >= r2) {
-              coeff(s) += coeff(s - r2.toInt)
-              s -= 1
-            }
+    // ONE generic shift-DP body; the carrier type is the only dispatch.
+    // Function2 is @specialized on Long, so the Long fast path runs
+    // unboxed — the m ≤ 62 specialization costs a one-line type choice,
+    // not a cloned loop (the overflow guard lives only in that choice).
+    def shiftDp[T](zero: T, one: T, plus: (T, T) => T, toBig: T => BigInt)
+                  (implicit ct: scala.reflect.ClassTag[T])
+    : (Long => BigInt, Long => BigInt) = {
+      val coeff = Array.fill[T](total.toInt + 1)(zero)
+      coeff(0) = one
+      var used = 0L
+      rows.foreach { case (r2, cnt, _) =>
+        (1L to cnt).foreach { _ =>
+          used += r2
+          var s = used.toInt
+          while (s >= r2) {
+            coeff(s) = plus(coeff(s), coeff(s - r2.toInt))
+            s -= 1
           }
         }
-        ((ge: Long) => (ge.max(0L).toInt to total.toInt)
-           .foldLeft(BigInt(0))(_ + coeff(_)),
-         (x: Long) => (0 to x.min(total).toInt)
-           .foldLeft(BigInt(0))(_ + coeff(_)))
-      } else {
-        val coeff = Array.fill(total.toInt + 1)(BigInt(0))
-        coeff(0) = BigInt(1)
-        var used = 0L
-        rows.foreach { case (r2, cnt, _) =>
-          (1L to cnt).foreach { _ =>
-            used += r2
-            var s = used.toInt
-            while (s >= r2) {
-              coeff(s) += coeff(s - r2.toInt)
-              s -= 1
-            }
-          }
-        }
-        ((ge: Long) => (ge.max(0L).toInt to total.toInt)
-           .foldLeft(BigInt(0))(_ + coeff(_)),
-         (x: Long) => (0 to x.min(total).toInt)
-           .foldLeft(BigInt(0))(_ + coeff(_)))
       }
+      ((ge: Long) => (ge.max(0L).toInt to total.toInt)
+         .foldLeft(BigInt(0))((a, i) => a + toBig(coeff(i))),
+       (x: Long) => (0 to x.min(total).toInt)
+         .foldLeft(BigInt(0))((a, i) => a + toBig(coeff(i))))
+    }
+    val (tail, le) =
+      if (m <= 62) shiftDp[Long](0L, 1L, _ + _, BigInt(_))
+      else shiftDp[BigInt](BigInt(0), BigInt(1), _ + _, identity)
     val denom = BigInt(2).pow(m.toInt)
     val pGreater = BigDecimal(tail(w2Plus)) / BigDecimal(denom)
     val pLess = BigDecimal(le(w2Plus)) / BigDecimal(denom)

@@ -121,8 +121,16 @@ object Dsir {
     * Gumbel-max trick makes the deterministic top-k BY KEY a sample
     * without replacement with P ∝ exp(logw). u = (h+0.5)/2³² never hits
     * 0 or 1, and −ln(u) ≥ 1.16e-10 survives the 12-decimal rounding, so
-    * both ln calls are total. Keys stay DECIMAL end-to-end: the ORDER BY
-    * compares exact decimals, not doubles. */
+    * both ln calls are total. Keys stay DECIMAL through the arithmetic
+    * (the precision-shed discipline below), but the top-k SELECTION
+    * compares the DOUBLE image of the key, doc_id tiebreak: the one
+    * cross-engine residual here is that ln is not correctly rounded, so
+    * a decimal key can differ between engines in its last place (one
+    * gkey of 500k at sf10) — the double image collapses a last-place
+    * wobble whenever |gkey| is large enough that the 1e-12 sits below
+    * the double's ulp, and the doc_id tiebreak then keeps both engines'
+    * k-boundary membership aligned. Comparing the exact decimals would
+    * re-expose every such wobble at the boundary. */
   def resample(raw: DataFrame, target: DataFrame, idCol: String,
                textCol: String, k: Int, seed: Int = 77): DataFrame = {
     // The raw feature stream feeds BOTH the model's raw counts and the
@@ -142,7 +150,7 @@ object Dsir {
     // silently SHED the 12th decimal (scale 11) — measured as a 4e-12
     // cross-engine drift. (30,12)+(30,12) → (31,12), lossless.
     w.withColumn("gkey", col("logw").cast(DecimalType(30, 12)) + g)
-      .orderBy(col("gkey").desc, col(idCol))
+      .orderBy(col("gkey").cast("double").desc, col(idCol))
       .limit(k)
   }
 }

@@ -8,7 +8,7 @@ oracle_sql.json, runs the SQL in DuckDB over the sf tables and compares
 rows / schema / values (exact, after sorting columns by name and rows by all
 columns).
 """
-import sys, os, json, glob
+import sys, os, json, glob, hashlib
 import duckdb
 import pandas as pd
 
@@ -16,16 +16,40 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _digest(sql, pq):
+    # verdicts are keyed to WHAT was judged: the oracle SQL text and the
+    # spark output's identity (path + mtime) — fixing a query or
+    # re-running Verify invalidates the stale verdict automatically
+    h = hashlib.sha256(sql.encode())
+    for p in sorted(pq):
+        h.update(p.encode())
+        h.update(str(os.stat(p).st_mtime_ns).encode())
+    return h.hexdigest()[:16]
+
+
 def main(outdir, sfdir, state=None):
     # state file (long-scale runs): per-query results persist across
     # kills; already-judged queries are skipped on relaunch
     done = {}
     if state and os.path.exists(state):
-        done = json.load(open(state))
-    def record(name, verdict):
+        try:
+            done = json.load(open(state))
+        except ValueError:
+            done = {}  # truncated by a kill mid-write of a pre-atomic file
+    def record(name, verdict, digest):
         if state:
-            done[name] = verdict
-            json.dump(done, open(state, "w"))
+            done[name] = {"verdict": verdict, "digest": digest}
+            # atomic: a kill mid-dump must not truncate the live file
+            tmp = state + ".tmp"
+            json.dump(done, open(tmp, "w"))
+            os.replace(tmp, state)
+    def recorded(name, digest):
+        e = done.get(name)
+        if isinstance(e, str):  # legacy entry: no digest, re-judge
+            return None
+        if isinstance(e, dict) and e.get("digest") == digest:
+            return e.get("verdict")
+        return None
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata = single file; Sf1Gen output = Spark directory
@@ -36,15 +60,17 @@ def main(outdir, sfdir, state=None):
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        if name in done:
-            n_pass += done[name] == "pass"
-            n_fail += done[name] != "pass"
-            continue
         sql = oracle[name]
         pq = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        dig = _digest(sql, pq)
+        prior = recorded(name, dig)
+        if prior is not None:
+            n_pass += prior == "pass"
+            n_fail += prior != "pass"
+            continue
         if not pq:
             print(f"FAIL {name}: no spark output", flush=True)
-            record(name, "no-output")
+            record(name, "no-output", dig)
             n_fail += 1
             continue
         try:
@@ -52,7 +78,7 @@ def main(outdir, sfdir, state=None):
             du = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}", flush=True)
-            record(name, "error")
+            record(name, "error", dig)
             n_fail += 1
             continue
         sp = sp.reindex(sorted(sp.columns), axis=1)
@@ -88,11 +114,11 @@ def main(outdir, sfdir, state=None):
                     problems.append(f"dtype-warn {c}: {sp2[c].dtype} vs {du2[c].dtype}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems[:4]), flush=True)
-            record(name, "mismatch")
+            record(name, "mismatch", dig)
             n_fail += 1
         else:
             print(f"PASS {name} ({len(sp)} rows)", flush=True)
-            record(name, "pass")
+            record(name, "pass", dig)
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
