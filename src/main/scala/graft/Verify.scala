@@ -25,9 +25,12 @@ object Verify {
       // partitions are sized to DATA, not cores, past sf1: at sf10 the
       // 100M-row edge relations need ≥96 partitions to keep per-task
       // sorts inside execution memory (found by the sf10 gate — 24
-      // partitions OOM'd q_g_pagerank); AQE coalesces small stages back
+      // partitions OOM'd q_g_pagerank); AQE coalesces small stages back.
+      // graft.core.Sizing computes the count from the sf dir's bytes
+      // (128 MiB of expanded input per partition, clamped to cores);
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS stays as an explicit override.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+        graft.core.Sizing.shufflePartitions(sfDir, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -233,7 +233,11 @@ object StreamOps {
     * RESTARTED query draws a fresh run token, so its batch ids (which
     * Spark restarts from the checkpoint, or from 0 for a new query)
     * never collide with directories a previous run committed; cross-run
-    * dedup rides on the index as before. Existence checks go through the
+    * dedup rides on the index as before, and half-committed leaves a
+    * CRASHED run left behind are repaired at sink start by
+    * [[reconcileIngestTable]] (without it, a crashed run's orphan index
+    * leaf would anti-join the restarted replay away and lose the
+    * batch's docs permanently). Existence checks go through the
     * path's Hadoop FileSystem, so an HDFS/S3 `tableDir` resolves
     * correctly (java.io.File would silently report absent and disable
     * cross-batch dedup).
@@ -255,6 +259,85 @@ object StreamOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Startup reconciliation for [[corpusIngestSink]] (single writer per
+    * tableDir assumed — the streaming-query contract).
+    *
+    * Same-RUN replays are idempotent by construction (own-rows exclusion
+    * + per-(run,batch) overwrite). A crash followed by a RESTART is the
+    * case replay alone can't fix: the restarted query draws a fresh run
+    * token, so a half-committed leaf from the crashed run is no longer
+    * "its own rows" — a committed index leaf whose docs never landed
+    * would anti-join the replayed batch away and lose those docs
+    * permanently. Reconciling at sink start restores the invariant
+    * "index rows == fingerprints of committed docs" before any batch
+    * runs:
+    *
+    *  1. docs leaves without _SUCCESS (crash mid-docs-write): deleted —
+    *     the replay rewrites them.
+    *  2. index leaves whose matching docs leaf is missing/uncommitted
+    *     (crash in the index→docs window, including after 1): deleted,
+    *     so the replayed batch's fingerprints pass the anti-join and
+    *     the docs are written under the new run token. Committed
+    *     (index, docs) pairs are untouched — their replay dedups to an
+    *     empty kept set, which is the exactly-once outcome.
+    *  3. committed docs leaves without a committed index leaf (cannot
+    *     arise from this writer's index-first order; covers operator
+    *     surgery): index leaf rebuilt from the docs' text, restoring
+    *     dedup protection instead of silently re-admitting future
+    *     duplicates.
+    *
+    * All paths resolve through the table dir's Hadoop FileSystem, so the
+    * HDFS/S3 deployment runs the same code (StreamingSpec exercises a
+    * non-`file:` scheme end-to-end). Returns the reconciled leaf names
+    * (relative `ingest_run=…/ingest_batch=…`) for observability. */
+  private[graft] def reconcileIngestTable(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String)
+  : Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(conf)
+    val docsDir = new Path(root, "docs")
+    val idxDir = new Path(root, "index")
+    def leaves(dir: Path): Map[String, Path] =
+      if (!fs.exists(dir)) Map.empty
+      else fs.listStatus(dir).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_run="))
+        .flatMap(run => fs.listStatus(run.getPath).iterator
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("ingest_batch=")))
+        .map(s => s"${s.getPath.getParent.getName}/${s.getPath.getName}" ->
+          s.getPath)
+        .toMap
+    def committed(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
+    val docs = leaves(docsDir)
+    val idx = leaves(idxDir)
+    val touched = Seq.newBuilder[String]
+    // 1. partial docs leaves
+    docs.foreach { case (leaf, p) =>
+      if (!committed(p)) { fs.delete(p, true); touched += s"docs/$leaf" }
+    }
+    // 2. index leaves without committed docs
+    idx.foreach { case (leaf, p) =>
+      val d = docs.get(leaf)
+      if (!committed(p) || d.isEmpty || !committed(d.get)) {
+        fs.delete(p, true); touched += s"index/$leaf"
+      }
+    }
+    // 3. committed docs without a committed index: rebuild from text
+    docs.foreach { case (leaf, p) =>
+      if (committed(p) && !idx.get(leaf).exists(committed)) {
+        spark.read.parquet(p.toString)
+          .select(
+            graft.text.TextOps.contentFingerprint(col("text")).as("fp"),
+            graft.text.TextOps.simhashFast(col("text"), 48).as("sh"))
+          .write.mode("overwrite").parquet(new Path(idxDir, leaf).toString)
+        touched += s"index-rebuild/$leaf"
+      }
+    }
+    touched.result()
+  }
+
   def corpusIngestSink(stream: DataFrame, tableDir: String,
                        onBatch: IngestCounts => Unit = _ => (),
                        nbGate: Option[graft.text.NbClassifier.Model] = None)
@@ -265,6 +348,10 @@ object StreamOps {
     // leading letter keeps partition-value type inference on STRING even
     // for an all-digit token
     val runToken = "r" + java.util.UUID.randomUUID().toString.take(8)
+    // a restarted query replays under a FRESH token: reconcile any
+    // half-committed leaves a crashed run left behind, or the own-rows
+    // exclusion below can't save the replay (see reconcileIngestTable)
+    reconcileIngestTable(stream.sparkSession, tableDir)
     // compile ONCE at sink creation (a few label-bounded collects), not
     // per micro-batch: every batch then scores with the single-pass
     // broadcast form
@@ -338,8 +425,11 @@ object StreamOps {
           .persist(lvl)
         val nN = near.count()
         // idempotent commit: overwrite this batch's own leaf dirs (a
-        // replay rewrites identical content); index first, docs second —
-        // both orders are safe under the own-rows exclusion above
+        // replay rewrites identical content). Index FIRST, docs second —
+        // the order reconcileIngestTable assumes: same-run replays are
+        // covered by the own-rows exclusion above, and a crash in the
+        // index→docs window followed by a RESTART (fresh run token) is
+        // repaired at sink start by deleting the orphan index leaf
         near.select(col("__fp").as("fp"), col("__sh").as("sh"))
           .write.mode("overwrite").parquet(s"$idxDir/$leaf")
         near.select(raw.columns.map(col): _*)

@@ -646,6 +646,116 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshot() == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 6L -> 1L))
   }
 
+  test("crash + RESTART (fresh run token): orphan index leaf is " +
+    "reconciled at sink start, docs land exactly once") {
+    val base = "the quick brown fox and the lazy dog run to the old mill " +
+      "of the green valley and they rest in the warm sun for a while"
+    def doc(id: Long, text: String) = CorpusDoc(ts(id.toInt), id, text, "en", "s")
+    val dir = java.nio.file.Files.createTempDirectory("corpus-restart").toString
+    def docIds() = spark.read.parquet(s"$dir/docs")
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // run 1, batch 0 commits normally
+    StreamOps.ingestBatch(Seq(doc(1, s"$base alpha")).toDF(), 0L, "rRUN1",
+      dir, _ => (), None)
+    // run 1, batch 1: index committed, then CRASH before the docs write
+    val b1 = Seq(doc(2, s"$base alpha"), // dup of 1 via the index
+      doc(3, s"$base bravo")).toDF()
+    StreamOps.ingestBatch(b1, 1L, "rRUN1", dir, _ => (), None)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/docs/ingest_run=rRUN1/ingest_batch=1"))
+    assert(docIds() == Map(1L -> 1L)) // doc 3 lost on disk, fp orphaned
+    // RESTART: a fresh sink (fresh token). Without reconciliation the
+    // orphan (rRUN1, 1) index leaf anti-joins doc 3 away forever — the
+    // round-11 ADVICE finding. Sink creation must repair it.
+    val stream = MemoryStream[CorpusDoc](spark)
+    val q = StreamOps.corpusIngestSink(stream.toDF(), dir).start()
+    stream.addData(doc(2, s"$base alpha"), doc(3, s"$base bravo"))
+    q.processAllAvailable(); q.stop()
+    assert(docIds() == Map(1L -> 1L, 3L -> 1L), s"got ${docIds()}")
+    // and the recovered doc is index-protected again for later batches
+    StreamOps.ingestBatch(Seq(doc(4, s"$base bravo")).toDF(), 7L, "rRUN3",
+      dir, _ => (), None)
+    assert(docIds() == Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("reconcileIngestTable: partial leaves deleted, missing index " +
+    "rebuilt from committed docs") {
+    val base = "the quick brown fox and the lazy dog run to the old mill " +
+      "of the green valley and they rest in the warm sun for a while"
+    def doc(id: Long, text: String) = CorpusDoc(ts(id.toInt), id, text, "en", "s")
+    val dir = java.nio.file.Files.createTempDirectory("corpus-reconcile").toString
+    StreamOps.ingestBatch(Seq(doc(1, s"$base alpha")).toDF(), 0L, "rA",
+      dir, _ => (), None)
+    StreamOps.ingestBatch(Seq(doc(2, s"$base bravo")).toDF(), 1L, "rA",
+      dir, _ => (), None)
+    val leaf0 = "ingest_run=rA/ingest_batch=0"
+    val leaf1 = "ingest_run=rA/ingest_batch=1"
+    // batch 0: docs leaf loses its _SUCCESS (crash mid-docs-write) →
+    // both its partial docs and its index leaf must go
+    new java.io.File(s"$dir/docs/$leaf0/_SUCCESS").delete()
+    // batch 1: index leaf vanishes (operator surgery) → rebuilt from docs
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/index/$leaf1"))
+    val touched = StreamOps.reconcileIngestTable(spark, dir)
+    assert(touched.toSet ==
+      Set(s"docs/$leaf0", s"index/$leaf0", s"index-rebuild/$leaf1"))
+    assert(!new java.io.File(s"$dir/docs/$leaf0").exists())
+    assert(!new java.io.File(s"$dir/index/$leaf0").exists())
+    val rebuilt = spark.read.parquet(s"$dir/index/$leaf1")
+    assert(rebuilt.columns.sorted.toSeq == Seq("fp", "sh"))
+    val expect = Seq(doc(2, s"$base bravo")).toDF()
+      .select(graft.text.TextOps.contentFingerprint(col("text")).as("fp"),
+        graft.text.TextOps.simhashFast(col("text"), 48).as("sh"))
+    assert(rebuilt.collect().toSeq == expect.collect().toSeq)
+    // a clean table reconciles to nothing
+    assert(StreamOps.reconcileIngestTable(spark, dir).isEmpty)
+  }
+
+  test("corpus ingest against a non-file:// FileSystem scheme (graftfs) " +
+    "— commit, dedup, crash replay, and reconciliation all resolve " +
+    "through the Hadoop FS") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val base = "the quick brown fox and the lazy dog run to the old mill " +
+      "of the green valley and they rest in the warm sun for a while"
+    def doc(id: Long, text: String) = CorpusDoc(ts(id.toInt), id, text, "en", "s")
+    val local = java.nio.file.Files.createTempDirectory("corpus-graftfs")
+    val dir = "graftfs://" + local.toString
+    def docIds() = spark.read.parquet(s"$dir/docs")
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    StreamOps.ingestBatch(Seq(doc(1, s"$base alpha")).toDF(), 0L, "rFS1",
+      dir, _ => (), None)
+    assert(docIds() == Map(1L -> 1L))
+    // same-run replay: idempotent through the FS scheme
+    StreamOps.ingestBatch(Seq(doc(1, s"$base alpha")).toDF(), 0L, "rFS1",
+      dir, _ => (), None)
+    assert(docIds() == Map(1L -> 1L))
+    // crash in the index→docs window, then a fresh-token replay after
+    // reconciliation — the full restart path, on the non-file scheme
+    StreamOps.ingestBatch(
+      Seq(doc(2, s"$base alpha"), doc(3, s"$base charlie")).toDF(),
+      1L, "rFS1", dir, _ => (), None)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$local/docs/ingest_run=rFS1/ingest_batch=1"))
+    val touched = StreamOps.reconcileIngestTable(spark, dir)
+    assert(touched == Seq("index/ingest_run=rFS1/ingest_batch=1"))
+    StreamOps.ingestBatch(
+      Seq(doc(2, s"$base alpha"), doc(3, s"$base charlie")).toDF(),
+      0L, "rFS2", dir, _ => (), None)
+    assert(docIds() == Map(1L -> 1L, 3L -> 1L), s"got ${docIds()}")
+  }
+
   test("props JSON extraction") {
     val df = Seq(("""{"k": 42}""", "a")).toDF("props", "event_type")
     val k = StreamOps.withPropsField(df, "k", "k").head.getAs[Long]("k")

@@ -26,15 +26,31 @@ def sh(*args):
 def bench_at(commit):
     txt = sh("git", "show", f"{commit}:bench_full.json")
     if not txt.strip():
-        return None
+        return None, None
     try:
         d = json.loads(txt)
         m = d.get("metrics")
         if m:
-            return {k: v["time"] for k, v in m.items() if v["time"] > 0}
-        return {k: v for k, v in d.get("queries", {}).items() if v > 0}
+            return {k: v["time"] for k, v in m.items() if v["time"] > 0}, m
+        return {k: v for k, v in d.get("queries", {}).items() if v > 0}, None
     except (json.JSONDecodeError, KeyError, TypeError):
-        return None
+        return None, None
+
+
+def bound(t, exec_run_ms, gc_ms, jobs, cores=32):
+    """Mirror of graft.BenchGates.bound — machine-classifies a wall time
+    from its telemetry (scheduler|gc|exec|idle-consistent)."""
+    if t <= 0:
+        return "idle-consistent"
+    exec_sec = exec_run_ms / 1000.0 / cores
+    gc_sec = gc_ms / 1000.0 / cores
+    if exec_sec >= 0.4 * t:
+        return "exec"
+    if gc_sec >= 0.25 * t:
+        return "gc"
+    if t > 2 * (exec_sec + gc_sec) + 0.2 and jobs >= 3:
+        return "scheduler"
+    return "idle-consistent"
 
 
 def main():
@@ -50,9 +66,10 @@ def main():
     rounds.sort()
     out = {}
     spike_sets = {}
+    bounds = {}
     for rnd, commit in rounds:
-        loaded = bench_at(commit)
-        idle = bench_at(f"{commit}~1")
+        loaded, lmet = bench_at(commit)
+        idle, _ = bench_at(f"{commit}~1")
         if not loaded or not idle:
             continue
         ratios = {}
@@ -62,6 +79,15 @@ def main():
                 ratios[q] = round(tl / ti, 2)
         out[f"r{rnd}"] = ratios
         spike_sets[rnd] = {q for q, r in ratios.items() if r >= threshold}
+        # telemetry exists from r11 on: classify every spike so the
+        # artifact carries the machine-vs-engine verdict itself
+        if lmet and all(k in next(iter(lmet.values()), {})
+                        for k in ("exec_run_ms", "gc_ms", "jobs")):
+            bounds[rnd] = {
+                q: bound(lmet[q]["time"], lmet[q]["exec_run_ms"],
+                         lmet[q]["gc_ms"], lmet[q]["jobs"])
+                for q in spike_sets[rnd] if q in lmet}
+            out[f"r{rnd}_bounds"] = bounds[rnd]
     with open("loaded_idle_ratio.json", "w") as f:
         json.dump(out, f, indent=0, sort_keys=True)
     print(f"wrote loaded_idle_ratio.json ({len(out)} rounds)")
@@ -73,7 +99,11 @@ def main():
     for rnd in sorted(spike_sets):
         qs = sorted(spike_sets[rnd],
                     key=lambda q: -out[f"r{rnd}"][q])[:8]
-        cells = ", ".join(f"{q} ({out[f'r{rnd}'][q]}x)" for q in qs)
+        cells = ", ".join(
+            f"{q} ({out[f'r{rnd}'][q]}x"
+            + (f", {bounds[rnd][q]}" if rnd in bounds and q in bounds[rnd]
+               else "") + ")"
+            for q in qs)
         print(f"| r{rnd} | {len(spike_sets[rnd])} | {cells} |")
     all_rounds = sorted(spike_sets)
     if len(all_rounds) >= 2:
