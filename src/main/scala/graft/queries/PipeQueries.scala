@@ -341,7 +341,7 @@ object PipeQueries {
     "q_x_dedup_best" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val doubled = docs.unionByName(
-        docs.select(col("doc_id") + 100000, col("text"), col("lang"),
+        docs.select(col("doc_id") + 100000000, col("text"), col("lang"),
           col("source"), col("n_chars")).toDF(docs.columns: _*))
       val fp = TextOps.contentFingerprint(col("text"))
       val w = Window.partitionBy("__fp")
@@ -772,7 +772,7 @@ object PipeQueries {
 
     "q_x_dedup_best" ->
       """WITH u AS (SELECT doc_id, text, n_chars FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text, n_chars FROM documents),
+        |  UNION ALL SELECT doc_id + 100000000, text, n_chars FROM documents),
         |k AS (SELECT doc_id, n_chars, ROW_NUMBER() OVER (
         |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |    ORDER BY n_chars DESC, doc_id) AS rn

@@ -38,7 +38,7 @@ object R6Queries {
     // quantized Lloyd's + decimal cosine + recursive-CTE closure in SQL.
     "q_v_semantic_dedup" -> ((s, d) => {
       val e0 = Tables(s, d, "embeddings")
-      val e = e0.unionByName(e0.select((col("vec_id") + 100000).as("vec_id"),
+      val e = e0.unionByName(e0.select((col("vec_id") + 100000000).as("vec_id"),
         col("embedding"), col("label")))
       Similarity.semanticDedupKeep(e, threshold = 0.999, k = 16, iters = 2)
         .orderBy("vec_id")
@@ -66,7 +66,7 @@ object R6Queries {
       val corpus = docs.filter(col("source") =!= "src4")
       val batch = docs.filter(col("source") === "src4")
         .unionByName(corpus.filter(col("doc_id") % 20 === 0)
-          .withColumn("doc_id", col("doc_id") + 100000))
+          .withColumn("doc_id", col("doc_id") + 100000000))
       TextOps.minhashNearDupAgainst(corpus, batch, "doc_id", "text",
         numHashes = 16, bands = 2, threshold = 0.5)
         .orderBy("batch_id", "corpus_id")
@@ -163,7 +163,7 @@ object R6Queries {
            |  QUALIFY row_number()
            |    OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""".stripMargin
       s"""WITH RECURSIVE u AS (SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |  UNION ALL SELECT vec_id + 100000000, embedding FROM embeddings),
          |idx AS (SELECT unnest(range(1, 65)) AS i),
          |qe AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
          |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
@@ -242,7 +242,7 @@ object R6Queries {
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
          |  WHERE source <> 'src4'),
          |batch AS (SELECT doc_id, text FROM documents WHERE source = 'src4'
-         |  UNION ALL SELECT doc_id + 100000, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000000, text FROM documents
          |  WHERE source <> 'src4' AND doc_id % 20 = 0),
          |shc AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
          |shb AS (SELECT doc_id, $shinglesSql AS sh FROM batch),

@@ -34,6 +34,18 @@ object TextSimQueries {
        | ELSE list_distinct(list_transform(range(0, len($normToksSql) - 2),
        |   i -> array_to_string(($normToksSql)[i+1:i+3], ' '))) END)""".stripMargin
 
+  /** [[shinglesSql]] over an ALREADY-TOKENIZED column — the sf10 oracle
+    * discipline: DuckDB does not CSE the three normToksSql occurrences
+    * inside shinglesSql (measured 105 s vs 5.4 s for 50k sf10 docs), so
+    * scale-gated oracles tokenize ONCE into a CTE column and shingle
+    * from it. Same lesson as the engine side's "materialize token
+    * arrays before lambdas" (SCALE.md), replayed in the oracle. */
+  private[queries] def shinglesOfSql(t: String): String =
+    s"""(CASE WHEN len($t) < 3
+       | THEN [array_to_string($t, ' ')]
+       | ELSE list_distinct(list_transform(range(0, len($t) - 2),
+       |   i -> array_to_string(($t)[i+1:i+3], ' '))) END)""".stripMargin
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -161,7 +173,7 @@ object TextSimQueries {
       // of buckets and the self-join goes quadratic; 8-row bands target
       // the near-exact duplicates this query plants.
       TextOps.minhashNearDupPairs(docs.unionByName(
-        docs.select(col("doc_id") + 100000, col("text"), col("lang"),
+        docs.select(col("doc_id") + 100000000, col("text"), col("lang"),
           col("source"), col("n_chars")).toDF(docs.columns: _*)),
         "doc_id", "text", numHashes = 16, bands = 2, threshold = 0.5)
         .orderBy("id_a", "id_b")
@@ -179,7 +191,7 @@ object TextSimQueries {
     "q_x_simhash_neardup" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       TextOps.simhashNearDupPairs(docs.unionByName(
-        docs.select(col("doc_id") + 100000, col("text"), col("lang"),
+        docs.select(col("doc_id") + 100000000, col("text"), col("lang"),
           col("source"), col("n_chars")).toDF(docs.columns: _*)),
         "doc_id", "text", bits = 48, bands = 4, maxHamming = 3)
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
@@ -258,7 +270,7 @@ object TextSimQueries {
     "q_x_embed_neardup" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
       Similarity.cosineNearDupPairsExact(e.unionByName(
-        e.select(col("vec_id") + 100000, col("embedding"), col("label"))
+        e.select(col("vec_id") + 100000000, col("embedding"), col("label"))
           .toDF(e.columns: _*)), threshold = 0.999)
         .orderBy("id_a", "id_b")
     }),
@@ -270,7 +282,7 @@ object TextSimQueries {
     "q_x_neardup_clusters" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val pairs = TextOps.minhashNearDupPairs(docs.unionByName(
-        docs.select(col("doc_id") + 100000, col("text"), col("lang"),
+        docs.select(col("doc_id") + 100000000, col("text"), col("lang"),
           col("source"), col("n_chars")).toDF(docs.columns: _*)),
         "doc_id", "text", numHashes = 16, bands = 2, threshold = 0.5)
       graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
@@ -480,7 +492,7 @@ object TextSimQueries {
       // docs — while this is exactly the engine's bucket shape, with a
       // bit-identical pair set.
       s"""WITH u AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |  UNION ALL SELECT doc_id + 100000000, text FROM documents),
          |shx AS (SELECT doc_id, $shinglesSql AS sh FROM u),
          |sig AS (SELECT doc_id, sh, [$mins] AS sg FROM shx),
          |bnd AS (SELECT doc_id, bno,
@@ -512,7 +524,7 @@ object TextSimQueries {
       // same pair CTE as q_x_minhash_neardup, closed transitively with a
       // recursive CTE: comp(v) = MIN over vertices reachable from v.
       s"""WITH RECURSIVE u AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |  UNION ALL SELECT doc_id + 100000000, text FROM documents),
          |shx AS (SELECT doc_id, $shinglesSql AS sh FROM u),
          |sig AS (SELECT doc_id, sh, [$mins] AS sg FROM shx),
          |bnd AS (SELECT doc_id, bno,
@@ -545,7 +557,7 @@ object TextSimQueries {
 
     "q_x_simhash_neardup" ->
       """WITH u AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |  UNION ALL SELECT doc_id + 100000000, text FROM documents),
         |tok AS (SELECT doc_id, unnest(list_distinct(
         |    regexp_split_to_array(trim(lower(trim(
         |      regexp_replace(text, '\s+', ' ', 'g')))), '\s+'))) AS t FROM u),
@@ -584,7 +596,7 @@ object TextSimQueries {
         s"CAST(embedding[$k] AS DOUBLE) AS p$k").mkString(", ")
       val pdot = (1 to 8).map(k => s"a.p$k * b.p$k").mkString(" + ")
       s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |  UNION ALL SELECT vec_id + 100000000, embedding FROM embeddings),
          |idx AS (SELECT unnest(range(1, 65)) AS i),
          |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
          |    * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS n2
