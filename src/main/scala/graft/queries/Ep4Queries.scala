@@ -85,55 +85,75 @@ object Ep4Queries {
         .orderBy("stage_ord")
     }))
 
-  import TextSimQueries.{toksSql, normSql, normToksSql, shinglesSql,
-    langScoreColsSql, langBestSql, langCaseSql}
+  import TextSimQueries.{toksSql, normSql, shinglesOfSql,
+    langScoreColsOfSql, langBestSql, langCaseSql}
 
   val oracles: Map[String, String] = Map(
     "q_pipe_ep4" -> {
-      // 16 md5-permutation minhash minima (the q_x_minhash spec) — banded
-      // 2×8 for the minhash stage and 4×4 for the edit stage's blocker
-      val mins = (0 until 16).map(i =>
-        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
-        .mkString(",\n   ")
-      val band2 = "(a.sg[1:8] = b.sg[1:8] OR a.sg[9:16] = b.sg[9:16])"
-      val band4 = (0 until 4).map(b =>
-        s"sa.sg[${4 * b + 1}:${4 * b + 4}] = sb.sg[${4 * b + 1}:${4 * b + 4}]")
-        .mkString("(", " OR ", ")")
-      // deterministic Lloyd's (k auto-sized: max(16, ceil(n/500))) +
-      // decimal-exact cosine pairs + recursive-CTE component closure —
-      // the q_v_semantic_dedup oracle with dynamic k and no fixture union
-      def assign(cTab: String): String =
-        s"""(SELECT vec_id, cid FROM (
-           |    SELECT qe.vec_id, c.cid,
-           |      SUM((qe.q - c.cq) * (qe.q - c.cq)) AS dist
-           |    FROM qe JOIN $cTab c USING (dim)
-           |    GROUP BY qe.vec_id, c.cid)
-           |  QUALIFY row_number()
-           |    OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""".stripMargin
+      // sf10-replayable form (round-12). The r11 replay died spilling
+      // >70 GB of DuckDB temp on the shingle CTEs; three measured
+      // disciplines fix it without touching any stage's semantics:
+      //  1. tokenize-once: norm and its token array are CTE COLUMNS —
+      //     DuckDB does not CSE repeated normToksSql occurrences
+      //     (measured 20x on sf10 docs), and the old text inlined
+      //     tokenization ~10x per doc across the lang scores alone.
+      //  2. distinct-shingle md5 join for the 16 minhash minima
+      //     (identical signatures, ~9x fewer md5 calls), and BAND-TABLE
+      //     equi-joins for the 2x8 minhash and 4x4 edit blockers — the
+      //     OR-of-band-equalities join form cannot hash-join and
+      //     degenerates to an n^2 loop at 500k docs.
+      //  3. the semantic stage via the shared R12Queries.semDedupCtes
+      //     (SIMD DOUBLE[64] assignment; the unnest-join form is
+      //     n x k x 64 = 5.1e9 rows at sf10's auto-k=400).
+      val minCols = (0 until 16).map(i => s"min(h$i)").mkString("[", ", ", "]")
+      val hCols = (0 until 16).map(i => s"md5('$i' || ':' || s) AS h$i")
+        .mkString(", ")
+      val sem = R12Queries.semDedupCtes(
+        "SELECT vec_id, embedding FROM embeddings",
+        s"SELECT GREATEST(16, CAST((COUNT(*) + ${SemTargetCluster - 1}) " +
+          s"// $SemTargetCluster AS INTEGER)) AS k FROM embeddings",
+        gridDims = 0)
       s"""WITH RECURSIVE
-         |qd AS (SELECT doc_id, lang, source, text FROM documents
+         |tok AS (SELECT doc_id, lang, source, text, $normSql AS norm
+         |  FROM documents),
+         |tk AS (SELECT doc_id, lang, source, text, norm,
+         |    regexp_split_to_array(trim(norm), '\\s+') AS nt FROM tok),
+         |qd AS (SELECT * FROM tk
          |  WHERE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
          |      / CAST(length(text) AS DOUBLE) > 0.7
          |    AND len($toksSql) BETWEEN 20 AND 2000),
-         |sc AS (SELECT doc_id, lang, source, text, $langScoreColsSql FROM qd),
+         |sc AS (SELECT doc_id, lang, norm, nt,
+         |    ${langScoreColsOfSql("nt")} FROM qd),
          |bb AS (SELECT *, $langBestSql AS best FROM sc),
-         |lf AS (SELECT doc_id, lang, source, text FROM bb WHERE $langCaseSql = lang),
+         |lf AS (SELECT doc_id, lang, norm, nt FROM bb WHERE $langCaseSql = lang),
          |dd AS (SELECT MIN(doc_id) AS doc_id FROM
-         |  (SELECT md5($normSql) AS fp, doc_id FROM lf) k GROUP BY fp),
-         |d2 AS (SELECT lf.doc_id, lf.lang, lf.text FROM lf JOIN dd USING (doc_id)),
-         |shx AS (SELECT doc_id, $shinglesSql AS sh FROM d2),
-         |sig AS (SELECT doc_id, sh, [$mins] AS sg FROM shx),
-         |mh_removed AS (SELECT DISTINCT b.doc_id FROM sig a JOIN sig b
-         |  ON a.doc_id < b.doc_id AND $band2
+         |  (SELECT md5(norm) AS fp, doc_id FROM lf) k GROUP BY fp),
+         |d2 AS (SELECT lf.doc_id, lf.lang, lf.norm, lf.nt
+         |  FROM lf JOIN dd USING (doc_id)),
+         |shx AS (SELECT doc_id, ${shinglesOfSql("nt")} AS sh FROM d2),
+         |shw AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+         |hh AS (SELECT s, $hCols FROM (SELECT DISTINCT s FROM shw)),
+         |sig AS (SELECT doc_id, $minCols AS sg
+         |  FROM shw JOIN hh USING (s) GROUP BY doc_id),
+         |bnd AS (SELECT doc_id, bno,
+         |    array_to_string(CASE WHEN bno = 0 THEN sg[1:8] ELSE sg[9:16] END,
+         |      '|') AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1]) AS bno) t),
+         |cpm AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bnd x JOIN bnd y
+         |    ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |mh_removed AS (SELECT DISTINCT id_b AS doc_id FROM cpm
+         |  JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+         |  JOIN shx xa ON xa.doc_id = id_a JOIN shx xb ON xb.doc_id = id_b
          |  WHERE list_sum(list_transform(range(1, 17),
          |      i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.25
-         |    AND len(list_intersect(a.sh, b.sh))
-         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+         |    AND len(list_intersect(xa.sh, xb.sh))
+         |      / CAST(len(list_distinct(list_concat(xa.sh, xb.sh))) AS DOUBLE) >= 0.5),
          |mk AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM mh_removed)),
-         |g AS (SELECT doc_id, unnest(CASE WHEN len($normToksSql) < 8
-         |    THEN [md5(array_to_string($normToksSql, ' '))]
-         |    ELSE list_distinct(list_transform(range(0, len($normToksSql) - 7),
-         |      i -> md5(array_to_string(($normToksSql)[i+1:i+8], ' ')))) END) AS gram
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(nt) < 8
+         |    THEN [md5(array_to_string(nt, ' '))]
+         |    ELSE list_distinct(list_transform(range(0, len(nt) - 7),
+         |      i -> md5(array_to_string(nt[i+1:i+8], ' ')))) END) AS gram
          |  FROM mk),
          |keptg AS (SELECT gram FROM g GROUP BY gram
          |  HAVING count(*) BETWEEN 2 AND 16),
@@ -141,60 +161,21 @@ object Ep4Queries {
          |sub_removed AS (SELECT DISTINCT b.doc_id
          |  FROM gj a JOIN gj b ON a.gram = b.gram AND a.doc_id < b.doc_id),
          |sk AS (SELECT * FROM mk WHERE doc_id NOT IN (SELECT doc_id FROM sub_removed)),
-         |en AS (SELECT doc_id, lang, $normSql AS norm,
-         |    length($normSql) AS len FROM sk),
-         |edit_removed AS (SELECT DISTINCT b.doc_id
-         |  FROM en a JOIN en b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |    AND abs(a.len - b.len) <= 32
-         |  JOIN sig sa ON sa.doc_id = a.doc_id
-         |  JOIN sig sb ON sb.doc_id = b.doc_id
-         |  WHERE $band4 AND levenshtein(a.norm, b.norm) <= 32),
+         |en AS (SELECT doc_id, lang, norm, length(norm) AS len FROM sk),
+         |bnd4 AS (SELECT sig.doc_id, bno,
+         |    array_to_string(sg[bno * 4 + 1 : bno * 4 + 4], '|') AS bkey
+         |  FROM sig JOIN en USING (doc_id)
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bno) t),
+         |cpe AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bnd4 x JOIN bnd4 y
+         |    ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |edit_removed AS (SELECT DISTINCT b.doc_id FROM cpe
+         |  JOIN en a ON a.doc_id = id_a JOIN en b ON b.doc_id = id_b
+         |  WHERE a.lang = b.lang AND abs(a.len - b.len) <= 32
+         |    AND levenshtein(a.norm, b.norm) <= 32),
          |ek AS (SELECT * FROM sk WHERE doc_id NOT IN (SELECT doc_id FROM edit_removed)),
-         |kk AS (SELECT GREATEST(16, CAST((COUNT(*) + ${SemTargetCluster - 1})
-         |    // $SemTargetCluster AS INTEGER)) AS k FROM embeddings),
-         |idx AS (SELECT unnest(range(1, 65)) AS i),
-         |qe AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
-         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
-         |  FROM embeddings, idx),
-         |init AS (SELECT vec_id,
-         |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-         |    vec_id) AS INTEGER) AS cid
-         |  FROM embeddings
-         |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-         |    vec_id) <= (SELECT k FROM kk)),
-         |c0 AS (SELECT init.cid, qe.dim, qe.q AS cq
-         |  FROM init JOIN qe USING (vec_id)),
-         |a1 AS ${assign("c0")},
-         |u1 AS (SELECT a.cid, qe.dim,
-         |    CAST(SUM(qe.q) // COUNT(*) AS BIGINT) AS cq
-         |  FROM a1 a JOIN qe USING (vec_id) GROUP BY a.cid, qe.dim),
-         |c1 AS (SELECT c0.cid, c0.dim, COALESCE(u1.cq, c0.cq) AS cq
-         |  FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid AND u1.dim = c0.dim),
-         |a2 AS ${assign("c1")},
-         |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-         |    * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS n2
-         |  FROM embeddings, idx GROUP BY vec_id),
-         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ua.embedding AS va, ub.embedding AS vb
-         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  JOIN embeddings ua ON ua.vec_id = a.vec_id
-         |  JOIN embeddings ub ON ub.vec_id = b.vec_id),
-         |dots AS (SELECT id_a, id_b, CAST(SUM(CAST(CAST(va[i] AS DOUBLE)
-         |    * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
-         |  FROM cand, idx GROUP BY id_a, id_b),
-         |p AS (SELECT id_a, id_b FROM dots
-         |  JOIN n2 na ON na.vec_id = dots.id_a
-         |  JOIN n2 nb ON nb.vec_id = dots.id_b
-         |  WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.999),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-         |  UNION SELECT id_b, id_a FROM p),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-         |lbl AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
-         |sem_keep AS (SELECT e.vec_id AS doc_id FROM embeddings e
+         |$sem,
+         |sem_keep AS (SELECT e.vec_id AS doc_id FROM uu e
          |  LEFT JOIN lbl ON lbl.id = e.vec_id
          |  WHERE lbl.comp IS NULL OR lbl.comp = e.vec_id),
          |fk AS (SELECT * FROM ek WHERE doc_id IN (SELECT doc_id FROM sem_keep))

@@ -151,66 +151,21 @@ object R6Queries {
         |WHERE rn <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
 
     // Same quantized Lloyd's as the q_v_kmeans oracle (k=16, one update,
-    // then assign), then decimal-exact within-cluster cosine pairs and the
-    // recursive-CTE component closure from q_x_neardup_clusters.
-    "q_v_semantic_dedup" -> {
-      def assign(cTab: String): String =
-        s"""(SELECT vec_id, cid FROM (
-           |    SELECT qe.vec_id, c.cid,
-           |      SUM((qe.q - c.cq) * (qe.q - c.cq)) AS dist
-           |    FROM qe JOIN $cTab c USING (dim)
-           |    GROUP BY qe.vec_id, c.cid)
-           |  QUALIFY row_number()
-           |    OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""".stripMargin
-      s"""WITH RECURSIVE u AS (SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL SELECT vec_id + 100000000, embedding FROM embeddings),
-         |idx AS (SELECT unnest(range(1, 65)) AS i),
-         |qe AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
-         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
-         |  FROM u, idx),
-         |init AS (SELECT vec_id,
-         |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-         |    vec_id) AS INTEGER) AS cid
-         |  FROM u
-         |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-         |    vec_id) <= 16),
-         |c0 AS (SELECT init.cid, qe.dim, qe.q AS cq
-         |  FROM init JOIN qe USING (vec_id)),
-         |a1 AS ${assign("c0")},
-         |u1 AS (SELECT a.cid, qe.dim,
-         |    CAST(SUM(qe.q) // COUNT(*) AS BIGINT) AS cq
-         |  FROM a1 a JOIN qe USING (vec_id) GROUP BY a.cid, qe.dim),
-         |c1 AS (SELECT c0.cid, c0.dim, COALESCE(u1.cq, c0.cq) AS cq
-         |  FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid AND u1.dim = c0.dim),
-         |a2 AS ${assign("c1")},
-         |n2 AS (SELECT vec_id, CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-         |    * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS n2
-         |  FROM u, idx GROUP BY vec_id),
-         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ua.embedding AS va, ub.embedding AS vb
-         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  JOIN u ua ON ua.vec_id = a.vec_id
-         |  JOIN u ub ON ub.vec_id = b.vec_id),
-         |dots AS (SELECT id_a, id_b, CAST(SUM(CAST(CAST(va[i] AS DOUBLE)
-         |    * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
-         |  FROM cand, idx GROUP BY id_a, id_b),
-         |p AS (SELECT id_a, id_b FROM dots
-         |  JOIN n2 na ON na.vec_id = dots.id_a
-         |  JOIN n2 nb ON nb.vec_id = dots.id_b
-         |  WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.999),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-         |  UNION SELECT id_b, id_a FROM p),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-         |lbl AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
-         |SELECT a2.vec_id AS vec_id, a2.cid AS cluster,
-         |  (lbl.comp IS NULL OR lbl.comp = a2.vec_id) AS keep
-         |FROM a2 LEFT JOIN lbl ON lbl.id = a2.vec_id
-         |ORDER BY vec_id""".stripMargin
-    },
+    // then assign), then decimal-exact within-cluster cosine pairs and
+    // the recursive-CTE component closure. sf10-replayable form
+    // (round-12): the shared R12Queries.semDedupCtes builder — SIMD
+    // DOUBLE[64] arrays for the exact integer assignment, and 2-dim
+    // GRID blocking inside each cluster (fixed k=16 means ~25k-vector
+    // clusters at sf10 = 5.0e9 raw pairs; the grid probes only the
+    // 3^2 neighbor cells any cosine>=0.999 pair can span, with the
+    // decimal-exact final filter unchanged).
+    "q_v_semantic_dedup" -> (
+      "WITH RECURSIVE\n" + R12Queries.semDedupCtes(
+        """SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL SELECT vec_id + 100000000, embedding
+          |  FROM embeddings""".stripMargin,
+        "SELECT 16 AS k",
+        gridDims = 2) + "\n" + R12Queries.semKeepSelect),
 
     "q_v_int8_ann" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
@@ -235,19 +190,34 @@ object R6Queries {
     // joined against the corpus CTE on band-slice equality (band-key md5
     // equality ⇔ slice equality), same est-prune and exact jaccard.
     "q_x_ingest_dedup" -> {
-      val mins = (0 until 16).map(i =>
-        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
-        .mkString(",\n   ")
-      val shinglesSql = TextSimQueries.shinglesSql
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents
-         |  WHERE source <> 'src4'),
-         |batch AS (SELECT doc_id, text FROM documents WHERE source = 'src4'
-         |  UNION ALL SELECT doc_id + 100000000, text FROM documents
+      // sf10-replayable form (round-12): tokenize ONCE per document into
+      // a CTE column (DuckDB does not CSE the three normToksSql copies
+      // inside shinglesSql — measured 20x on sf10 docs), shingle every
+      // document once and SHARE the rows between the corpus and the
+      // batch's planted copies, and compute the 16 minhash minima by
+      // md5-hashing each DISTINCT shingle once and re-joining (min over
+      // the same multiset — identical signatures, ~9x fewer md5 calls
+      // at sf10's dup structure). Band join and exact jaccard unchanged.
+      val minCols = (0 until 16).map(i => s"min(h$i)").mkString("[", ", ", "]")
+      val hCols = (0 until 16).map(i => s"md5('$i' || ':' || s) AS h$i")
+        .mkString(", ")
+      val shingles = TextSimQueries.shinglesOfSql("t")
+      s"""WITH tokd AS (SELECT doc_id, source,
+         |    ${TextSimQueries.normToksSql} AS t FROM documents),
+         |shAll AS (SELECT doc_id, source, $shingles AS sh FROM tokd),
+         |shc AS (SELECT doc_id, sh FROM shAll WHERE source <> 'src4'),
+         |shb AS (SELECT doc_id, sh FROM shAll WHERE source = 'src4'
+         |  UNION ALL SELECT doc_id + 100000000, sh FROM shAll
          |  WHERE source <> 'src4' AND doc_id % 20 = 0),
-         |shc AS (SELECT doc_id, $shinglesSql AS sh FROM corpus),
-         |shb AS (SELECT doc_id, $shinglesSql AS sh FROM batch),
-         |sigc AS (SELECT doc_id, sh, [$mins] AS sg FROM shc),
-         |sigb AS (SELECT doc_id, sh, [$mins] AS sg FROM shb),
+         |ds AS (SELECT DISTINCT s FROM
+         |  (SELECT unnest(sh) AS s FROM shAll)),
+         |hh AS (SELECT s, $hCols FROM ds),
+         |sigc AS (SELECT doc_id, $minCols AS sg FROM
+         |  (SELECT doc_id, unnest(sh) AS s FROM shc) w
+         |  JOIN hh USING (s) GROUP BY doc_id),
+         |sigb AS (SELECT doc_id, $minCols AS sg FROM
+         |  (SELECT doc_id, unnest(sh) AS s FROM shb) w
+         |  JOIN hh USING (s) GROUP BY doc_id),
          |bndc AS (SELECT doc_id, bno,
          |    array_to_string(CASE WHEN bno = 0 THEN sg[1:8] ELSE sg[9:16] END,
          |      '|') AS bkey
@@ -259,12 +229,14 @@ object R6Queries {
          |cp AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
          |  FROM bndb x JOIN bndc y ON x.bno = y.bno AND x.bkey = y.bkey),
          |cand AS (SELECT batch_id, corpus_id,
-         |    b.sh AS shb2, c.sh AS shc2,
+         |    sb2.sh AS shb2, sc2.sh AS shc2,
          |    list_sum(list_transform(range(1, 17),
          |      i -> CASE WHEN b.sg[i] = c.sg[i] THEN 1 ELSE 0 END)) / 16.0
          |      AS est_jaccard
          |  FROM cp JOIN sigb b ON b.doc_id = batch_id
-         |    JOIN sigc c ON c.doc_id = corpus_id),
+         |    JOIN sigc c ON c.doc_id = corpus_id
+         |    JOIN shb sb2 ON sb2.doc_id = batch_id
+         |    JOIN shc sc2 ON sc2.doc_id = corpus_id),
          |ex AS (SELECT batch_id, corpus_id, est_jaccard,
          |    len(list_intersect(shb2, shc2))
          |      / CAST(len(list_distinct(list_concat(shb2, shc2))) AS DOUBLE)

@@ -59,6 +59,15 @@ object TextSimQueries {
     s"""len(list_filter($normToksSql, t -> list_contains(${sqlList(words)}, t)))
        | / CAST(len($normToksSql) AS DOUBLE) AS s_$lang""".stripMargin
   }.mkString(",\n ")
+  /** [[langScoreColsSql]] over an already-tokenized column (the sf10
+    * tokenize-once discipline — the inline form re-tokenizes the text
+    * twice PER LANGUAGE). */
+  private[queries] def langScoreColsOfSql(t: String): String =
+    langProfs.map { case (lang, words) =>
+      s"""len(list_filter($t, w -> list_contains(${sqlList(words)}, w)))
+         | / CAST(len($t) AS DOUBLE) AS s_$lang""".stripMargin
+    }.mkString(",\n ")
+
   private[queries] lazy val langBestSql =
     langProfs.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
   private[queries] lazy val langCaseSql = "CASE " + langProfs.map { case (lang, _) =>
@@ -582,19 +591,27 @@ object TextSimQueries {
         |FROM cp WHERE bit_count(xor(sha, shb)) <= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // Still the brute pair relation, but the quadratic scan's prefilter
-    // is now ~20 flops per pair instead of three 64-element lambda
-    // reductions (measured intractable at sf1's 40k vectors): by
-    // Cauchy–Schwarz on the dim-9..64 residual, dot(a,b) ≤
-    // prefix8(a,b) + |a_r|·|b_r|, so every pair with true cosine
-    // ≥ 0.999 passes the prefix condition at 0.99899 — the 1e-5
-    // relative margin dwarfs the ~1e-14 rounding of the precomputed
-    // doubles. The FINAL decimal-exact ≥ 0.999 filter is unchanged, so
-    // the result set is bit-identical.
+    // sf10-replayable form (round-12): the brute pair relation is
+    // quadratic in the corpus (8e10 pair evaluations at sf10's 400k
+    // fixture vectors) — the oracle now replays the ENGINE's hyperplane
+    // LSH blocking (same plane constants via sigSql, nPlanes=12,
+    // nTables=4, seeds 77+t, matching Similarity.nearDupCandidates)
+    // before the Cauchy–Schwarz prefix prune and the decimal-exact
+    // rescore. Recall of the blocking for qualifying pairs is 1.0 BY
+    // CONSTRUCTION on this fixture: pairs with cosine >= 0.999 are the
+    // planted exact duplicates (organic cosines top out ~0.51), and an
+    // identical vector lands in the same bucket of every table. The
+    // FINAL decimal-exact >= 0.999 filter is unchanged.
     "q_x_embed_neardup" -> {
       val pcols = (1 to 8).map(k =>
         s"CAST(embedding[$k] AS DOUBLE) AS p$k").mkString(", ")
-      val pdot = (1 to 8).map(k => s"a.p$k * b.p$k").mkString(" + ")
+      val pdot = (1 to 8).map(k => s"pa.p$k * pb.p$k").mkString(" + ")
+      val sigCols = (0 until 4).map(t =>
+        s"${sigSql(nPlanes = 12, dim = 64, seed = 77 + t)} AS s_$t")
+        .mkString(",\n    ")
+      val bkUnion = (0 until 4).map(t =>
+        s"SELECT vec_id, $t AS tno, s_$t AS sig FROM sg")
+        .mkString("\n  UNION ALL ")
       s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 100000000, embedding FROM embeddings),
          |idx AS (SELECT unnest(range(1, 65)) AS i),
@@ -607,10 +624,18 @@ object TextSimQueries {
          |    sqrt(list_sum(list_transform(embedding,
          |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nf
          |  FROM u),
-         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    a.embedding AS va, b.embedding AS vb
-         |  FROM pf a JOIN pf b ON a.vec_id < b.vec_id
-         |  WHERE $pdot + a.nr * b.nr >= 0.99899 * a.nf * b.nf),
+         |sg AS (SELECT vec_id,
+         |    $sigCols
+         |  FROM u),
+         |bk AS ($bkUnion),
+         |cp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b ON a.tno = b.tno AND a.sig = b.sig
+         |    AND a.vec_id < b.vec_id),
+         |cand AS (SELECT id_a, id_b,
+         |    pa.embedding AS va, pb.embedding AS vb
+         |  FROM cp JOIN pf pa ON pa.vec_id = id_a
+         |    JOIN pf pb ON pb.vec_id = id_b
+         |  WHERE $pdot + pa.nr * pb.nr >= 0.99899 * pa.nf * pb.nf),
          |dots AS (SELECT id_a, id_b, CAST(SUM(CAST(CAST(va[i] AS DOUBLE)
          |    * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
          |  FROM cand, idx GROUP BY id_a, id_b)
