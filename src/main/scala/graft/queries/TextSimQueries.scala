@@ -369,6 +369,28 @@ object TextSimQueries {
       s"CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** Shared fixture-union minhash prefix for the q_x_minhash_neardup /
+    * q_x_neardup_clusters oracles (sf10 discipline): tokenize once,
+    * shingle once per ORIGINAL doc, md5 each distinct shingle once, and
+    * give the planted copy (doc_id + 1e8 — identical text) the same sh
+    * and sg rows by a union of ids rather than a recomputation.
+    * Produces `shx (doc_id, sh)` and `sig (doc_id, sg)`. */
+  private lazy val minhashFixtureSigCtes: String = {
+    val minCols = (0 until 16).map(i => s"min(h$i)").mkString("[", ", ", "]")
+    val hCols = (0 until 16).map(i => s"md5('$i' || ':' || s) AS h$i")
+      .mkString(", ")
+    s"""tokd AS (SELECT doc_id, $normToksSql AS t FROM documents),
+       |sh0 AS (SELECT doc_id, ${shinglesOfSql("t")} AS sh FROM tokd),
+       |shx AS (SELECT doc_id, sh FROM sh0
+       |  UNION ALL SELECT doc_id + 100000000, sh FROM sh0),
+       |shw AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+       |hh AS (SELECT s, $hCols FROM (SELECT DISTINCT s FROM shw)),
+       |sig0 AS (SELECT doc_id, $minCols AS sg
+       |  FROM shw JOIN hh USING (s) GROUP BY doc_id),
+       |sig AS (SELECT doc_id, sg FROM sig0
+       |  UNION ALL SELECT doc_id + 100000000, sg FROM sig0)""".stripMargin
+  }
+
   /** Fast double cosine in SQL (assignment/probe argmax only — margins
     * there are far above float-summation ulp differences). Shared with the
     * round-7 PQ-ADC oracle's IVF probe. */
@@ -492,18 +514,15 @@ object TextSimQueries {
          |WHERE a.doc_id < 100 ORDER BY id_a""".stripMargin,
 
     "q_x_minhash_neardup" -> {
-      val mins = (0 until 16).map(i =>
-        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
-        .mkString(",\n   ")
       // band candidacy as a BUCKET equi-join (bands unnested to rows,
       // DISTINCT pairs), not an OR-of-slices theta-join: the theta form
       // nested-loops |docs|² pairs — measured intractable at sf1's 100k
       // docs — while this is exactly the engine's bucket shape, with a
-      // bit-identical pair set.
-      s"""WITH u AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000000, text FROM documents),
-         |shx AS (SELECT doc_id, $shinglesSql AS sh FROM u),
-         |sig AS (SELECT doc_id, sh, [$mins] AS sg FROM shx),
+      // bit-identical pair set. sf10-replayable form (round-12):
+      // tokenize-once + distinct-shingle md5 join (identical minima),
+      // and the planted fixture copies SHARE the original's shingle and
+      // signature rows instead of recomputing them.
+      s"""WITH $minhashFixtureSigCtes,
          |bnd AS (SELECT doc_id, bno,
          |    array_to_string(CASE WHEN bno = 0 THEN sg[1:8] ELSE sg[9:16] END,
          |      '|') AS bkey
@@ -511,12 +530,14 @@ object TextSimQueries {
          |cp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM bnd x JOIN bnd y
          |    ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |cand AS (SELECT id_a, id_b, a.sh AS sha, b.sh AS shb,
+         |cand AS (SELECT id_a, id_b, xa.sh AS sha, xb.sh AS shb,
          |    list_sum(list_transform(range(1, 17),
          |      i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
          |      AS est_jaccard
          |  FROM cp JOIN sig a ON a.doc_id = id_a
-         |    JOIN sig b ON b.doc_id = id_b),
+         |    JOIN sig b ON b.doc_id = id_b
+         |    JOIN shx xa ON xa.doc_id = id_a
+         |    JOIN shx xb ON xb.doc_id = id_b),
          |ex AS (SELECT id_a, id_b, est_jaccard,
          |    len(list_intersect(sha, shb))
          |      / CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE)
@@ -527,15 +548,9 @@ object TextSimQueries {
     },
 
     "q_x_neardup_clusters" -> {
-      val mins = (0 until 16).map(i =>
-        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s)))")
-        .mkString(",\n   ")
       // same pair CTE as q_x_minhash_neardup, closed transitively with a
       // recursive CTE: comp(v) = MIN over vertices reachable from v.
-      s"""WITH RECURSIVE u AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000000, text FROM documents),
-         |shx AS (SELECT doc_id, $shinglesSql AS sh FROM u),
-         |sig AS (SELECT doc_id, sh, [$mins] AS sg FROM shx),
+      s"""WITH RECURSIVE $minhashFixtureSigCtes,
          |bnd AS (SELECT doc_id, bno,
          |    array_to_string(CASE WHEN bno = 0 THEN sg[1:8] ELSE sg[9:16] END,
          |      '|') AS bkey
@@ -543,12 +558,14 @@ object TextSimQueries {
          |cp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM bnd x JOIN bnd y
          |    ON x.bno = y.bno AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |cand AS (SELECT id_a, id_b, a.sh AS sha, b.sh AS shb,
+         |cand AS (SELECT id_a, id_b, xa.sh AS sha, xb.sh AS shb,
          |    list_sum(list_transform(range(1, 17),
          |      i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
          |      AS est_jaccard
          |  FROM cp JOIN sig a ON a.doc_id = id_a
-         |    JOIN sig b ON b.doc_id = id_b),
+         |    JOIN sig b ON b.doc_id = id_b
+         |    JOIN shx xa ON xa.doc_id = id_a
+         |    JOIN shx xb ON xb.doc_id = id_b),
          |p AS (SELECT id_a, id_b FROM cand WHERE est_jaccard >= 0.25
          |  AND len(list_intersect(sha, shb))
          |    / CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE) >= 0.5),
