@@ -180,7 +180,7 @@ object Bench {
         // idle-consistent) so a spike in a loaded run is adjudicable
         // from the artifact alone — no human cross-reading of three
         // telemetry fields (round-11 judging did this by hand)
-        val bound = BenchGates.bound(t, er, gc, nj, cpus.toInt)
+        val bound = BenchGates.bound(t, er, gc, nj, cpus.toInt, jobLatencySec)
         s""""$k":{"time":$t,"shuffle_read":$sr,"shuffle_write":$sw,"spill":$sp,"mem_peak":$mp,"jobs":$nj,"gc_ms":$gc,"exec_run_ms":$er,"bound":"$bound"}"""
     }.mkString("{", ",", "}")
     // Budget regression gates: shuffle_budget.json / mem_budget.json hold

@@ -55,21 +55,27 @@ object BenchGates {
     *  - `exec`: task work explains the wall (exec_run spread over the
     *    cores covers >= 40% of it) — genuinely compute/IO-bound.
     *  - `gc`: GC pauses cover >= 25% of the wall's per-core budget.
-    *  - `scheduler`: wall is > 2x what work + GC explain and the query
-    *    ran >= 3 jobs — per-job scheduler/virtualization latency
-    *    multiplied by job count (the round-10/11 loaded-run spike
-    *    signature: byte-flat, GC-flat, exec-flat, wall inflated).
+    *  - `scheduler`: wall is > 2x what work + GC + the run's OWN
+    *    measured per-job latency explain, over >= 3 jobs. Including
+    *    jobs x jobLatency in the expected-wall term is what keeps an
+    *    idle run idle-consistent: every small Spark query pays the
+    *    per-job setup cost, and a classifier that ignores it calls
+    *    the whole idle catalog scheduler-bound (measured: 177/236).
+    *    Under load the latency probe itself inflates, and a query
+    *    whose wall STILL exceeds twice the inflated expectation is
+    *    the genuine spike signature (byte-flat, GC-flat, exec-flat).
     *  - `idle-consistent`: none of the above — the wall is what an
     *    unloaded machine would give. */
   def bound(tSec: Double, execRunMs: Long, gcMs: Long, jobs: Long,
-            cores: Int): String = {
+            cores: Int, jobLatencySec: Double): String = {
     if (tSec <= 0) "idle-consistent"
     else {
       val execSec = execRunMs / 1000.0 / cores
       val gcSec = gcMs / 1000.0 / cores
+      val expected = execSec + gcSec + jobs * jobLatencySec + 0.2
       if (execSec >= 0.4 * tSec) "exec"
       else if (gcSec >= 0.25 * tSec) "gc"
-      else if (tSec > 2 * (execSec + gcSec) + 0.2 && jobs >= 3) "scheduler"
+      else if (tSec > 2 * expected && jobs >= 3) "scheduler"
       else "idle-consistent"
     }
   }

@@ -71,18 +71,25 @@ class BenchGatesSpec extends AnyFunSuite {
   test("bound classifier reproduces the r11 hand inference") {
     val (_, _, tel) = fixture
     val cores = 32
+    val jl = 0.139 // the r11 loaded run's own job-latency probe
     // q_a_histogram: 9.15 s wall at 3.5 s summed exec, 0 GC, 6 jobs —
     // the judging's worked example of a scheduler-bound burst
     val (t, er, gc, nj) = tel("q_a_histogram")
     assert(t > 5.0, s"fixture drifted: q_a_histogram t=$t")
-    assert(BenchGates.bound(t, er, gc, nj, cores) == "scheduler")
+    assert(BenchGates.bound(t, er, gc, nj, cores, jl) == "scheduler")
     // q_g_pagerank: 121 s of task work across 32 cores in a ~5 s wall —
     // genuinely compute-bound
     val (t2, er2, gc2, nj2) = tel("q_g_pagerank")
-    assert(BenchGates.bound(t2, er2, gc2, nj2, cores) == "exec")
-    // an unremarkable sub-second query is idle-consistent
-    assert(BenchGates.bound(0.2, 640, 0, 2, cores) == "idle-consistent")
+    assert(BenchGates.bound(t2, er2, gc2, nj2, cores, jl) == "exec")
+    // an unremarkable small query whose wall is explained by its job
+    // count times the run's own per-job latency is idle-consistent —
+    // the expected-wall term is what keeps an idle catalog from being
+    // mass-classified scheduler-bound
+    assert(BenchGates.bound(0.2, 640, 0, 2, cores, jl) == "idle-consistent")
+    assert(BenchGates.bound(0.9, 640, 0, 6, cores, 0.11) == "idle-consistent")
+    // ...but the same shape at 5x the explained wall is a spike
+    assert(BenchGates.bound(4.5, 640, 0, 6, cores, 0.11) == "scheduler")
     // GC-dominated: pauses cover most of the per-core wall
-    assert(BenchGates.bound(4.0, 8000, 64000, 2, cores) == "gc")
+    assert(BenchGates.bound(4.0, 8000, 64000, 2, cores, jl) == "gc")
   }
 }

@@ -26,29 +26,34 @@ def sh(*args):
 def bench_at(commit):
     txt = sh("git", "show", f"{commit}:bench_full.json")
     if not txt.strip():
-        return None, None
+        return None, None, None
     try:
         d = json.loads(txt)
         m = d.get("metrics")
         if m:
-            return {k: v["time"] for k, v in m.items() if v["time"] > 0}, m
-        return {k: v for k, v in d.get("queries", {}).items() if v > 0}, None
+            return ({k: v["time"] for k, v in m.items() if v["time"] > 0},
+                    m, d.get("job_latency_sec") or 0.05)
+        return {k: v for k, v in d.get("queries", {}).items() if v > 0}, None, None
     except (json.JSONDecodeError, KeyError, TypeError):
-        return None, None
+        return None, None, None
 
 
-def bound(t, exec_run_ms, gc_ms, jobs, cores=32):
+def bound(t, exec_run_ms, gc_ms, jobs, job_latency_sec, cores=32):
     """Mirror of graft.BenchGates.bound — machine-classifies a wall time
-    from its telemetry (scheduler|gc|exec|idle-consistent)."""
+    from its telemetry (scheduler|gc|exec|idle-consistent). The run's
+    own per-job latency is part of the expected wall: every small query
+    pays it, and ignoring it mass-classifies an idle catalog as
+    scheduler-bound."""
     if t <= 0:
         return "idle-consistent"
     exec_sec = exec_run_ms / 1000.0 / cores
     gc_sec = gc_ms / 1000.0 / cores
+    expected = exec_sec + gc_sec + jobs * job_latency_sec + 0.2
     if exec_sec >= 0.4 * t:
         return "exec"
     if gc_sec >= 0.25 * t:
         return "gc"
-    if t > 2 * (exec_sec + gc_sec) + 0.2 and jobs >= 3:
+    if t > 2 * expected and jobs >= 3:
         return "scheduler"
     return "idle-consistent"
 
@@ -68,8 +73,8 @@ def main():
     spike_sets = {}
     bounds = {}
     for rnd, commit in rounds:
-        loaded, lmet = bench_at(commit)
-        idle, _ = bench_at(f"{commit}~1")
+        loaded, lmet, ljl = bench_at(commit)
+        idle, _, _ = bench_at(f"{commit}~1")
         if not loaded or not idle:
             continue
         ratios = {}
@@ -85,7 +90,7 @@ def main():
                         for k in ("exec_run_ms", "gc_ms", "jobs")):
             bounds[rnd] = {
                 q: bound(lmet[q]["time"], lmet[q]["exec_run_ms"],
-                         lmet[q]["gc_ms"], lmet[q]["jobs"])
+                         lmet[q]["gc_ms"], lmet[q]["jobs"], ljl)
                 for q in spike_sets[rnd] if q in lmet}
             out[f"r{rnd}_bounds"] = bounds[rnd]
     with open("loaded_idle_ratio.json", "w") as f:
