@@ -49,15 +49,18 @@ object DsirQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = Dsir.logRatiosOf(
         feats.filter(col("source").isin(targetSources: _*)), feats)
-      feats.join(broadcast(model), Seq("bucket"))
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_feats"), sum("lr").as("logw"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_feats").as("n_feats"),
-          sum("logw").cast("double").as("sum_logw"))
-        .withColumn("mean_logw", col("sum_logw") / col("n_docs"))
-        .orderBy("source")
+      // per-source rollup out, corpus-sized cache in: release on return
+      graft.ops.Leaks.releasing(
+        feats.join(broadcast(model), Seq("bucket"))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_feats"), sum("lr").as("logw"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_feats").as("n_feats"),
+            sum("logw").cast("double").as("sum_logw"))
+          .withColumn("mean_logw", col("sum_logw") / col("n_docs"))
+          .orderBy("source"),
+        feats)
     }),
 
     // The selection itself: Gumbel top-k importance resample — the

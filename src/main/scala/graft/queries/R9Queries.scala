@@ -89,28 +89,41 @@ object R9Queries {
       // (5) row filter (the age>=19 analog)
       val adults = clean.filter(col("value") >= 5.0)
       // (6) >=70% null-rate column gate; the decision feeds BOTH the
-      // output flags and (via column survival) the downstream plan
+      // output flags and (via column survival) the downstream plan.
+      // PERSIST the post-conform relation: the chain's downstream
+      // stages (null-rate aggregate, split-tag window, imputer fit,
+      // final rollup) would each re-scan the fact table otherwise —
+      // measured at sf10 as a 25x iso ratio, pure re-read cost. With
+      // the cache, events is scanned ONCE per run (the r12 directive;
+      // at 100 TB re-reading the input per stage costs the same
+      // multiple in cluster-hours at ANY parallelism).
       val masked = adults.withColumn("mostly_null",
-        when(col("value") > 20, lit(null)).otherwise(col("value")))
+          when(col("value") > 20, lit(null)).otherwise(col("value")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val gateCols = Seq("v", "k", "mostly_null")
       val gated = Relational.dropMostlyNullCols(masked, gateCols, 0.7)
       val kept = gateCols.map(c => c -> gated.columns.contains(c)).toMap
-      // (7) label + drop leakage, (8) stratified 80/20 split
+      // (7) label + drop leakage, (8) stratified 80/20 split — persisted
+      // too: the window shuffle feeds both the imputer fit and the final
+      // rollup, so tagging runs once instead of twice
       val labeled = gated
         .withColumn("label", Cleaning.binarize(col("value"), 50))
         .drop("props")
       val tagged = Split.tagStratifiedHoldout(labeled, "event_id", "label", 0.2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // (9) impute (median, fit on train ONLY) applied to both splits
       val fitted = Prep.fitImputer(
         tagged.filter(col("split") === "train"), Seq("v"), "median")
       val imputed = Prep.impute(tagged, fitted)
-      imputed.groupBy("split", "label")
+      val out = imputed.groupBy("split", "label")
         .agg(count(lit(1)).as("n"), dsum(col("v")).as("sum_v"),
           sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_k_null"))
         .withColumn("kept_v", lit(if (kept("v")) 1 else 0))
         .withColumn("kept_k", lit(if (kept("k")) 1 else 0))
         .withColumn("kept_mostly_null", lit(if (kept("mostly_null")) 1 else 0))
         .orderBy("split", "label")
+      // 6-row rollup out, fact-sized caches in: release on return
+      graft.ops.Leaks.releasing(out, masked, tagged)
     }),
 
     // L3 in the hash-exact club (the GNB recipe applied to trees): a

@@ -322,10 +322,13 @@ object TextSimQueries {
       val kept = deduped.join(
         pairs.select(col("id_b").as("doc_id")), Seq("doc_id"), "left_anti")
       // per-SOURCE stats (the lang labels are metadata noise on this
-      // synthetic corpus — nearly all text scores as English)
-      kept.groupBy("source").agg(count(lit(1)).as("n_docs"),
-          sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"))
-        .orderBy("source")
+      // synthetic corpus — nearly all text scores as English); release
+      // the deduped cache on return (library-call persist discipline)
+      graft.ops.Leaks.releasing(
+        kept.groupBy("source").agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"))
+          .orderBy("source"),
+        deduped)
     }))
 
   /** Exact top-k cosine over given candidate (query_id, neighbor_id)

@@ -345,9 +345,10 @@ object Tests {
     // fits (Σ coeff = 2^m, so m ≤ 62 is overflow-safe); BigInt beyond.
     val total = rows.map { case (r2, cnt, _) => r2 * cnt }.sum
     // ONE generic shift-DP body; the carrier type is the only dispatch.
-    // Function2 is @specialized on Long, so the Long fast path runs
-    // unboxed — the m ≤ 62 specialization costs a one-line type choice,
-    // not a cloned loop (the overflow guard lives only in that choice).
+    // T is erased (a local def can't be @specialized), so the Long path
+    // boxes through the Function2 bridge — acceptable because maxN caps
+    // the DP at ~125k cells; if the exact tail ever grows, restore a
+    // concrete Long loop rather than trusting specialization here.
     def shiftDp[T](zero: T, one: T, plus: (T, T) => T, toBig: T => BigInt)
                   (implicit ct: scala.reflect.ClassTag[T])
     : (Long => BigInt, Long => BigInt) = {

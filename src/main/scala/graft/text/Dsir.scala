@@ -149,8 +149,13 @@ object Dsir {
     // Spark's decimal-addition result precision would exceed 38 and
     // silently SHED the 12th decimal (scale 11) — measured as a 4e-12
     // cross-engine drift. (30,12)+(30,12) → (31,12), lossless.
-    w.withColumn("gkey", col("logw").cast(DecimalType(30, 12)) + g)
-      .orderBy(col("gkey").cast("double").desc, col(idCol))
-      .limit(k)
+    // k rows out vs a corpus-sized cached feature stream in: materialize
+    // the selection and release rawFeats NOW (library-call persist
+    // discipline — Leaks.releasing) instead of leaking it into the session.
+    graft.ops.Leaks.releasing(
+      w.withColumn("gkey", col("logw").cast(DecimalType(30, 12)) + g)
+        .orderBy(col("gkey").cast("double").desc, col(idCol))
+        .limit(k),
+      rawFeats)
   }
 }

@@ -99,6 +99,22 @@ class DsirSpec extends AnyFunSuite {
     assert(again === pick)
   }
 
+  test("resample releases its feature cache — only the k-row result stays") {
+    graft.ops.Leaks.sweep(spark)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val docs = corpus
+    val target = docs.filter(col("source") === "tgt")
+    val out = Dsir.resample(docs, target, "doc_id", "text", 3)
+    // the corpus-sized rawFeats persist must be GONE at return; the one
+    // new resident RDD is the eager checkpoint of the 3-row selection
+    val added = spark.sparkContext.getPersistentRDDs.size - before
+    assert(added === 1,
+      s"expected only the checkpointed result resident, got $added new RDDs")
+    assert(out.count() === 3)
+    graft.ops.Leaks.sweep(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
   // ---- Gopher rules ----------------------------------------------------
 
   private def flagsOf(text: String): Map[String, Boolean] = {

@@ -41,7 +41,11 @@ def main(outdir, sfdir, state=None):
             done[name] = {"verdict": verdict, "digest": digest}
             # atomic: a kill mid-dump must not truncate the live file
             tmp = state + ".tmp"
-            json.dump(done, open(tmp, "w"))
+            # close+flush BEFORE the replace: relying on refcount GC to
+            # flush the handle is CPython-only (an unflushed temp file
+            # would be promoted truncated elsewhere)
+            with open(tmp, "w") as f:
+                json.dump(done, f)
             os.replace(tmp, state)
     def recorded(name, digest):
         e = done.get(name)
