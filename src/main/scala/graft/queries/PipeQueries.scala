@@ -339,9 +339,9 @@ object PipeQueries {
     // instead of exactDedup's min-id — the quality-aware representative
     // choice a corpus pipeline actually wants.
     "q_x_dedup_best" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
+      val docs = Fixtures.assertNoAlias(Tables(s, d, "documents"), "doc_id")
       val doubled = docs.unionByName(
-        docs.select(col("doc_id") + 100000000, col("text"), col("lang"),
+        docs.select(Fixtures.shifted(col("doc_id")), col("text"), col("lang"),
           col("source"), col("n_chars")).toDF(docs.columns: _*))
       val fp = TextOps.contentFingerprint(col("text"))
       val w = Window.partitionBy("__fp")

@@ -37,8 +37,8 @@ object R6Queries {
     // keep set is exactly the original ids. The oracle replays the same
     // quantized Lloyd's + decimal cosine + recursive-CTE closure in SQL.
     "q_v_semantic_dedup" -> ((s, d) => {
-      val e0 = Tables(s, d, "embeddings")
-      val e = e0.unionByName(e0.select((col("vec_id") + 100000000).as("vec_id"),
+      val e0 = Fixtures.assertNoAlias(Tables(s, d, "embeddings"), "vec_id")
+      val e = e0.unionByName(e0.select(Fixtures.shifted(col("vec_id")).as("vec_id"),
         col("embedding"), col("label")))
       Similarity.semanticDedupKeep(e, threshold = 0.999, k = 16, iters = 2)
         .orderBy("vec_id")
@@ -62,11 +62,11 @@ object R6Queries {
     // self-join over the union. The planted copies must all surface with
     // jaccard 1.0; organic cross-source near-dups ride along.
     "q_x_ingest_dedup" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
+      val docs = Fixtures.assertNoAlias(Tables(s, d, "documents"), "doc_id")
       val corpus = docs.filter(col("source") =!= "src4")
       val batch = docs.filter(col("source") === "src4")
         .unionByName(corpus.filter(col("doc_id") % 20 === 0)
-          .withColumn("doc_id", col("doc_id") + 100000000))
+          .withColumn("doc_id", Fixtures.shifted(col("doc_id"))))
       TextOps.minhashNearDupAgainst(corpus, batch, "doc_id", "text",
         numHashes = 16, bands = 2, threshold = 0.5)
         .orderBy("batch_id", "corpus_id")

@@ -176,13 +176,13 @@ object TextSimQueries {
     // is bit-identical to the md5-expression form, and band-sharing is
     // expressible as signature-slice equality in SQL.
     "q_x_minhash_neardup" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
+      val docs = Fixtures.assertNoAlias(Tables(s, d, "documents"), "doc_id")
       // bands=2 (8 rows/band): the synthetic corpus shares a tiny
       // vocabulary, so shorter bands put most of the corpus into a handful
       // of buckets and the self-join goes quadratic; 8-row bands target
       // the near-exact duplicates this query plants.
       TextOps.minhashNearDupPairs(docs.unionByName(
-        docs.select(col("doc_id") + 100000000, col("text"), col("lang"),
+        docs.select(Fixtures.shifted(col("doc_id")), col("text"), col("lang"),
           col("source"), col("n_chars")).toDF(docs.columns: _*)),
         "doc_id", "text", numHashes = 16, bands = 2, threshold = 0.5)
         .orderBy("id_a", "id_b")
@@ -198,9 +198,9 @@ object TextSimQueries {
     // it ~quadratically on this clustered corpus (measured 3.4 s → the
     // join emitted millions of pairs to keep 4).
     "q_x_simhash_neardup" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
+      val docs = Fixtures.assertNoAlias(Tables(s, d, "documents"), "doc_id")
       TextOps.simhashNearDupPairs(docs.unionByName(
-        docs.select(col("doc_id") + 100000000, col("text"), col("lang"),
+        docs.select(Fixtures.shifted(col("doc_id")), col("text"), col("lang"),
           col("source"), col("n_chars")).toDF(docs.columns: _*)),
         "doc_id", "text", bits = 48, bands = 4, maxHamming = 3)
         .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
@@ -277,9 +277,9 @@ object TextSimQueries {
     // is 1.0 for them) and the organic cosine ceiling (~0.51) is far below
     // the 0.999 threshold.
     "q_x_embed_neardup" -> ((s, d) => {
-      val e = Tables(s, d, "embeddings")
+      val e = Fixtures.assertNoAlias(Tables(s, d, "embeddings"), "vec_id")
       Similarity.cosineNearDupPairsExact(e.unionByName(
-        e.select(col("vec_id") + 100000000, col("embedding"), col("label"))
+        e.select(Fixtures.shifted(col("vec_id")), col("embedding"), col("label"))
           .toDF(e.columns: _*)), threshold = 0.999)
         .orderBy("id_a", "id_b")
     }),
@@ -289,9 +289,9 @@ object TextSimQueries {
     // duplicate group keeps exactly one representative even across
     // transitive chains a~b~c. Output: (component, member count).
     "q_x_neardup_clusters" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
+      val docs = Fixtures.assertNoAlias(Tables(s, d, "documents"), "doc_id")
       val pairs = TextOps.minhashNearDupPairs(docs.unionByName(
-        docs.select(col("doc_id") + 100000000, col("text"), col("lang"),
+        docs.select(Fixtures.shifted(col("doc_id")), col("text"), col("lang"),
           col("source"), col("n_chars")).toDF(docs.columns: _*)),
         "doc_id", "text", numHashes = 16, bands = 2, threshold = 0.5)
       graft.ops.Graph.connectedComponents(pairs, "id_a", "id_b")
