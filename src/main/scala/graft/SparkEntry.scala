@@ -28,7 +28,7 @@ object SparkEntry {
       R7Queries.queries ++ R8Queries.queries ++ R9Queries.queries ++
       ForestQueries.queries ++ Ep4Queries.queries ++ Ep2Queries.queries ++
       R10Queries.queries ++ BpeQueries.queries ++ DsirQueries.queries ++
-      R11Queries.queries ++ R12Queries.queries
+      R11Queries.queries ++ R12Queries.queries ++ R13Queries.queries
 
   /** DuckDB 1.0 re-plans and RE-EXECUTES a WITH-clause CTE once per
     * reference unless it is marked AS MATERIALIZED — for the deep
@@ -97,6 +97,6 @@ object SparkEntry {
       R7Queries.oracles ++ R8Queries.oracles ++ R9Queries.oracles ++
       ForestQueries.oracles ++ Ep4Queries.oracles ++ Ep2Queries.oracles ++
       R10Queries.oracles ++ BpeQueries.oracles ++ DsirQueries.oracles ++
-      R11Queries.oracles ++ R12Queries.oracles)
+      R11Queries.oracles ++ R12Queries.oracles ++ R13Queries.oracles)
       .map { case (k, v) => k -> materializeCtes(exactDecimalCasts(v)) }
 }

@@ -72,10 +72,21 @@ object HistGbtR {
 
   /** Fit `rounds` depth-`depth` trees. Returns the model plus the
     * per-round curve (round, sse, nLeaves) with round 0 = the F₀
-    * baseline (sse = Σ(y−F₀)²). */
+    * baseline (sse = Σ(y−F₀)²).
+    *
+    * Past `sampleCap` rows, SPLIT SELECTION reads the md5-thresholded
+    * row subsample of `keyCol` (HistTree.subsampleCond — the same
+    * PLANET/LightGBM subsample-for-splits discipline the trees and
+    * forests got in round 11): the per-level histogram, and therefore
+    * the chosen splits, come from ≈cap rows, while binning, routing,
+    * leaf values, residual updates, and the SSE curve always use FULL
+    * data — so every integer in the model stays exact and the 2^53
+    * ranking guard is applied to the REALIZED subsample size. Passing
+    * no `keyCol` keeps refuse-don't-drift at the cap. */
   def fit(df: DataFrame, arrCol: String, labelCol: String, d: Int,
           rounds: Int = 3, depth: Int = 2, bins: Int = 16,
-          lrDen: Int = 2): (GModel, Seq[(Int, Long, Long)]) = {
+          lrDen: Int = 2, keyCol: Option[String] = None,
+          sampleCap: Long = 200000): (GModel, Seq[(Int, Long, Long)]) = {
     def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
     val mmAggs = (0 until d).flatMap(i =>
       Seq(min(el(i).cast("long")).as(s"mn_$i"),
@@ -86,11 +97,20 @@ object HistGbtR {
     val maxs = Array.tabulate(d)(i => mmr.getAs[Long](s"mx_$i"))
     val n = mmr.getAs[Long]("n")
     val f0 = Math.floorDiv(mmr.getAs[Long]("sy"), n)
+    val needSub = keyCol.nonEmpty && n > sampleCap
 
     val b = HistTree.binExprs(arrCol, mins, maxs, bins)
-    var cur = df.select(
-        (col(labelCol).cast("long") - f0).as("r"), array(b: _*).as("b"))
-      .localCheckpoint(true)
+    val baseCols = Seq(
+      (col(labelCol).cast("long") - f0).as("r"), array(b: _*).as("b")) ++
+      (if (needSub)
+        Seq(HistTree.subsampleCond(keyCol.get, sampleCap, n).as("insub"))
+      else Nil)
+    var cur = df.select(baseCols: _*).localCheckpoint(true)
+    // histogram row budget for the ranking guard: the REALIZED subsample
+    // (measured, not assumed — the md5 threshold only approximates cap)
+    val nHist = if (needSub) cur.filter(col("insub")).count() else n
+    def histSrc(c: DataFrame): DataFrame =
+      if (needSub) c.filter(col("insub")) else c
 
     val splits = scala.collection.mutable.ArrayBuffer.empty[GSplit]
     val leaves = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Long]]
@@ -99,15 +119,19 @@ object HistGbtR {
     curve += ((0, sse0, 1L))
 
     for (t <- 1 to rounds) {
-      // exactness guard: ranking doubles must stay exact —
-      // num ≤ (n·max|r|)²·n must be < 2^53 (refuse, don't drift)
+      // exactness guard: ranking doubles must stay exact — the score
+      // numerator is bounded by (n_hist·max|r|)²·n_hist over the rows the
+      // HISTOGRAM actually reads, which must be < 2^53 (refuse, don't
+      // drift). max|r| is taken over full data (⊇ the subsample), so the
+      // bound is conservative for the subsampled route.
       val maxr = cur.agg(max(abs(col("r"))).as("m")).head().getAs[Long]("m")
-      require((BigInt(n) * maxr).pow(2) * n < BigInt(1L << 53),
+      require((BigInt(nHist) * maxr).pow(2) * nHist < BigInt(1L << 53),
         s"HistGbtR: round-$t score operands exceed the 2^53-exact range " +
-          s"(n=$n, max|r|=$maxr) — shrink the target scale or subsample")
+          s"(n_hist=$nHist, max|r|=$maxr) — shrink the target scale, or " +
+          "pass keyCol to enable md5-subsampled split selection")
       var lvl = cur.withColumn("node", lit(0))
       for (_ <- 0 until depth) {
-        val counts = lvl
+        val counts = histSrc(lvl)
           .select(col("node"), col("r"), posexplode(col("b")))
           .groupBy(col("node"), col("pos").as("f"), col("col").as("b"))
           .agg(sum(col("r")).as("s"), count(lit(1)).as("c"))
@@ -146,7 +170,8 @@ object HistGbtR {
       val vCol = lv.foldLeft(lit(0L): Column) { case (acc, (node, v)) =>
         when(col("node") === node, lit(v)).otherwise(acc)
       }
-      cur = lvl.select((col("r") - vCol).as("r"), col("b"))
+      cur = lvl.select(Seq((col("r") - vCol).as("r"), col("b")) ++
+          (if (needSub) Seq(col("insub")) else Nil): _*)
         .localCheckpoint(true)
     }
     (GModel(f0, splits.toSeq, leaves.toIndexedSeq, mins, maxs, bins),

@@ -209,9 +209,9 @@ object R10Queries {
     }))
 
   private val PermSeed = 1000
-  private val GbtRounds = 3
-  private val GbtDepth = 2
-  private val GbtBins = 16
+  private[queries] val GbtRounds = 3
+  private[queries] val GbtDepth = 2
+  private[queries] val GbtBins = 16
   private val IfTrees = 4
   private val IfDepth = 5
   private val IfSeed = 42
@@ -224,11 +224,11 @@ object R10Queries {
 
   /** In-SQL twin of HistTree.subsampleCond: threshold computed from the
     * row count, md5 text identical to Split.hashKey(key#sub, 42). */
-  private def insubSql(nSrc: String): String =
-    s"CASE WHEN (SELECT n FROM $nSrc) <= $SubCap THEN TRUE " +
+  private[queries] def insubSql(nSrc: String, cap: Long = SubCap): String =
+    s"CASE WHEN (SELECT n FROM $nSrc) <= $cap THEN TRUE " +
       s"ELSE substr(MD5(CONCAT_WS(':', '42', " +
       s"CAST(b.vec_id AS VARCHAR) || '#sub')), 1, 8) < " +
-      s"printf('%08x', CAST(floor((CAST($SubCap AS DOUBLE) / " +
+      s"printf('%08x', CAST(floor((CAST($cap AS DOUBLE) / " +
       s"CAST((SELECT n FROM $nSrc) AS DOUBLE)) * 4294967296.0) AS BIGINT)) " +
       s"END"
 
@@ -433,21 +433,29 @@ object R10Queries {
     * recover the prediction F = target − r_final. */
   private def gbtCtes: String = gbtCtesFor("CAST(b.y AS BIGINT)")
 
-  private def gbtCtesFor(yExpr: String): String = {
+  /** `sub = true` threads the md5 subsample flag through the chain —
+    * histogram CTEs (gc / the gg node grid) read WHERE insub, while
+    * binning, routing, leaf stats, and residual updates keep every row:
+    * the in-SQL twin of HistGbtR.fit with keyCol set. */
+  private[queries] def gbtCtesFor(yExpr: String, sub: Boolean = false,
+                                  cap: Long = SubCap): String = {
     val B = GbtBins
+    val subW = if (sub) " WHERE insub" else ""
+    val subCol = if (sub) ", insub" else ""
+    val subACol = if (sub) ", a.insub" else ""
     val binCols = (0 until D).map(i =>
       s"CAST(greatest(least(floor(((b.x$i - m.mn$i) * $B.0) / " +
         s"(m.mx$i - m.mn$i + 1.0)), ${B - 1}.0), 0.0) AS INTEGER) AS b$i")
       .mkString(",\n    ")
     def level(t: Int, l: Int): String = {
       val melt = (0 until D).map(i =>
-        s"SELECT node, r, $i AS f, b$i AS b FROM ga${t}l$l")
+        s"SELECT node, r, $i AS f, b$i AS b FROM ga${t}l$l$subW")
         .mkString("\n      UNION ALL ")
       s"""gc${t}_$l AS (SELECT node, f, b, SUM(r) AS s, COUNT(*) AS c
          |  FROM ($melt) t GROUP BY 1, 2, 3),
          |gg${t}_$l AS (SELECT n.node, CAST(ff.f AS INTEGER) AS f,
          |    CAST(bb.b AS INTEGER) AS b
-         |  FROM (SELECT DISTINCT node FROM ga${t}l$l) n
+         |  FROM (SELECT DISTINCT node FROM ga${t}l$l$subW) n
          |  CROSS JOIN (SELECT unnest(range(0, $D)) AS f) ff
          |  CROSS JOIN (SELECT unnest(range(0, $B)) AS b) bb),
          |gm${t}_$l AS (SELECT g.node, g.f, g.b,
@@ -472,7 +480,7 @@ object R10Queries {
          |        > ts*ts*cc*(tc - cc)) z
          |  WHERE rn = 1),
          |ga${t}l${l + 1} AS (SELECT a.vec_id, a.y, a.r,
-         |    a.b0, a.b1, a.b2, a.b3,
+         |    a.b0, a.b1, a.b2, a.b3$subACol,
          |    CASE WHEN s.node IS NULL THEN a.node
          |         WHEN (CASE s.f WHEN 0 THEN a.b0 WHEN 1 THEN a.b1
          |               WHEN 2 THEN a.b2 ELSE a.b3 END) <= s.b
@@ -482,7 +490,7 @@ object R10Queries {
          |    ON s.node = a.node)""".stripMargin
     }
     def round(t: Int): String =
-      s"""ga${t}l0 AS (SELECT vec_id, y, r, b0, b1, b2, b3, 0 AS node
+      s"""ga${t}l0 AS (SELECT vec_id, y, r, b0, b1, b2, b3$subCol, 0 AS node
          |  FROM g${t - 1}),
          |${(0 until GbtDepth).map(l => level(t, l)).mkString(",\n")},
          |gleaf$t AS (SELECT node, SUM(r) AS s, COUNT(*) AS c,
@@ -491,15 +499,16 @@ object R10Queries {
          |glv$t AS (SELECT node,
          |    ${floordivSql("s", "2*c")} AS v FROM gleaf$t),
          |g$t AS (SELECT a.vec_id, a.y, a.r - l.v AS r,
-         |    a.b0, a.b1, a.b2, a.b3
+         |    a.b0, a.b1, a.b2, a.b3$subACol
          |  FROM ga${t}l$GbtDepth a JOIN glv$t l ON l.node = a.node)"""
         .stripMargin
     val ySum = yExpr.replace("b.y", "y")
+    val g0Sub = if (sub) s",\n    ${insubSql("stn", cap)} AS insub" else ""
     s"""gf0 AS (SELECT ${floordivSql(s"SUM($ySum)", "COUNT(*)")}
        |      AS f0 FROM stbase),
        |g0 AS (SELECT b.vec_id, b.y,
        |    $yExpr - (SELECT f0 FROM gf0) AS r,
-       |    $binCols
+       |    $binCols$g0Sub
        |  FROM stbase b CROSS JOIN stmm m),
        |${(1 to GbtRounds).map(round).mkString(",\n")}""".stripMargin
   }

@@ -124,6 +124,55 @@ class R10Spec extends AnyFunSuite {
     assert(mm.getLong(0) >= -8 && mm.getLong(1) <= 16)
   }
 
+  test("gbt subsample: no-op below the cap, deterministic above it, " +
+    "full-data curve") {
+    val df = frame(fixture(600))
+    val (mFull, cFull) = HistGbtR.fit(df, "x", "y", 4, rounds = 3,
+      depth = 2, bins = 16)
+    // cap above n: keyCol present but the subsample never engages
+    val (mNoop, cNoop) = HistGbtR.fit(df, "x", "y", 4, rounds = 3,
+      depth = 2, bins = 16, keyCol = Some("id"), sampleCap = 100000)
+    assert(mNoop.splits == mFull.splits && mNoop.leaves == mFull.leaves &&
+      cNoop == cFull)
+    // cap below n: subsampled split selection, partition-invariant
+    val (m1, c1) = HistGbtR.fit(df, "x", "y", 4, rounds = 3, depth = 2,
+      bins = 16, keyCol = Some("id"), sampleCap = 200)
+    val (m2, c2) = HistGbtR.fit(df.repartition(13), "x", "y", 4,
+      rounds = 3, depth = 2, bins = 16, keyCol = Some("id"),
+      sampleCap = 200)
+    assert(m1.splits == m2.splits && m1.leaves == m2.leaves && c1 == c2)
+    // leaf values and the curve come from FULL data: the final SSE is
+    // exactly Σ(y − F)² of the compiled predictor over all 600 rows,
+    // and SSE still descends monotonically
+    val sse = df.select(
+        (col("y").cast("long") - m1.predictExpr("x")).as("r"))
+      .agg(sum(col("r") * col("r"))).head().getLong(0)
+    assert(sse == c1.last._2)
+    c1.sliding(2).foreach { case Seq((_, s1, _), (_, s2, _)) =>
+      assert(s2 <= s1, s"subsampled SSE rose $s1 -> $s2")
+    }
+    // the subsample genuinely engaged: split-selection residual sums
+    // cover ≈200 rows, not 600
+    assert(m1.splits.filter(_.round == 1).map(s => s.nLeft + s.nRight).max
+      < 400)
+    assert(mFull.splits.filter(_.round == 1).map(s => s.nLeft + s.nRight)
+      .max == 600)
+  }
+
+  test("gbt subsample still refuses when the SUBSAMPLE breaks the bound") {
+    // cap=50 but residuals ~2^19: (50·2^19)²·50 ≈ 2^55 — the realized-
+    // subsample guard must refuse rather than drift
+    val big = (0 until 100).map(i =>
+      (i.toLong, (i % 2) * (1 << 20), Seq(i.toDouble, 0.0, 0.0, 0.0)))
+    val df = big.toDF("id", "y", "xs").select(col("id"), col("y"),
+      col("xs").cast("array<double>").as("x"))
+    val e = intercept[IllegalArgumentException] {
+      HistGbtR.fit(df, "x", "y", 4, rounds = 1, depth = 2, bins = 16,
+        keyCol = Some("id"), sampleCap = 50)
+    }
+    assert(e.getMessage.contains("2^53"))
+  }
+
   test("gbt refuses when score operands could leave the exact range") {
     // y alternates 0 / 2^20 so RESIDUALS (not just the label) are ~2^19
     // — a constant y would give r=0 everywhere and nothing to refuse
