@@ -28,6 +28,61 @@ class SizingSpec extends AnyFunSuite {
     assert(Sizing.partitionsFor(0L, 32) === 32)
   }
 
+  test("footer-calibrated expansion: typical catalog table reproduces " +
+    "~8x; a high-decode table gets proportionally more partitions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sizingx").toFile
+    // numeric-heavy table (the catalog's typical shape): snappy barely
+    // compresses quantized doubles/ids — footer ratio ~1.0-1.5
+    (0 until 20000).map(i => (i.toLong, i * 3.7, i % 97))
+      .toDF("id", "v", "k").repartition(1)
+      .write.parquet(s"$dir/nums.parquet")
+    // plain-text-JSON-shaped table: repetitive keys + prose compress
+    // 4x+ on disk, so decoded bytes blow up well past the catalog 8x
+    (0 until 20000).map(i =>
+        (i.toLong, s"""{"event":"page_view","user_agent":"Mozilla/5.0 """ +
+          s"""(X11; Linux x86_64) AppleWebKit/537.36","path":"/catalog/""" +
+          s"""items/$i","referrer":"https://example.com/search?q=widget""" +
+          s""","payload":"${"lorem ipsum dolor sit amet " * 8}"}"""))
+      .toDF("id", "json").repartition(1)
+      .write.parquet(s"$dir/events_json.parquet")
+    val numsR = Sizing.footerRatio(
+      new org.apache.hadoop.fs.Path(s"$dir/nums.parquet"))
+    val jsonR = Sizing.footerRatio(
+      new org.apache.hadoop.fs.Path(s"$dir/events_json.parquet"))
+    assert(numsR.nonEmpty && jsonR.nonEmpty)
+    // the typical table lands near the old catalog constant...
+    val numsExp = Sizing.expansionOf(numsR)
+    assert(numsExp >= 4 && numsExp <= 12, s"nums expansion $numsExp")
+    // ...the JSON-ish table measures a decode ratio the constant missed
+    val jsonExp = Sizing.expansionOf(jsonR)
+    assert(jsonExp > 12, s"json expansion $jsonExp (ratio $jsonR)")
+    // and the session-level rule gives it MORE partitions than the 8x
+    // rule would (scaled to a size where partitions exceed the floor)
+    val jsonBytes = Sizing.dataBytes(s"$dir/events_json.parquet")
+    val scale = (4L * 1024 * 1024 * 1024) / jsonBytes // pretend ~4 GiB
+    val fixed = Sizing.partitionsFor(jsonBytes * scale, 32)
+    val measured = Sizing.partitionsForExpanded(
+      (jsonBytes * scale * jsonExp).toLong, 32)
+    assert(measured > fixed, s"measured $measured <= fixed $fixed")
+    // missing footer (empty dir) → the fallback constant
+    assert(Sizing.expansionOf(None) === 8.0)
+  }
+
+  test("expandedBytes degrades to 0 on unreadable roots; footerRatio " +
+    "skips empty part files") {
+    assert(Sizing.expandedBytes("/nonexistent/sizing/root") === 0L)
+    // a dir with only an empty .parquet file: no blocks → None → caller
+    // falls back to the catalog constant, never throws
+    val dir = java.nio.file.Files.createTempDirectory("sizinge").toFile
+    val t = new java.io.File(dir, "t.parquet"); t.mkdirs()
+    java.nio.file.Files.write(new java.io.File(t, "part-0.parquet").toPath,
+      Array.empty[Byte])
+    assert(Sizing.footerRatio(
+      new org.apache.hadoop.fs.Path(t.getAbsolutePath)) === None)
+  }
+
   test("dataBytes sums files recursively through the Hadoop FS") {
     val dir = java.nio.file.Files.createTempDirectory("sizing").toFile
     val sub = new java.io.File(dir, "t.parquet")
