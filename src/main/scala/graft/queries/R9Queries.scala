@@ -96,19 +96,39 @@ object R9Queries {
       // measured at sf10 as a 25x iso ratio, pure re-read cost. With
       // the cache, events is scanned ONCE per run (the r12 directive;
       // at 100 TB re-reading the input per stage costs the same
-      // multiple in cluster-hours at ANY parallelism).
+      // multiple in cluster-hours at ANY parallelism). PRUNE before
+      // caching: the chain consumes five narrow columns, and caching
+      // the full row (the props JSON blob, ts) costs MORE than the
+      // column-pruned re-scans it replaces (measured at sf10: 51 s
+      // full-row cache vs 36 s uncached vs the pruned cache below) —
+      // this is the leakage drop of step (7) applied at the cache
+      // boundary, where it pays.
+      // Repartition by the row key BEFORE persisting: the cache build
+      // parallelizes by the plan's output partitioning, and building
+      // inside the scan+parse stage measured contention-fragile (30-103 s
+      // at sf10) where the post-shuffle build is stable ~5 s — one extra
+      // shuffle of five narrow columns buys a deterministic build shape.
+      // (Same trap, worse, if the cache sits above a low-cardinality
+      // window: partitionBy(label) has 2 values, so a cache built there
+      // serializes into 2 tasks — measured 60 s. The split-tag window is
+      // therefore NOT cached; it re-runs per consumer off this cache at
+      // ~0.3 s each.)
       val masked = adults.withColumn("mostly_null",
           when(col("value") > 20, lit(null)).otherwise(col("value")))
+        .select("event_id", "value", "v", "k", "mostly_null")
+        .repartition(col("event_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val gateCols = Seq("v", "k", "mostly_null")
       val gated = Relational.dropMostlyNullCols(masked, gateCols, 0.7)
       val kept = gateCols.map(c => c -> gated.columns.contains(c)).toMap
-      // (7) label + drop leakage, (8) stratified 80/20 split — persisted
-      // too: the window shuffle feeds both the imputer fit and the final
-      // rollup, so tagging runs once instead of twice
+      // (7) label (leakage columns never reached the cache), (8)
+      // stratified 80/20 split — cached for its two consumers (imputer
+      // fit + final rollup): the bucketed holdout tag shuffles by
+      // (label, hash-bucket), so the cache builds at full parallelism
+      // (the OLD partitionBy(label) window would have serialized it
+      // into #labels tasks — see Split.tagStratifiedHoldout's Scaladoc)
       val labeled = gated
         .withColumn("label", Cleaning.binarize(col("value"), 50))
-        .drop("props")
       val tagged = Split.tagStratifiedHoldout(labeled, "event_id", "label", 0.2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // (9) impute (median, fit on train ONLY) applied to both splits
