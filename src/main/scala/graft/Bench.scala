@@ -230,9 +230,33 @@ object Bench {
     val (_, shufFlags) = BenchGates.regressions(
       loadBudget("shuffle_budget.json"), measuredOf(_._1),
       16L * 1024 * 1024, floored = false)
+    // The floor only applies with LOAD EVIDENCE: this run's job-latency
+    // probe at >=1.5x the committed idle baseline (stored alongside the
+    // budgets under the "__idle_job_latency_ms" pseudo-key; r11's loaded
+    // run probed 1.56x, its idle runs ~1.0x). Without evidence, uniform
+    // over-budget offsets are the SHARED-REGRESSION signature, not
+    // machine noise — suppress the floor and say so loudly rather than
+    // letting a catalog-wide real regression clear itself
+    // (round-12 ADVICE).
+    val memBudgetAll = loadBudget("mem_budget.json")
+    val idleLatMs = memBudgetAll.get("__idle_job_latency_ms")
+    val memBudget = memBudgetAll.filter(!_._1.startsWith("__"))
+    val loadEvidence =
+      idleLatMs.forall(b => jobLatencySec * 1000.0 >= 1.5 * b)
     val (memFloor, memFlags) = BenchGates.regressions(
-      loadBudget("mem_budget.json"), measuredOf(_._4),
-      64L * 1024 * 1024, floored = true)
+      memBudget, measuredOf(_._4),
+      64L * 1024 * 1024, floored = true, loadEvidence = loadEvidence)
+    if (!loadEvidence) {
+      val (suppressed, _) = BenchGates.regressions(
+        memBudget, measuredOf(_._4),
+        64L * 1024 * 1024, floored = true, loadEvidence = true)
+      if (suppressed > 64L * 1024 * 1024)
+        System.err.println(
+          s"[bench] MEMORY floor ${suppressed} B SUPPRESSED: job latency " +
+            f"${jobLatencySec}%.3f s is within 1.5x the idle baseline " +
+            s"${idleLatMs.get} ms — uniform over-budget offsets at idle " +
+            "latency are a shared regression, treat the flags as real")
+    }
     val regressJson = reportAndJson("SHUFFLE", shufFlags)
     val memRegressJson = reportAndJson("MEMORY", memFlags)
     val fullLine =

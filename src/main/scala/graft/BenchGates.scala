@@ -32,14 +32,28 @@ object BenchGates {
   }
 
   /** Queries whose measured value, after subtracting `floor`, exceeds
-    * 2x budget AND budget + slack. Returns (floor, flagged). */
+    * 2x budget AND budget + slack. Returns (floor, flagged).
+    *
+    * `loadEvidence` gates the floor on independent proof the run was
+    * actually contended (the caller compares its own job-latency probe
+    * against the committed idle baseline — r11 loaded probed 1.56x
+    * idle, r12 loaded 1.22x). Without it, a GENUINE uniform regression
+    * (a shared-operator change inflating mem_peak across the catalog in
+    * an idle run) would raise the floor to its own delta and silently
+    * clear itself; with the gate, an idle-latency run keeps floor 0 and
+    * flags every query. When the suppressed floor would have been
+    * non-trivial the caller should surface it loudly — that combination
+    * (uniform offsets at idle latency) IS the shared-regression
+    * signature, not noise. */
   def regressions(budget: Map[String, Long], measured: Map[String, Long],
-                  slack: Long, floored: Boolean)
+                  slack: Long, floored: Boolean,
+                  loadEvidence: Boolean = true)
   : (Long, Seq[(String, Long, Long)]) = {
     val deltas = budget.toSeq.flatMap { case (k, b) =>
       measured.get(k).map(_ - b)
     }
-    val floor = if (floored) contentionFloor(deltas) else 0L
+    val floor =
+      if (floored && loadEvidence) contentionFloor(deltas) else 0L
     val flagged = budget.toSeq.collect {
       case (k, b) if measured.get(k).exists(m =>
         (m - floor) > 2 * b && (m - floor) - b > slack) =>

@@ -56,6 +56,67 @@ class BenchGatesSpec extends AnyFunSuite {
       s"expected exactly [$k], got ${flags.map(_._1)}")
   }
 
+  /** Second recorded machine signature (round-12 driver loaded run):
+    * mildly contended — job latency 1.22x idle, page offsets small. */
+  private lazy val fixtureR12: (Map[String, Long], Map[String, Long]) = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/r12_loaded_bench.json"))
+    val txt = try src.mkString finally src.close()
+    val entry = ("\"(q_[a-z0-9_]+)\":\\{\"budget\":(\\d+),\"mem_peak\":(\\d+)," +
+      "\"time\":([-0-9.]+),\"exec_run_ms\":(\\d+),\"gc_ms\":(\\d+)," +
+      "\"jobs\":(\\d+)\\}").r
+    val rows = entry.findAllMatchIn(txt).map { m =>
+      (m.group(1), m.group(2).toLong, m.group(3).toLong)
+    }.toSeq
+    assert(rows.size > 200, s"r12 fixture parse found only ${rows.size} rows")
+    (rows.map(r => r._1 -> r._2).toMap, rows.map(r => r._1 -> r._3).toMap)
+  }
+
+  test("r12 loaded run (second machine signature): no flags, floor stays " +
+    "near zero, and a planted regression is caught") {
+    val (budget, measured) = fixtureR12
+    val slack = 64L * 1024 * 1024
+    // the r12 driver run gated clean live; the replay must agree — and
+    // unlike r11, its contention floor is small (mild load), so the
+    // floor mechanism is exercised at BOTH ends of the load spectrum
+    val (floor, flags) = BenchGates.regressions(budget, measured, slack,
+      floored = true)
+    assert(flags.isEmpty, s"replay flagged: ${flags.map(_._1)}")
+    assert(floor < 16L * 1024 * 1024, s"unexpected large floor $floor")
+    // sensitivity intact on THIS signature too
+    val k = "q_t8_spearman"
+    val bumped = measured.updated(k, math.max(3 * measured(k), 512L << 20))
+    val (_, one) = BenchGates.regressions(budget, bumped, slack,
+      floored = true)
+    assert(one.map(_._1).contains(k))
+  }
+
+  test("K-wide simultaneous regression: floor suppressed without load " +
+    "evidence, every query flagged") {
+    val (budget, measured, _) = fixture
+    val slack = 64L * 1024 * 1024
+    // a shared-operator change inflates K queries' mem_peak 4x in an
+    // IDLE run (job latency at baseline → loadEvidence = false). The
+    // unconditional floor would absorb all but K-1 of them; the
+    // evidence-gated floor flags every one.
+    val victims = budget.filter(_._2 > 0).keys.take(6).toSeq
+    val idleish = budget.map { case (k, b) =>
+      k -> (if (victims.contains(k)) 4 * b + 2 * slack else b)
+    }
+    val (floor, flags) = BenchGates.regressions(budget, idleish, slack,
+      floored = true, loadEvidence = false)
+    assert(floor === 0L)
+    assert(victims.forall(v => flags.map(_._1).contains(v)),
+      s"missed: ${victims.filterNot(flags.map(_._1).contains)}")
+    // the same plant under an unconditionally-applied floor shows the
+    // blind spot the evidence gate closes: the floor eats into the
+    // uniform plant (K > contentionFloor's K-1 masking bound here, so
+    // some still flag — but the margin collapses)
+    val (floorU, _) = BenchGates.regressions(budget, idleish, slack,
+      floored = true, loadEvidence = true)
+    assert(floorU > 0L)
+  }
+
   test("idle run: floor vanishes, gate keeps full sensitivity") {
     val budget = (1 to 50).map(i => s"q_$i" -> 100L * 1024 * 1024).toMap
     val idle = budget.map { case (k, b) => k -> (b + 1024 * 1024) }
