@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
 import org.apache.spark.sql.functions.input_file_name
 import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{Path => HPath}
 
 /** Sources/sinks (SURVEY.md §2.1). CSV with declared schemas (S1/S2),
   * glob scans tagged with their originating file (S10), JSON results
@@ -102,37 +103,64 @@ object Io {
     * files after). */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    def parts(p: String) = walkTree(Paths.get(p))
-      .filter(f => f.getFileName.toString.startsWith("part-") &&
-        f.getFileName.toString.contains(".parquet"))
-    val tmp = path + ".compact.tmp"
-    val old = path + ".compact.old"
+    // Everything resolves through the path's Hadoop FileSystem, so the
+    // same code runs on file://, hdfs://, and object-store schemes (the
+    // GraftObjectStoreFs tests drive exactly this path). CAVEAT, object
+    // stores: rename there is copy+delete, so the two-rename swap below
+    // is NOT atomic — a reader racing the swap can see a missing or
+    // partially-copied table, and a crash mid-copy of the second rename
+    // can leave a partial table that the self-heal (which keys on the
+    // directory EXISTING) would keep. The self-heal covers the
+    // crash-BETWEEN-renames windows (tested with injected rename
+    // failures); full crash-DURING-rename safety needs an atomic commit
+    // primitive the store itself must supply — a transactional table
+    // format (Delta/Iceberg) or a versioned-directory-plus-pointer-file
+    // flip, which is the named production fix.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    def walk(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val st = fs.getFileStatus(p)
+        if (st.isFile) Seq(st)
+        else fs.listStatus(p).toSeq.flatMap(c => walk(c.getPath))
+      }
+    def parts(p: HPath) = walk(p).filter(st =>
+      st.getPath.getName.startsWith("part-") &&
+        st.getPath.getName.contains(".parquet"))
+    val tmp = new HPath(path + ".compact.tmp")
+    val old = new HPath(path + ".compact.old")
     // self-heal an interrupted previous swap before touching anything
-    if (Files.exists(Paths.get(old))) {
-      if (!Files.exists(Paths.get(path)))
-        Files.move(Paths.get(old), Paths.get(path)) // crashed mid-swap
-      else deleteRecursively(Paths.get(old)) // crashed before cleanup
+    if (fs.exists(old)) {
+      if (!fs.exists(root))
+        require(fs.rename(old, root), // crashed mid-swap
+          s"compactParquet self-heal: rename $old -> $root failed")
+      else fs.delete(old, true) // crashed before cleanup
     }
-    deleteRecursively(Paths.get(tmp))
+    fs.delete(tmp, true)
     // a hive-partitioned directory must be compacted per PARTITION — a
     // whole-table rewrite would fold the partition column into the data
     // files and silently destroy the pruning layout
-    val partDirs = listDir(Paths.get(path))
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    val partDirs =
+      (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
     require(partDirs.isEmpty,
-      s"$path is hive-partitioned (${partDirs.head.getFileName} …) — " +
+      s"$path is hive-partitioned (${partDirs.head.getPath.getName} …) — " +
         "compact each partition directory instead")
-    val before = parts(path)
+    val before = parts(root)
     require(before.nonEmpty, s"$path contains no parquet part files")
-    val totalBytes = before.map(Files.size).sum
+    val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(path).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // swap: the rename pair is the "commit"; a transactional table format
     // would make this atomic, the rewrite PLAN is identical
-    Files.move(Paths.get(path), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(path))
-    deleteRecursively(Paths.get(old))
-    (before.size, parts(path).size)
+    require(fs.rename(root, old),
+      s"compactParquet: rename $root -> $old failed")
+    require(fs.rename(tmp, root),
+      s"compactParquet: rename $tmp -> $root failed")
+    fs.delete(old, true)
+    (before.size, parts(root).size)
   }
 }

@@ -453,9 +453,13 @@ object StreamOps {
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val dir = new java.io.File(tablePath)
+        // resolve through the table path's Hadoop FileSystem — the sink
+        // must behave identically on file://, hdfs://, and object-store
+        // schemes (previously java.io.File, i.e. local-only semantics)
+        val root = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existing =
-          if (dir.exists) spark.read.parquet(tablePath)
+          if (fs.exists(root)) spark.read.parquet(tablePath)
           else batch.limit(0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieCol).desc)
@@ -463,14 +467,11 @@ object StreamOps {
           .unionByName(batch.select(existing.columns.map(col): _*))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val tmp = new java.io.File(tablePath + ".tmp")
-        merged.write.mode("overwrite").parquet(tmp.getPath)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(): Unit
-        }
-        if (dir.exists) rm(dir)
-        tmp.renameTo(dir): Unit
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(root, true)
+        require(fs.rename(tmp, root),
+          s"latestWinsSink: rename $tmp -> $root failed")
     }
 
   /** Append-mode parquet sink that maintains the [[graft.io.Layout]]

@@ -142,4 +142,87 @@ class IoSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("partition"))
   }
+
+  test("compactParquet on an object store: copy+delete renames, crash " +
+    "in either swap window, self-heal, rows never lost") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftobj.impl", classOf[GraftObjectStoreFs].getName)
+    GraftObjectStoreFs.settle()
+    val local = Files.createTempDirectory("graft_compact_obj")
+    val dir = "graftobj://" + local.toString + "/t"
+    (1 to 2000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+      .repartition(16).write.parquet(dir)
+    val expect = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // plain run: the whole protocol over copy+delete renames
+    val (b1, a1) = graft.io.Io.compactParquet(spark, dir,
+      targetBytes = 512L * 1024)
+    assert(b1 == 16 && a1 < b1)
+    assert(spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
+    // fragment again so a second compaction has work to do
+    spark.read.parquet(dir).repartition(16).write
+      .mode("overwrite").parquet(dir)
+    // crash after the copy of swap rename #1 (table -> .old): both the
+    // table and .old survive; the next run's self-heal drops .old and
+    // completes the compaction
+    GraftObjectStoreFs.failWhen = (_, dst) => dst.endsWith(".compact.old")
+    intercept[java.io.IOException] {
+      graft.io.Io.compactParquet(spark, dir, targetBytes = 512L * 1024)
+    }
+    GraftObjectStoreFs.settle()
+    val (_, a2) = graft.io.Io.compactParquet(spark, dir,
+      targetBytes = 512L * 1024)
+    assert(a2 < 16)
+    assert(spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
+    // crash after the copy of swap rename #2 (.tmp -> table): .old,
+    // .tmp, and the freshly-copied table all survive; self-heal cleans
+    // both stragglers and the data still reads back exactly. (The
+    // parquet task committers inside the rewrite also rename, all
+    // within .compact.tmp — the predicate targets only the swap whose
+    // SOURCE is the tmp root itself.)
+    spark.read.parquet(dir).repartition(16).write
+      .mode("overwrite").parquet(dir)
+    GraftObjectStoreFs.failWhen =
+      (src, dst) => src.endsWith(".compact.tmp") &&
+        !dst.contains(".compact.tmp")
+    intercept[java.io.IOException] {
+      graft.io.Io.compactParquet(spark, dir, targetBytes = 512L * 1024)
+    }
+    GraftObjectStoreFs.settle()
+    graft.io.Io.compactParquet(spark, dir, targetBytes = 512L * 1024)
+    assert(spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
+  }
+
+  test("compactParquet under listing-after-write delay DOCUMENTS the " +
+    "hazard: a listing-driven commit can miss invisible files") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftobj.impl", classOf[GraftObjectStoreFs].getName)
+    GraftObjectStoreFs.settle()
+    val local = Files.createTempDirectory("graft_compact_lag")
+    val dir = "graftobj://" + local.toString + "/t"
+    (1 to 500).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+      .repartition(8).write.parquet(dir)
+    // files written from here on are invisible to LISTINGS (point GETs
+    // still see them) until settle() — the S3-style consistency split.
+    // The rewrite's output files are then missed by the swap's
+    // copy-by-listing: this is WHY a production commit on such a store
+    // must enumerate from the writer's manifest (the Delta/Iceberg
+    // add-file discipline, cf. StreamOps.appendSinkWithStats) or use a
+    // pointer flip, never a directory listing.
+    GraftObjectStoreFs.hideNewFiles = true
+    val r = try Some(graft.io.Io.compactParquet(spark, dir,
+      targetBytes = 256L * 1024)) catch { case _: Throwable => None }
+    val visibleAfter = r.map(_._2)
+    GraftObjectStoreFs.settle()
+    // the documented failure shape: the protocol either aborted, or the
+    // swapped-in table is missing files the listing could not yet see
+    assert(r.isEmpty || visibleAfter.exists(_ < 8),
+      s"listing delay went unnoticed: $r — if the commit became " +
+        "listing-independent, update this documentation test")
+  }
 }
