@@ -56,24 +56,36 @@ object Split {
                            testFraction: Double, seed: Int = 42): DataFrame = {
     val withB = df
       .withColumn("__h", hashKey(col(keyCol), seed))
-      .withColumn("__b", conv(substring(col("__h"), 1, 4), 16, 10).cast("int"))
-    val wc = Window.partitionBy("__l").orderBy("__cb")
-    val cum = withB
-      .groupBy(col(labelCol).as("__l"), col("__b").as("__cb"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum("__c").over(wc))
-      .withColumn("__prev", col("__cum") - col("__c"))
-      .withColumn("__n", sum("__c").over(Window.partitionBy("__l")))
+      // coalesce marks the bucket non-nullable (md5/conv never return
+      // null here): otherwise the inner join's isnotnull pushdown lands
+      // in only ONE branch and defeats the exchange reuse below
+      .withColumn("__b", coalesce(
+        conv(substring(col("__h"), 1, 4), 16, 10).cast("int"), lit(0)))
+    // ONE pass up to the (label, bucket) exchange; both the offsets
+    // branch and the main branch hang off the SAME ranked frame, so
+    // Spark's ReuseExchange computes the expensive upstream (scan,
+    // parse, md5) once — the per-bucket counts are read back as
+    // max(in-bucket rank) from the shuffled data, not re-aggregated
+    // from source (measured: the separate histogram scan doubled the
+    // chain's small-scale wall).
     val wb = Window.partitionBy(col(labelCol), col("__b"))
       .orderBy(col("__h"), col(keyCol))
-    withB.join(broadcast(cum),
+    val ranked = withB.withColumn("__ib", row_number().over(wb))
+    val wc = Window.partitionBy("__l").orderBy("__cb")
+    val offsets = ranked
+      .groupBy(col(labelCol).as("__l"), col("__b").as("__cb"))
+      .agg(max("__ib").as("__c"))
+      .withColumn("__cum", sum("__c").over(wc))
+      .withColumn("__prev", (col("__cum") - col("__c")).cast("long"))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__l")))
+    ranked.join(broadcast(offsets),
         col(labelCol) <=> col("__l") && col("__b") === col("__cb"))
-      .withColumn("__rn", row_number().over(wb).cast("long") + col("__prev"))
+      .withColumn("__rn", col("__ib").cast("long") + col("__prev"))
       .withColumn("split",
         when(col("__rn") <= col("__n") * testFraction, "test")
           .otherwise("train"))
       .drop("__h", "__b", "__l", "__cb", "__c", "__cum", "__prev",
-        "__rn", "__n")
+        "__ib", "__rn", "__n")
   }
 
   /** M10 — deterministic modulo split (`i % k != holdout` → train).

@@ -138,6 +138,36 @@ class PlanSpec extends AnyFunSuite {
     assert(mainSorts >= 1, "expected the per-bucket sort")
   }
 
+  test("stratified holdout: bucketed rank, one scan (reused exchange), " +
+    "no label-only window") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables(spark, sfDir, "events")
+      .select(col("event_id"), (col("value") > 50).cast("int").as("label"))
+    // AQE off: exchange reuse is then a static physical-planning rule,
+    // so the plan shows it without executing (AQE reuses at runtime via
+    // its stage cache, which the printed plan does not surface)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.ml.Split.tagStratifiedHoldout(e, "event_id", "label", 0.2)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the offsets branch must NOT re-scan the source: both branches hang
+    // off one (label, bucket) exchange
+    assert(plan.contains("ReusedExchange"),
+      s"offsets branch re-computed the scan:\n${plan.take(3000)}")
+    // every window partitions by (label, bucket) or the tiny offsets
+    // keys — never by the label alone (a #labels-task funnel; measured
+    // 2 tasks x 5M-row sorts at sf10)
+    plan.split("\n").filter(_.contains("Window ")).foreach { l =>
+      assert(!(l.contains("partitionBy") && l.contains("label#") &&
+        !l.contains("__b") && !l.contains("__cb")),
+        s"label-only window partition:\n$l")
+    }
+    // exactly one scan of the events source
+    assert(plan.split("\n").count(_.contains("FileScan parquet")) == 1,
+      "expected a single source scan")
+  }
+
   test("cube expands grouping sets before the exchange (partial agg)") {
     val plan = SparkEntry.queries("q_a_cube")(spark, sfDir)
       .queryExecution.executedPlan.toString
