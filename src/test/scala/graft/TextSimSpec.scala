@@ -704,4 +704,56 @@ class TextSimSpec extends AnyFunSuite {
       s"length-only blocking should be quadratic on this corpus: $lSmall -> $lBig")
     small.unpersist(); big.unpersist()
   }
+
+  test("embed near-dup: LSH blocking recall is 1.0 vs BRUTE FORCE, and " +
+    "the fixture's organic cosines stay under the margin") {
+    // The r12 q_x_embed_neardup oracle replays the engine's own LSH
+    // blocking (the sf10-feasible discipline), so the oracle no longer
+    // verifies blocking recall INDEPENDENTLY — that proof lives here,
+    // at the scales where exhaustive comparison is tractable: the full
+    // O(n²) exact-cosine pair relation vs the blocked operator, plus
+    // the fixture margin the blocking's recall argument rests on
+    // (qualifying pairs are planted EXACT duplicates, which land in
+    // the same bucket of every hyperplane table by construction; a
+    // future fixture with ORGANIC near-dups above ~0.9 would void that
+    // argument, and this test is what catches it).
+    import graft.ops.Num.dsum12
+    import graft.queries.Fixtures
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e0 = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val u = Fixtures.assertNoAlias(e0, "vec_id").unionByName(
+        e0.select(Fixtures.shifted(col("vec_id")).as("vec_id"),
+          col("embedding")))
+      val n2 = u.select(col("vec_id"), explode(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double"))).as("p"))
+        .groupBy("vec_id").agg(dsum12(col("p")).as("n2"))
+      val brute = u.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .crossJoin(u.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), posexplode(zip_with(
+          col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double"))))
+        .groupBy("id_a", "id_b").agg(dsum12(col("col")).as("dot"))
+        .join(n2.select(col("vec_id").as("id_a"), col("n2").as("n2a")), Seq("id_a"))
+        .join(n2.select(col("vec_id").as("id_b"), col("n2").as("n2b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
+      val bruteQual = brute.filter(col("cosine") >= 0.999)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val blocked = Similarity.cosineNearDupPairsExact(u, threshold = 0.999)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == bruteQual,
+        s"$sf: blocking recall hole: missed ${bruteQual -- blocked}, " +
+          s"extra ${blocked -- bruteQual}")
+      assert(bruteQual.nonEmpty, s"$sf: fixture planted no qualifying pairs")
+      // organic margin: excluding the planted (id, id+Stride) pairs,
+      // cosines must stay far below the 0.999 threshold
+      val organicMax = brute
+        .filter(col("id_b") =!= col("id_a") + lit(Fixtures.Stride))
+        .agg(max("cosine")).head.getDouble(0)
+      assert(organicMax < 0.9,
+        s"$sf: organic cosine $organicMax erodes the recall margin — " +
+          "the blocked oracle's fixture argument no longer holds")
+    }
+  }
 }
