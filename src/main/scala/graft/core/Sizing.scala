@@ -147,4 +147,22 @@ object Sizing {
                         conf: Configuration = new Configuration()): Int =
     sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
       .getOrElse(partitionsForExpanded(expandedBytes(sfDir, conf), cores))
+
+  /** Scale-conditional read-parallelism repair (optimization-guide §2.5,
+    * "input skew — one huge unsplittable file"): a single-row-group
+    * parquet file is unsplittable no matter how small
+    * `maxPartitionBytes` goes, so a scan-rooted frame can carry 1-2
+    * partitions into a per-row-EXPENSIVE projection (shingling, minhash,
+    * codecs, model featurization) and serialize it on a many-core
+    * session. Repartition to the default parallelism ONLY when the frame
+    * has fewer partitions — at scale a table scan carries ≥ cores splits
+    * and this is the identity, so no payload shuffle is added where the
+    * data is big. Call it on narrow scan/checkpoint-rooted frames only:
+    * resolving `df.rdd` under AQE on a plan with exchanges would execute
+    * its query stages at plan time. */
+  def spread(df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }

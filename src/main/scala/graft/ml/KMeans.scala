@@ -81,6 +81,12 @@ object KMeans {
                         dims: Int, quant: Double): DataFrame =
     emb.select(col(idCol).as("vid"),
       quantize(col(vecCol), dims, quant).as("qa"))
+  // NOTE (r13 measurement): spreading/pinning the fit relation here was
+  // tried and REVERTED — at bench scale the embedding relations are
+  // ~800 KB and the 1-task Lloyd's passes are cheaper than the exchange
+  // + cache they'd buy (q_v_ivf_ann 0.85 → 2.41 s, q_v_pq_codes 0.62 →
+  // 1.94 s with the spread). The text operators keep spread because
+  // their per-row cost (shingling, minhash) dwarfs the exchange.
 
   /** Lloyd's iterations over (idCol, vecCol: array&lt;float&gt;).
     * @return (cluster, dim, centroid, n) — k·dims rows, ordered. */

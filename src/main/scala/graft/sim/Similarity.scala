@@ -624,10 +624,11 @@ object Similarity {
   def nearDupCandidates(df: DataFrame, nPlanes: Int = 12, nTables: Int = 4,
                         dim: Int = 64, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
-    val sigs = df.select(col(idCol), col(vecCol),
-      explode(array((0 until nTables).map(t => concat_ws(":", lit(t),
-        hyperplaneSignatureFast(col(vecCol), nPlanes, dim, seed = 77 + t))): _*))
-        .as("__bucket"))
+    val sigs = graft.core.Sizing.spread(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        explode(array((0 until nTables).map(t => concat_ws(":", lit(t),
+          hyperplaneSignatureFast(col(vecCol), nPlanes, dim, seed = 77 + t))): _*))
+          .as("__bucket"))
     val l = sigs.select(col("__bucket"), col(idCol).as("id_a"))
     val r = sigs.select(col("__bucket"), col(idCol).as("id_b"))
     // distinct ID pairs first; vectors join back once for the cosine check

@@ -502,7 +502,10 @@ object TextOps {
     // into every band-key expression and recomputes it per band (higher-
     // order functions are interpreted, with no cross-lambda CSE). The band
     // self-join then carries ONLY (band, id, sig) — never document text.
-    val sigs = df.select(col(idCol),
+    // spread BEFORE the signature projection: a single-row-group scan
+    // would otherwise compute every shingle+hash on 1-2 tasks (§2.5)
+    val sigs = graft.core.Sizing.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
         minhashSignatureFast(col(textCol), numHashes, shingleN).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), col("__sig"),
@@ -527,7 +530,10 @@ object TextOps {
     // shuffle-join form moved every text twice). If a corpus's survivor
     // set ever outgrows broadcast (≈ most docs near-dup of something),
     // the pipeline upstream is wrong before this join is.
-    val a = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    // spread the verify side too: the exact-jaccard projection runs on
+    // `a`'s (scan) partitioning after the broadcast joins (§2.5)
+    val a = graft.core.Sizing.spread(
+      df.select(col(idCol).as("id_a"), col(textCol).as("text_a")))
     val b = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
     a.join(broadcast(candidates), Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
@@ -550,8 +556,9 @@ object TextOps {
                             shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     def banded(df: DataFrame, as: String) = {
-      val sigs = df.select(col(idCol).as(as),
-        minhashSignatureFast(col(textCol), numHashes, shingleN).as(s"__sig"))
+      val sigs = graft.core.Sizing.spread(df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as(as),
+          minhashSignatureFast(col(textCol), numHashes, shingleN).as(s"__sig"))
       sigs.select(col(as), col("__sig"),
         explode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as("__band"))
     }
@@ -627,8 +634,10 @@ object TextOps {
                           bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     val chunk = bits / bands
     val mask = (1L << chunk) - 1
-    // persist: the fingerprint relation feeds both sides of the self-join
-    val sigs = df.select(col(idCol), simhashFast(col(textCol), bits).as("__sh"))
+    // persist: the fingerprint relation feeds both sides of the self-join;
+    // spread first — single-row-group scans serialize the hash pass (§2.5)
+    val sigs = graft.core.Sizing.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), simhashFast(col(textCol), bits).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), col("__sh"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -718,7 +727,7 @@ object TextOps {
     // One native tokenizer pass per row (the HOF form re-evaluates the
     // regex split inside every lambda element — measured 20× slower);
     // md5 runs codegen'd on the exploded gram rows, once per gram.
-    val g = df
+    val g = graft.core.Sizing.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"),
         explode(distinctShinglesFast(col(textCol), k)).as("sh"))
       .select(col("id"), md5(col("sh")).as("gram"))
@@ -819,7 +828,9 @@ object TextOps {
       (if (composed)
         Seq(minhashSignatureFast(col(textCol), minhashSigs, shingleN).as("__sig"))
       else Nil)
-    val norm = df.select(normCols: _*)
+    val norm = graft.core.Sizing.spread(
+        df.select((blockCols.map(col) :+ col(idCol) :+ col(textCol)).distinct: _*))
+      .select(normCols: _*)
       .withColumn("len", length(col("norm")))
       .withColumn("hist", charHist(col("norm")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
