@@ -162,4 +162,114 @@ object KMeans {
     assignedTo(grid.select(col(idCol).as("vid"), col(gridCol).as("qa")),
       centroids)
       .select(col("vid").as(idCol), col("cluster"))
+
+  // ---------------------------------------------------------------------
+  // Batched multi-subspace Lloyd's — the PQ family's fit shape.
+  //
+  // The 8 per-subspace codebook fits of a product quantizer are
+  // independent, but running them as 8 separate job chains costs 8 seed
+  // TakeOrdereds + 8 update aggregates per iteration + 8 assignment
+  // passes over the SAME relation (r13 measurement: q_v_pqr_ann spent
+  // 77 task-seconds on a 2 000-row corpus — all per-stage fixed cost,
+  // 8 concurrent fits × tiny tasks contending on the codegen cache).
+  // Every step is subspace-keyed, so one pass carries all subspaces:
+  //   - the seed ordering (md5(vid), vid) never depended on the
+  //     subspace — ONE TakeOrdered yields every subspace's seed rows;
+  //   - the update is ONE aggregate keyed (subspace, cluster, dim) over
+  //     posexplode of the full grid — identical per-key sums;
+  //   - assignment is ONE projection of `subspaces` NearestCentroid
+  //     expressions over their slices.
+  // Per-subspace arithmetic is bit-identical to fitGrid on each slice
+  // (the r7/r6 oracle replays and TextSimSpec pin it).
+  // ---------------------------------------------------------------------
+
+  /** One NearestCentroid expression per subspace over its slice of the
+    * full-dim grid column — the batched assignment vector. */
+  private def subClusters(qa: Column,
+                          cents: IndexedSeq[Seq[(Int, Seq[Long])]],
+                          subDims: Int): Column =
+    array(cents.zipWithIndex.map { case (cs, s) =>
+      require(cs.map(_._1) == (1 to cs.size),
+        "centroid ids must be 1..k in order")
+      graft.expressions.NearestCentroid.assign(
+        slice(qa, s * subDims + 1, subDims), cs.map(_._2))
+    }: _*)
+
+  /** One update aggregate for every subspace: (subspace, cluster, dim,
+    * sq, n, cq) with dim the offset WITHIN the subspace — the same sums
+    * `updatedFrom` computes per subspace, keyed by subspace. */
+  private def batchUpdatedFrom(grid: DataFrame,
+                               cents: IndexedSeq[Seq[(Int, Seq[Long])]],
+                               subDims: Int): DataFrame =
+    grid.withColumn("__c", subClusters(col("qa"), cents, subDims))
+      .select(col("__c"), posexplode(col("qa")).as(Seq("d", "q")))
+      .select(floor(col("d") / subDims).cast("int").as("subspace"),
+        element_at(col("__c"),
+          floor(col("d") / subDims).cast("int") + 1).as("cluster"),
+        (col("d") % subDims).cast("int").as("dim"), col("q"))
+      .groupBy("subspace", "cluster", "dim")
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("cq", expr("sq div n"))
+
+  /** Fit all `subspaces` per-subspace codebooks over contiguous
+    * `subDims`-wide slices of `gridCol` in one chain of distributed
+    * passes. Fixpoints are identical to [[fitGrid]] on each slice.
+    * @return fitted centroids indexed by subspace. */
+  def fitGridBatch(grid: DataFrame, idCol: String, gridCol: String,
+                   k: Int, iters: Int, subspaces: Int, subDims: Int)
+      : IndexedSeq[Seq[(Int, Seq[Long])]] = {
+    require(iters >= 1 && k >= 1 && subspaces >= 1)
+    val g = grid.select(col(idCol).as("vid"), col(gridCol).as("qa"))
+    val seeds = g.orderBy(md5(col("vid").cast("string")), col("vid"))
+      .limit(k).collect()
+    var cents: IndexedSeq[Seq[(Int, Seq[Long])]] =
+      (0 until subspaces).map { s =>
+        seeds.toSeq.zipWithIndex.map { case (r, i) =>
+          (i + 1, r.getSeq[Long](1).slice(s * subDims, (s + 1) * subDims))
+        }
+      }
+    for (_ <- 1 until iters) {
+      val upd = batchUpdatedFrom(g, cents, subDims).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(5))
+        .toMap
+      cents = cents.zipWithIndex.map { case (cs, s) =>
+        cs.map { case (cid, arr) =>
+          (cid, arr.indices.map(i => upd.getOrElse((s, cid, i), arr(i))))
+        }
+      }
+    }
+    cents
+  }
+
+  /** Batched [[assignGridUnder]]: every subspace's code in one
+    * projection. @return (idCol, subspace, cluster). */
+  def assignGridBatch(grid: DataFrame, idCol: String, gridCol: String,
+                      cents: IndexedSeq[Seq[(Int, Seq[Long])]],
+                      subDims: Int): DataFrame =
+    grid.select(col(idCol),
+      posexplode(subClusters(col(gridCol), cents, subDims))
+        .as(Seq("subspace", "cluster")))
+
+  /** Batched final-round codebook relation (the [[kmeansQuantized]] tail
+    * for every subspace at once): (subspace, cluster, dim, cq, n) in GRID
+    * units, empty clusters keeping their previous centroid with n = 0. */
+  def kmeansGridBatch(grid: DataFrame, idCol: String, gridCol: String,
+                      k: Int, iters: Int, subspaces: Int, subDims: Int)
+      : DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val cents = fitGridBatch(grid, idCol, gridCol, k, iters, subspaces,
+      subDims)
+    val g = grid.select(col(idCol).as("vid"), col(gridCol).as("qa"))
+    val prev = cents.zipWithIndex.flatMap { case (cs, s) =>
+      cs.flatMap { case (cid, arr) =>
+        arr.indices.map(i => (s, cid, i, arr(i)))
+      }
+    }.toDF("subspace", "cluster", "dim", "prev_cq")
+    prev.join(batchUpdatedFrom(g, cents, subDims),
+        Seq("subspace", "cluster", "dim"), "left")
+      .select(col("subspace"), col("cluster"), col("dim"),
+        coalesce(col("cq"), col("prev_cq")).as("cq"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

@@ -228,21 +228,12 @@ object Similarity {
     * step is integer-exact, so the code assignment is bit-reproducible in
     * SQL (same Lloyd's replayed per block).
     * @return (idCol, subspace, code) — long form, one row per block. */
-  /** Run one independent task per subspace CONCURRENTLY: each per-subspace
-    * Lloyd's fit is a short chain of driver-coordinated Spark jobs (seed
-    * TakeOrdered + one update aggregation per iteration), and the jobs of
-    * different subspaces have no dependency — submitting them from
-    * parallel driver threads lets the scheduler overlap them instead of
-    * serializing 8 × jobs-per-fit rounds of latency. Results are
-    * deterministic regardless (each fit is a pure function of its own
-    * subspace's data). */
-  private def perSubspace[T](subspaces: Int)(f: Int => T): Seq[T] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.traverse((0 until subspaces).toList)(s => Future(f(s))),
-      Duration.Inf)
-  }
+  // (r13) The former perSubspace concurrent-fit helper is gone: 8
+  // thread-parallel per-subspace Lloyd's chains still paid 8× the
+  // jobs/stages/codegen-units of one chain, and the tiny concurrent
+  // tasks contended on the shared codegen cache (q_v_pqr_ann burned 77
+  // task-seconds on a 2 000-row corpus). KMeans.fitGridBatch runs every
+  // subspace inside ONE pass per fit step instead.
 
   def pqCodes(df: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding", dims: Int = 64,
@@ -250,13 +241,15 @@ object Similarity {
               iters: Int = 2): DataFrame = {
     require(dims % subspaces == 0, "dims must divide into equal subspaces")
     val subDims = dims / subspaces
-    perSubspace(subspaces) { s =>
-      val sub = df.select(col(idCol),
-        slice(col(vecCol), s * subDims + 1, subDims).as("__sub"))
-      graft.ml.KMeans
-        .assignQuantized(sub, idCol, "__sub", codewords, subDims, iters)
-        .select(col(idCol), lit(s).as("subspace"), col("cluster").as("code"))
-    }.reduce(_ unionByName _)
+    // batched: quantize(slice) ≡ slice(quantize) elementwise, so one
+    // full-dim grid feeds every subspace's fit and assignment in one
+    // chain of passes (KMeans.fitGridBatch doc) — identical codes
+    val qfull = df.select(col(idCol),
+      graft.ml.KMeans.quantize(col(vecCol), dims, 1e6).as("__qa"))
+    val fits = graft.ml.KMeans.fitGridBatch(qfull, idCol, "__qa",
+      codewords, iters, subspaces, subDims)
+    graft.ml.KMeans.assignGridBatch(qfull, idCol, "__qa", fits, subDims)
+      .select(col(idCol), col("subspace"), col("cluster").as("code"))
   }
 
   /** The matching per-subspace codebooks: (subspace, code, dim, centroid,
@@ -268,14 +261,15 @@ object Similarity {
                   iters: Int = 2): DataFrame = {
     require(dims % subspaces == 0, "dims must divide into equal subspaces")
     val subDims = dims / subspaces
-    perSubspace(subspaces) { s =>
-      val sub = df.select(col(idCol),
-        slice(col(vecCol), s * subDims + 1, subDims).as("__sub"))
-      graft.ml.KMeans
-        .kmeansQuantized(sub, idCol, "__sub", codewords, subDims, iters)
-        .select(lit(s).as("subspace"), col("cluster").as("code"),
-          col("dim"), col("centroid"), col("n"))
-    }.reduce(_ unionByName _)
+    // batched final-round relation for every subspace at once; same
+    // per-slice arithmetic (and the same empty-cluster keep) as the
+    // per-subspace kmeansQuantized it replaces
+    val qfull = df.select(col(idCol),
+      graft.ml.KMeans.quantize(col(vecCol), dims, 1e6).as("__qa"))
+    graft.ml.KMeans.kmeansGridBatch(qfull, idCol, "__qa", codewords,
+        iters, subspaces, subDims)
+      .select(col("subspace"), col("cluster").as("code"), col("dim"),
+        (col("cq").cast("double") / 1e6).as("centroid"), col("n"))
   }
 
   /** End-to-end IVF-PQ ADC search (Jégou et al. 2011 — the FAISS-style
@@ -314,22 +308,21 @@ object Similarity {
     import spark.implicits._
     val (centroids, assigned) = ivfIndex(corpus, nCentroids, idCol, vecCol)
     val cands = ivfCandidates(assigned, centroids, queries, nProbe, idCol, vecCol)
-    // one fit per subspace, all 8 submitted concurrently; codes AND lookup
+    // ONE batched fit covers all subspaces (KMeans.fitGridBatch: one seed
+    // TakeOrdered + one update aggregate per iteration + one assignment
+    // projection — identical per-slice fixpoints); codes AND lookup
     // tables derive from the SAME centroids (a refit would be
     // deterministic-identical but 2× the cost)
-    val fits = perSubspace(subspaces) { s =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol), s * subDims + 1, subDims).as("__sub"))
-      (s, sub, graft.ml.KMeans
-        .fitQuantized(sub, idCol, "__sub", codewords, subDims, iters, quant))
-    }
-    val codes = fits.map { case (s, sub, cents) =>
-      graft.ml.KMeans.assignUnder(sub, idCol, "__sub", subDims, cents, quant)
-        .select(col(idCol).as("neighbor_id"), lit(s).as("subspace"),
-          col("cluster").as("code"))
-    }.reduce(_ unionByName _)
+    val qfull = corpus.select(col(idCol),
+      graft.ml.KMeans.quantize(col(vecCol), dims, quant).as("__qa"))
+    val fits = graft.ml.KMeans.fitGridBatch(qfull, idCol, "__qa",
+      codewords, iters, subspaces, subDims)
+    val codes = graft.ml.KMeans.assignGridBatch(qfull, idCol, "__qa",
+        fits, subDims)
+      .select(col(idCol).as("neighbor_id"), col("subspace"),
+        col("cluster").as("code"))
     // codebook grid (subspaces·codewords·subDims fitted integers — tiny)
-    val cb = fits.flatMap { case (s, _, cents) =>
+    val cb = fits.zipWithIndex.flatMap { case (cents, s) =>
       cents.flatMap { case (cid, arr) =>
         arr.indices.map(d => (s, cid, d, arr(d)))
       }
@@ -397,31 +390,25 @@ object Similarity {
       graft.ml.KMeans.quantize(col("centroid"), dims, quant).as("cg"))
     // residual grid per corpus vector (one broadcast join on the
     // nCentroids-row grid — rides the assignment relation, no extra scan).
-    // PERSISTED: every per-subspace Lloyd's collect would otherwise
-    // re-run the upstream IVF assignment (crossJoin + heap argmax) —
-    // 8 subspaces × (seed + updates + final assign) recomputations
-    // (measured 3.8 → ~1.5 s at sf0.1). Freed by the caller's
-    // Leaks.sweep, the catalog-wide cache discipline.
+    // PERSISTED: the batched fit's seed/update/assign passes would
+    // otherwise each re-run the upstream IVF assignment (crossJoin +
+    // heap argmax). Freed by the caller's Leaks.sweep, the catalog-wide
+    // cache discipline.
     val resid = assigned.select(col(idCol), col("centroid_id"),
         graft.ml.KMeans.quantize(col(vecCol), dims, quant).as("qx"))
       .join(broadcast(cgrid), Seq("centroid_id"))
       .select(col(idCol), col("centroid_id"),
         zip_with(col("qx"), col("cg"), (a, b) => a - b).as("rq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize BEFORE the concurrent fits: racing threads would each
-    // recompute the un-built cache instead of sharing it
+    // materialize before the fit chain so every pass reads the cache
     resid.count()
-    val fits = perSubspace(subspaces) { s =>
-      val sub = resid.select(col(idCol),
-        slice(col("rq"), s * subDims + 1, subDims).as("__sub"))
-      (s, sub, graft.ml.KMeans.fitGrid(sub, idCol, "__sub", codewords, iters))
-    }
-    val codes = fits.map { case (s, sub, cents) =>
-      graft.ml.KMeans.assignGridUnder(sub, idCol, "__sub", cents)
-        .select(col(idCol).as("neighbor_id"), lit(s).as("subspace"),
-          col("cluster").as("code"))
-    }.reduce(_ unionByName _)
-    val rcb = fits.flatMap { case (s, _, cents) =>
+    val fits = graft.ml.KMeans.fitGridBatch(resid, idCol, "rq",
+      codewords, iters, subspaces, subDims)
+    val codes = graft.ml.KMeans.assignGridBatch(resid, idCol, "rq",
+        fits, subDims)
+      .select(col(idCol).as("neighbor_id"), col("subspace"),
+        col("cluster").as("code"))
+    val rcb = fits.zipWithIndex.flatMap { case (cents, s) =>
       cents.flatMap { case (cid, arr) =>
         arr.indices.map(d => (s, cid, d, arr(d)))
       }
