@@ -71,9 +71,13 @@ object Scratch {
         val i = s.stageInfo
         val wall = (i.completionTime.getOrElse(0L) -
           i.submissionTime.getOrElse(0L)) / 1000.0
-        if (wall > 0.5)
+        val m = i.taskMetrics
+        if (wall > 0.05)
           stages.add(f"    stage ${i.stageId}%4d $wall%7.2f s " +
-            f"tasks=${i.numTasks}%4d ${i.name.take(60)}")
+            f"tasks=${i.numTasks}%4d run=${m.executorRunTime / 1000.0}%6.2f " +
+            f"cpu=${m.executorCpuTime / 1e9}%6.2f " +
+            f"deser=${m.executorDeserializeTime / 1000.0}%6.2f " +
+            f"gc=${m.jvmGCTime / 1000.0}%5.2f ${i.name.take(40)}")
       }
     })
     // warmup, mirroring Bench

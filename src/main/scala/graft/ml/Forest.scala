@@ -215,6 +215,9 @@ object Forest {
       scala.collection.mutable.ArrayBuffer.empty[HistTree.Split])
     val stats = Array.fill(nFolds, nTrees)(
       scala.collection.mutable.Map.empty[Int, (Long, Long)])
+    var lastCounts: Array[((Int, Int), Int, Int, Int, Int, Long)] =
+      Array.empty
+    var lastBest = Map.empty[((Int, Int), Int), HistTree.Split]
     for (_ <- 0 until depth) {
       // ONE distributed pass per level for every (fold, tree)
       val counts = histSrc(cur)
@@ -227,7 +230,10 @@ object Forest {
         .map(r => (r.getAs[Int]("cvf"), r.getAs[Int]("tree"),
           r.getAs[Int]("node"), r.getAs[Int]("f"), r.getAs[Int]("b"),
           r.getAs[Int]("y"), r.getAs[Long]("cnt")))
+      lastCounts = counts.map { case (cvf, t, n, ff, bb, y, c) =>
+        ((cvf, t), n, ff, bb, y, c) }
       var lvl: Column = col("node")
+      val bestAcc = Map.newBuilder[((Int, Int), Int), HistTree.Split]
       for (f <- 0 until nFolds; t <- 0 until nTrees) {
         val mine = counts.collect {
           case (`f`, `t`, n, ff, bb, y, c) => (n, ff, bb, y, c) }
@@ -243,6 +249,7 @@ object Forest {
           (node, feat) => allowedFeatures(seed, t, node, d, mtry)(feat))
         splits(f)(t) ++= best
         best.foreach { s =>
+          bestAcc += (((f, t), s.node) -> s)
           lvl = when(col("cvf") === f && col("tree") === t &&
               col("node") === s.node,
             when(element_at(col("b"), s.feature + 1) <= s.bin,
@@ -250,15 +257,27 @@ object Forest {
             .otherwise(lvl)
         }
       }
+      lastBest = bestAcc.result()
       cur = cur.withColumn("node", lvl)
     }
     // weighted leaf majorities per (fold, tree, node), ties to smallest
-    // label
-    val leafCounts = cur
-      .groupBy("cvf", "tree", "node", "y").agg(sum(col("w")).as("c"))
-      .collect()
-      .map(r => (r.getAs[Int]("cvf"), r.getAs[Int]("tree"),
-        r.getAs[Int]("node"), r.getAs[Int]("y"), r.getAs[Long]("c")))
+    // label. Full-data split selection: the terminal counts are exact
+    // cumulative sums of the LAST level's histogram on each node's
+    // chosen split (HistTree.deriveLeafCounts) — the dedicated final
+    // assignment pass over `melted` is rework, and it was the fit's
+    // single biggest pass (the d-wide explode rides every level's
+    // histogram anyway). Subsampled route keeps the pass: its histogram
+    // covers only the subsample, leaf majorities must use full weights.
+    val leafCounts: Array[(Int, Int, Int, Int, Long)] =
+      if (!needSub)
+        HistTree.deriveLeafCounts[(Int, Int)](lastCounts,
+          lastBest.map { case (k, s) => k -> (s.feature, s.bin) })
+          .map { case ((cvf, t), node, y, c) => (cvf, t, node, y, c) }
+      else cur
+        .groupBy("cvf", "tree", "node", "y").agg(sum(col("w")).as("c"))
+        .collect()
+        .map(r => (r.getAs[Int]("cvf"), r.getAs[Int]("tree"),
+          r.getAs[Int]("node"), r.getAs[Int]("y"), r.getAs[Long]("c")))
     (0 until nFolds).map { f =>
       val trees = (0 until nTrees).map { t =>
         val leaves = leafCounts.collect { case (`f`, `t`, n, y, c) => (n, y, c) }

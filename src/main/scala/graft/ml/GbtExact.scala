@@ -50,24 +50,26 @@ object HistGbtR {
   case class GModel(f0: Long, splits: Seq[GSplit],
                     leaves: IndexedSeq[Map[Int, Long]],
                     mins: Array[Long], maxs: Array[Long], bins: Int) {
-    /** Leaf node of round `t`'s tree for a row (CASE cascade). */
-    private def leafExpr(arrCol: String, t: Int): Column = {
-      val tm = HistTree.TreeModel(
-        splits.filter(_.round == t).map(s =>
-          HistTree.Split(s.node, s.feature, s.bin, s.nLeft, s.nRight,
-            s.score)),
-        Map.empty, mins, maxs, bins)
-      tm.leafExpr(arrCol)
-    }
-    /** Integer prediction Σ leaf values + F₀ (codegen'd; a leaf no
-      * train row reached contributes 0 — cannot happen in-sample). */
-    def predictExpr(arrCol: String): Column =
+    /** Integer prediction Σ leaf values + F₀: ONE native descent through
+      * all rounds' trees ([[graft.expressions.TreeLeafDescend]] — the
+      * per-round leaf-CASE cascade it replaced re-inlined every path
+      * condition per leaf per round), then a literal-map lookup per
+      * round (a leaf no train row reached contributes 0 — cannot happen
+      * in-sample). */
+    def predictExpr(arrCol: String): Column = {
+      val specs = (1 to leaves.size).map { t =>
+        graft.expressions.TreeLeafDescend.Spec(
+          splits.collect { case s if s.round == t =>
+            (s.node, s.feature, s.bin) }.toIndexedSeq,
+          mins.toIndexedSeq, maxs.toIndexedSeq, bins)
+      }
+      val la = graft.expressions.TreeLeafDescend.leaves(col(arrCol), specs)
       leaves.zipWithIndex.foldLeft(lit(f0): Column) { case (acc, (lv, t)) =>
         // leaves(t) is ROUND t+1's tree (GSplit.round is 1-based)
-        acc + lv.foldLeft(lit(0L): Column) { case (a, (node, v)) =>
-          when(leafExpr(arrCol, t + 1) === node, lit(v)).otherwise(a)
-        }
+        acc + coalesce(element_at(typedlit(lv), element_at(la, t + 1)),
+          lit(0L))
       }
+    }
   }
 
   /** Fit `rounds` depth-`depth` trees. Returns the model plus the
@@ -88,10 +90,19 @@ object HistGbtR {
           lrDen: Int = 2, keyCol: Option[String] = None,
           sampleCap: Long = 200000): (GModel, Seq[(Int, Long, Long)]) = {
     def el(i: Int): Column = element_at(col(arrCol), i + 1).cast("double")
+    // ONE stats pass: feature min/max + label count/sum/min/max/Σy² —
+    // sse0 and round-1's max|r| guard derive from these exactly
+    // (sse0 = Σy² − 2·F₀·Σy + n·F₀², max|y−F₀| = max(maxY−F₀, F₀−minY)),
+    // so their former dedicated jobs are gone (r13: each driver
+    // round-trip cost ~0.1 s of planning+scheduling at bench scale).
     val mmAggs = (0 until d).flatMap(i =>
       Seq(min(el(i).cast("long")).as(s"mn_$i"),
         max(el(i).cast("long")).as(s"mx_$i"))) ++
-      Seq(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("sy"))
+      Seq(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("sy"),
+        min(col(labelCol).cast("long")).as("mny"),
+        max(col(labelCol).cast("long")).as("mxy"),
+        sum(col(labelCol).cast("decimal(19,0)") *
+          col(labelCol).cast("decimal(19,0)")).as("syy"))
     val mmr = df.agg(mmAggs.head, mmAggs.tail: _*).head()
     val mins = Array.tabulate(d)(i => mmr.getAs[Long](s"mn_$i"))
     val maxs = Array.tabulate(d)(i => mmr.getAs[Long](s"mx_$i"))
@@ -115,16 +126,23 @@ object HistGbtR {
     val splits = scala.collection.mutable.ArrayBuffer.empty[GSplit]
     val leaves = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Long]]
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    val sse0 = cur.agg(sum(col("r") * col("r")).as("s")).head().getAs[Long]("s")
+    // sse0 = Σ(y−F₀)² from the stats pass, exact in BigInt
+    val sy = BigInt(mmr.getAs[Long]("sy"))
+    val sse0 = (BigInt(mmr.getAs[java.math.BigDecimal]("syy").toBigInteger)
+      - 2 * f0 * sy + BigInt(n) * f0 * f0).toLong
     curve += ((0, sse0, 1L))
+    // round-1 guard bound, also from the stats pass
+    var maxr = math.max(mmr.getAs[Long]("mxy") - f0,
+      f0 - mmr.getAs[Long]("mny"))
 
     for (t <- 1 to rounds) {
       // exactness guard: ranking doubles must stay exact — the score
       // numerator is bounded by (n_hist·max|r|)²·n_hist over the rows the
       // HISTOGRAM actually reads, which must be < 2^53 (refuse, don't
       // drift). max|r| is taken over full data (⊇ the subsample), so the
-      // bound is conservative for the subsampled route.
-      val maxr = cur.agg(max(abs(col("r"))).as("m")).head().getAs[Long]("m")
+      // bound is conservative for the subsampled route. Round 1's bound
+      // comes from the stats pass; later rounds derive it from the
+      // previous round's leaf min/max (max|r−v| = max(maxR−v, v−minR)).
       require((BigInt(nHist) * maxr).pow(2) * nHist < BigInt(1L << 53),
         s"HistGbtR: round-$t score operands exceed the 2^53-exact range " +
           s"(n_hist=$nHist, max|r|=$maxr) — shrink the target scale, or " +
@@ -149,30 +167,41 @@ object HistGbtR {
         }
         lvl = lvl.withColumn("node", nodeCol)
       }
-      // leaf stats: Σr, count, Σr² per terminal — leaf value, residual
-      // update, and the post-round SSE all come from this ONE pass
+      // leaf stats: Σr, count, Σr², min/max r per terminal — leaf value,
+      // residual update, the post-round SSE, AND the next round's
+      // max|r−v| guard all come from this ONE pass
       // (sse_after = Σ_leaf (Σr² − 2vΣr + c·v²), exact integers)
       val leafStats = lvl.groupBy("node")
         .agg(sum(col("r")).as("s"), count(lit(1)).as("c"),
-          sum(col("r") * col("r")).as("s2"))
+          sum(col("r") * col("r")).as("s2"),
+          min(col("r")).as("mn"), max(col("r")).as("mx"))
         .collect()
         .map(rr => (rr.getAs[Int]("node"), rr.getAs[Long]("s"),
-          rr.getAs[Long]("c"), rr.getAs[Long]("s2")))
-      val lv = leafStats.map { case (node, s, c, _) =>
+          rr.getAs[Long]("c"), rr.getAs[Long]("s2"),
+          rr.getAs[Long]("mn"), rr.getAs[Long]("mx")))
+      val lv = leafStats.map { case (node, s, c, _, _, _) =>
         node -> Math.floorDiv(s, lrDen * c)
       }.toMap
       leaves += lv
-      val sse = leafStats.map { case (node, s, c, s2) =>
+      val sse = leafStats.map { case (node, s, c, s2, _, _) =>
         val v = lv(node)
         s2 - 2 * v * s + c * v * v
       }.sum
       curve += ((t, sse, leafStats.length.toLong))
-      val vCol = lv.foldLeft(lit(0L): Column) { case (acc, (node, v)) =>
-        when(col("node") === node, lit(v)).otherwise(acc)
+      maxr = leafStats.map { case (node, _, _, _, mn, mx) =>
+        val v = lv(node)
+        math.max(mx - v, v - mn)
+      }.max
+      // the residual update feeds the NEXT round's histogram — the last
+      // round's update is dead, so skip its pass entirely
+      if (t < rounds) {
+        val vCol = lv.foldLeft(lit(0L): Column) { case (acc, (node, v)) =>
+          when(col("node") === node, lit(v)).otherwise(acc)
+        }
+        cur = lvl.select(Seq((col("r") - vCol).as("r"), col("b")) ++
+            (if (needSub) Seq(col("insub")) else Nil): _*)
+          .localCheckpoint(true)
       }
-      cur = lvl.select(Seq((col("r") - vCol).as("r"), col("b")) ++
-          (if (needSub) Seq(col("insub")) else Nil): _*)
-        .localCheckpoint(true)
     }
     (GModel(f0, splits.toSeq, leaves.toIndexedSeq, mins, maxs, bins),
       curve.toSeq)

@@ -56,51 +56,27 @@ object HistTree {
 
   case class TreeModel(splits: Seq[Split], leaves: Map[Int, Int],
                        mins: Array[Long], maxs: Array[Long], bins: Int) {
-    /** Terminal nodes by tree STRUCTURE (reachable, not split) — a
-      * scoring row can land on a terminal no training row reached, so
-      * this must not be derived from `leaves`. */
-    private def terminalNodes: Seq[Int] = {
-      val sm = splits.map(_.node).toSet
-      def desc(n: Int): Seq[Int] =
-        if (sm(n)) desc(2 * n + 1) ++ desc(2 * n + 2) else Seq(n)
-      desc(0)
-    }
-    /** Root-to-node path predicate. Matches the level-wise descent
-      * semantics exactly: left iff (bin ≤ split) IS TRUE, right
-      * otherwise (false OR null). Flat — each split condition appears
-      * once per path, so plan size is O(terminals · depth), not
-      * exponential in depth like a nested reassignment cascade. */
-    private def pathCond(b: IndexedSeq[Column], node: Int): Column = {
-      val sm = splits.map(s => s.node -> s).toMap
-      var n = node
-      var conds = List.empty[Column]
-      while (n > 0) {
-        val p = (n - 1) / 2
-        val s = sm(p)
-        val c = (b(s.feature) <= s.bin) <=> lit(true)
-        conds ::= (if (n == 2 * p + 1) c else !c)
-        n = p
-      }
-      conds.reduceOption(_ && _).getOrElse(lit(true))
-    }
-    /** Leaf id for a row, as a codegen'd CASE over complete root-to-leaf
-      * paths (exhaustive and mutually exclusive by construction). */
-    def leafExpr(arrCol: String): Column = {
-      val b = binExprs(arrCol, mins, maxs, bins)
-      terminalNodes.foldLeft(lit(null).cast("int")) { (acc, n) =>
-        when(pathCond(b, n), lit(n)).otherwise(acc)
-      }
-    }
+    /** The fitted split/grid tables as one native-descent spec — the
+      * whole tree is ONE catalyst node
+      * ([[graft.expressions.TreeLeafDescend]]; bit-identical to the
+      * per-terminal path-CASE cascade it replaced, which made every
+      * analyzer/optimizer pass traverse terminals × depth × binExpr
+      * nodes). */
+    private[ml] def descendSpec: graft.expressions.TreeLeafDescend.Spec =
+      graft.expressions.TreeLeafDescend.Spec(
+        splits.map(s => (s.node, s.feature, s.bin)).toIndexedSeq,
+        mins.toIndexedSeq, maxs.toIndexedSeq, bins)
+    /** Leaf id for a row (native descent; never null — every row lands
+      * on exactly one terminal). */
+    def leafExpr(arrCol: String): Column =
+      element_at(graft.expressions.TreeLeafDescend
+        .leaves(col(arrCol), Seq(descendSpec)), 1)
     /** Majority-class prediction (ties to the smallest label); null on
-      * terminals no training row reached (abstain). */
-    def predictExpr(arrCol: String): Column = {
-      val b = binExprs(arrCol, mins, maxs, bins)
-      terminalNodes.foldLeft(lit(null).cast("int")) { (acc, n) =>
-        when(pathCond(b, n),
-          leaves.get(n).map(l => lit(l).cast("int"))
-            .getOrElse(lit(null).cast("int"))).otherwise(acc)
-      }
-    }
+      * terminals no training row reached (abstain — the literal-map
+      * lookup misses). */
+    def predictExpr(arrCol: String): Column =
+      if (leaves.isEmpty) lit(null).cast("int")
+      else element_at(typedlit(leaves), leafExpr(arrCol))
   }
 
   /** Fixed-width bin of integer-valued feature i: floor(((x − min)·B) /
@@ -216,6 +192,8 @@ object HistTree {
     var cur = binned.withColumn("node", lit(0))
     val splits = Array.fill(nFolds)(
       scala.collection.mutable.ArrayBuffer.empty[Split])
+    var lastCounts: Array[(Int, Int, Int, Int, Int, Long)] = Array.empty
+    var lastBest = Map.empty[(Int, Int), Split]
     for (_ <- 0 until depth) {
       // ONE distributed pass: per-(fold, node, feature, bin, class)
       val counts = histSrc(cur)
@@ -227,27 +205,41 @@ object HistTree {
         .map(r => (r.getAs[Int]("cvf"), r.getAs[Int]("node"),
           r.getAs[Int]("f"), r.getAs[Int]("b"), r.getAs[Int]("y"),
           r.getAs[Long]("cnt")))
+      lastCounts = counts
       var lvl: Column = col("node")
+      val bestAcc = Map.newBuilder[(Int, Int), Split]
       for (f <- 0 until nFolds) {
         val mine = counts.collect { case (`f`, n, ff, bb, y, c) =>
           (n, ff, bb, y, c) }
         val best = selectSplits(mine, bins)
         splits(f) ++= best
         best.foreach { s =>
+          bestAcc += ((f, s.node) -> s)
           lvl = when(col("cvf") === f && col("node") === s.node,
             when(element_at(col("b"), s.feature + 1) <= s.bin,
               lit(2 * s.node + 1)).otherwise(lit(2 * s.node + 2)))
             .otherwise(lvl)
         }
       }
+      lastBest = bestAcc.result()
       cur = cur.withColumn("node", lvl)
     }
-    // leaf majorities (ties to the smallest label) — final assignment pass
-    val leafCounts = cur
-      .groupBy("cvf", "node", "y").agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.getAs[Int]("cvf"), r.getAs[Int]("node"),
-        r.getAs[Int]("y"), r.getAs[Long]("c")))
+    // leaf majorities (ties to the smallest label). When split selection
+    // read FULL data, the final level's histogram already contains every
+    // node's per-class counts — the terminal counts are its cumulative
+    // sums on the chosen split, so the former final assignment pass is
+    // pure rework (one less full-data pass; identical integers). The
+    // subsampled route keeps the pass: there the histogram covers only
+    // the subsample while leaf majorities must use full data.
+    val leafCounts: Array[(Int, Int, Int, Long)] =
+      if (!needSub)
+        deriveLeafCounts[Int](lastCounts,
+          lastBest.map { case (k, s) => k -> (s.feature, s.bin) })
+      else cur
+        .groupBy("cvf", "node", "y").agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getAs[Int]("cvf"), r.getAs[Int]("node"),
+          r.getAs[Int]("y"), r.getAs[Long]("c")))
     (0 until nFolds).map { f =>
       val leaves = leafCounts.collect { case (`f`, n, y, c) => (n, y, c) }
         .groupBy(_._1).map { case (node, rows) =>
@@ -256,6 +248,39 @@ object HistTree {
       TreeModel(splits(f).toSeq, leaves, minsK(f), maxsK(f), bins)
     }
   }
+
+  /** Terminal per-class counts derived from the LAST level's histogram:
+    * for a node split at that level, the left child's class counts are
+    * the cumulative sums ≤ the chosen bin on the chosen feature and the
+    * right child's are the node totals minus them; an unsplit node is
+    * itself terminal with its totals (any one feature's bins partition
+    * the node — the smallest index present, the selectSplits
+    * discipline). Exact integers, identical to the dedicated final
+    * assignment pass this replaces. `cnt` may be weighted (Forest); `K`
+    * is the fit key (fold, or (fold, tree)). Zero-count classes are
+    * dropped, matching the groupBy form (they can never win the
+    * majority anyway — some class at the node has count ≥ 1). */
+  private[ml] def deriveLeafCounts[K](
+      counts: Array[(K, Int, Int, Int, Int, Long)],
+      best: Map[(K, Int), (Int, Int)]): Array[(K, Int, Int, Long)] =
+    counts.groupBy(r => (r._1, r._2)).toArray.flatMap {
+      case ((k, node), rows) =>
+        val f0 = rows.map(_._3).min
+        val tot = rows.filter(_._3 == f0).groupBy(_._5)
+          .map { case (y, rs) => y -> rs.map(_._6).sum }
+        best.get((k, node)) match {
+          case Some((sf, sb)) =>
+            val left = rows.filter(r => r._3 == sf && r._4 <= sb)
+              .groupBy(_._5).map { case (y, rs) => y -> rs.map(_._6).sum }
+            tot.keys.toSeq.flatMap { y =>
+              val l = left.getOrElse(y, 0L)
+              Seq((k, 2 * node + 1, y, l),
+                (k, 2 * node + 2, y, tot(y) - l)).filter(_._4 > 0)
+            }
+          case None =>
+            tot.toSeq.collect { case (y, c) if c > 0 => (k, node, y, c) }
+        }
+    }
 
   /** Driver-side argmin over the level's histogram (O(nodes·d·bins·k)
     * rows — fitted-parameter scale). Integer arithmetic exactly mirrors
