@@ -61,23 +61,26 @@ object GbtLogit {
 
   case class LModel(splits: Seq[LSplit], leaves: IndexedSeq[Map[Int, Long]],
                     mins: Array[Long], maxs: Array[Long], bins: Int) {
-    private def leafExpr(arrCol: String, t: Int): Column = {
-      val tm = HistTree.TreeModel(
-        splits.filter(_.round == t).map(s =>
-          HistTree.Split(s.node, s.feature, s.bin, s.nLeft, s.nRight,
-            s.score)),
-        Map.empty, mins, maxs, bins)
-      tm.leafExpr(arrCol)
-    }
     /** Fixed-point margin fq after all rounds (clamped per round,
-      * exactly as the fit updates it). */
-    def marginExpr(arrCol: String): Column =
+      * exactly as the fit updates it) — one native descent through all
+      * rounds' trees ([[graft.expressions.TreeLeafDescend]]; the
+      * per-round leaf-CASE cascade made every plan traversal pay
+      * rounds × terminals × depth expression nodes), then a literal-map
+      * lookup per round (missing leaf contributes 0, as before). */
+    def marginExpr(arrCol: String): Column = {
+      val specs = (1 to leaves.size).map { t =>
+        graft.expressions.TreeLeafDescend.Spec(
+          splits.collect { case s if s.round == t =>
+            (s.node, s.feature, s.bin) }.toIndexedSeq,
+          mins.toIndexedSeq, maxs.toIndexedSeq, bins)
+      }
+      val la = graft.expressions.TreeLeafDescend.leaves(col(arrCol), specs)
       leaves.zipWithIndex.foldLeft(lit(0L): Column) { case (acc, (lv, t)) =>
-        val v = lv.foldLeft(lit(0L): Column) { case (a, (node, w)) =>
-          when(leafExpr(arrCol, t + 1) === node, lit(w)).otherwise(a)
-        }
+        val v = coalesce(element_at(typedlit(lv), element_at(la, t + 1)),
+          lit(0L))
         greatest(least(acc + v, lit(Clamp)), lit(-Clamp))
       }
+    }
     /** Class prediction: margin ≥ 0 ⇔ p ≥ 1/2. */
     def predictExpr(arrCol: String): Column =
       when(marginExpr(arrCol) >= 0, 1).otherwise(0)
@@ -139,21 +142,33 @@ object GbtLogit {
     val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     def g2Of(frame: DataFrame): Long = gh(frame)
       .agg(sum(col("g") * col("g")).as("s")).head().getAs[Long]("s")
-    curve += ((0, g2Of(cur), 1L))
+    var prevLeaves = 1L
 
     for (t <- 1 to rounds) {
       var lvl = gh(cur).withColumn("node", lit(0))
-      for (_ <- 0 until depth) {
+      for (level <- 0 until depth) {
+        // level 0 additionally carries Σg² of the margins ENTERING this
+        // round (each row appears once per feature in the explode, so
+        // the f = 0 slice sums every row exactly once) — the previous
+        // round's curve entry rides this aggregate instead of paying a
+        // dedicated pass (r13: one driver round-trip per round saved)
         val counts = lvl
           .select(col("node"), col("g"), col("h"), posexplode(col("b")))
           .groupBy(col("node"), col("pos").as("f"), col("col").as("bb"))
           .agg(sum(col("g")).as("sg"), sum(col("h")).as("sh"),
-            count(lit(1)).as("c"))
+            count(lit(1)).as("c"), sum(col("g") * col("g")).as("sgg"))
           .collect()
           .map(rr => (rr.getAs[Int]("node"), rr.getAs[Int]("f"),
             rr.getAs[Int]("bb"), rr.getAs[Long]("sg"),
-            rr.getAs[Long]("sh"), rr.getAs[Long]("c")))
-        val best = selectSplits(t, counts, bins)
+            rr.getAs[Long]("sh"), rr.getAs[Long]("c"),
+            rr.getAs[Long]("sgg")))
+        if (level == 0)
+          curve += ((t - 1,
+            counts.collect { case (_, 0, _, _, _, _, sgg) => sgg }.sum,
+            prevLeaves))
+        val best = selectSplits(t,
+          counts.map { case (n, f, bb, sg, sh, c, _) =>
+            (n, f, bb, sg, sh, c) }, bins)
         splits ++= best
         var nodeCol: Column = col("node")
         best.foreach { s =>
@@ -173,15 +188,19 @@ object GbtLogit {
         node -> Math.floorDiv(-Sc * sg, lrDen * sh)
       }.toMap
       leaves += lv
+      prevLeaves = leafStats.length.toLong
       val vCol = lv.foldLeft(lit(0L): Column) { case (acc, (node, v)) =>
         when(col("node") === node, lit(v)).otherwise(acc)
       }
       cur = lvl.select(col("y"), col("b"),
           greatest(least(col("fq") + vCol, lit(Clamp)), lit(-Clamp))
             .as("fq"))
-        .localCheckpoint(true)
-      curve += ((t, g2Of(cur), leafStats.length.toLong))
+      // the final round's margins feed exactly one pass (the curve tail
+      // below) — re-deriving them from the last checkpoint is cheaper
+      // than materializing another one
+      if (t < rounds) cur = cur.localCheckpoint(true)
     }
+    curve += ((rounds, g2Of(cur), prevLeaves))
     (LModel(splits.toSeq, leaves.toIndexedSeq, mins, maxs, bins),
       curve.toSeq)
   }
