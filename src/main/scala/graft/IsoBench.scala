@@ -14,6 +14,8 @@ object IsoBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         graft.core.Sizing.shufflePartitions(sfDir, cpus.toInt))
+      // tmpfs shuffle scratch for small local inputs (Sizing.localDir doc)
+      .config(graft.core.Sizing.localDir(sfDir).map("spark.local.dir" -> _).toMap)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -17,6 +17,7 @@ object PlanDump {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         graft.core.Sizing.shufflePartitions(sfDir, cpus.toInt))
+      .config(graft.core.Sizing.localDir(sfDir).map("spark.local.dir" -> _).toMap)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -52,6 +53,7 @@ object Scratch {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         graft.core.Sizing.shufflePartitions(d, cpus.toInt))
+      .config(graft.core.Sizing.localDir(d).map("spark.local.dir" -> _).toMap)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -31,6 +31,8 @@ object Verify {
       // SPARK_GRAFT_SHUFFLE_PARTITIONS stays as an explicit override.
       .config("spark.sql.shuffle.partitions",
         graft.core.Sizing.shufflePartitions(sfDir, cpus.toInt))
+      // tmpfs shuffle scratch for small local inputs (Sizing.localDir doc)
+      .config(graft.core.Sizing.localDir(sfDir).map("spark.local.dir" -> _).toMap)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -148,6 +148,33 @@ object Sizing {
     sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
       .getOrElse(partitionsForExpanded(expandedBytes(sfDir, conf), cores))
 
+  /** Shuffle-scratch bytes a local run may put on tmpfs before disk is
+    * the safer home (tmpfs is RAM — leave the budget far below it). */
+  val TmpfsShuffleCap: Long = 4L << 30
+
+  /** Shuffle scratch directory (spark.local.dir) for a session reading
+    * `sfDir`. Task-thread sampling at bench scale (r13) put ~40% of
+    * ACTIVE task time inside shuffle-file open()/create() on the
+    * default disk-backed /tmp — many tiny exchanges pay file-system
+    * latency per map task, not bandwidth. When the input (×expansion)
+    * is small enough that every shuffle fits comfortably in RAM, point
+    * the scratch at tmpfs; bigger inputs keep the disk default, and
+    * SPARK_GRAFT_LOCAL_DIR overrides both ways (a production cluster
+    * sets spark.local.dir to its fast local disks as usual — this
+    * helper only picks the fastest LOCAL scratch the sandbox offers,
+    * the same decision, made adaptively). None = leave Spark's default. */
+  def localDir(sfDir: String,
+               conf: Configuration = new Configuration()): Option[String] = {
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty).orElse {
+      val shm = new java.io.File("/dev/shm")
+      val expanded = expandedBytes(sfDir, conf)
+      if (expanded > 0 && expanded <= TmpfsShuffleCap &&
+          shm.isDirectory && shm.canWrite)
+        Some("/dev/shm/graft-shuffle")
+      else None
+    }
+  }
+
   /** Scale-conditional read-parallelism repair (optimization-guide §2.5,
     * "input skew — one huge unsplittable file"): a single-row-group
     * parquet file is unsplittable no matter how small

@@ -93,7 +93,11 @@ object IsoForest {
       if (lvl.isEmpty) live = false
       else {
         splits ++= lvl
-        assign = route(assign, lvl.toDF())
+        // truncate lineage per level: without this, level l's stats
+        // collect re-plans AND recomputes the scan + crossJoin + all l
+        // prior route joins (r13: 44 jobs, plans growing per level);
+        // the checkpoint is one tiny materialization instead
+        assign = route(assign, lvl.toDF()).localCheckpoint(true)
       }
     }
     val sizes = assign.groupBy("tree", "node").agg(count(lit(1)).as("m"))
