@@ -64,12 +64,57 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame =
-    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter)._1
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter,
+      driverShortcut = true)._1
+
+  /** Distinct canonical edge count under which components resolve on the
+    * driver instead of iterating star rounds: ~8 MB of id pairs — the
+    * same order as a broadcast relation, which Spark routinely collects
+    * to the driver. Above it the star loop runs unchanged, so the
+    * shortcut is scale-ADAPTIVE, not a local-mode constant: a 100 TB
+    * dedup pair relation takes the distributed path, while the common
+    * case (near-dup graphs far smaller than the corpus) skips the
+    * 10-20 scheduler round-trips the loop costs (r13 measurement: the
+    * CC rounds were the majority of q_v_semantic_dedup's 33 jobs on a
+    * graph of a few thousand edges). */
+  val DriverCcMaxEdges: Long = 1L << 19
+
+  /** Driver union-find over collected canonical edges (a > b or a = b):
+    * same contract as the star loop — one row per vertex that appears,
+    * comp = min reachable vertex id. */
+  private def driverComponents(rows: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.get(c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    rows.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    // roots are unioned toward the smaller id, so find(v) IS the
+    // component minimum
+    val out = new Array[(Long, Long)](parent.size)
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val v = it.next(); out(i) = (v, find(v)); i += 1 }
+    out
+  }
 
   /** As [[connectedComponents]], also returning the number of star rounds
-    * run (GraphExtSpec pins the O(log d) behavior on a path graph). */
+    * run (GraphExtSpec pins the O(log d) behavior on a path graph —
+    * `driverShortcut` defaults off here so that behavior stays
+    * measurable). */
   def connectedComponentsWithRounds(edges: DataFrame, srcCol: String,
-                                    dstCol: String, maxIter: Int = 25)
+                                    dstCol: String, maxIter: Int = 25,
+                                    driverShortcut: Boolean = false)
       : (DataFrame, Int) = {
     // Both star ops compute "min over my neighborhood" as a WINDOW min
     // rather than groupBy + join-back: one exchange per star instead of
@@ -121,6 +166,21 @@ object Graph {
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     var sig = signature(e) // materializes both lazy checkpoints (e0 via e)
+    if (driverShortcut && sig._1 <= DriverCcMaxEdges) {
+      // e0 additionally holds self-loop rows; cap the collect so a
+      // degenerate all-self-loop input cannot blow the driver
+      val cap = (4L * DriverCcMaxEdges + 1).toInt
+      val rows = e0.limit(cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      if (rows.length < cap) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val labels = driverComponents(rows).toSeq.toDF("id", "comp")
+        verts.unpersist()
+        unpersistIds(labels, liveIds ++ (e0Ids -- liveIds))
+        return (labels, 0)
+      }
+    }
     var iter = 0
     var converged = sig._1 == 0
     while (!converged && iter < maxIter) {
