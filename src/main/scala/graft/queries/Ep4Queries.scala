@@ -35,11 +35,21 @@ object Ep4Queries {
     "q_pipe_ep4" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val emb = Tables(s, d, "embeddings")
-      // (1) hygiene: quality gate + language agreement (CorpusBuild stages)
-      val quality = TextOps.qualityFeatures(docs)
-        .filter(col("alpha_ratio") > 0.7 && col("n_tokens").between(20, 2000))
-      val langOk = quality
-        .filter(TextOps.langIdFast(col("text")) === col("lang"))
+      // (1) hygiene: quality gate + language agreement (CorpusBuild
+      // stages), evaluated ONCE as flag columns on a checkpointed frame:
+      // the raw/quality/lang_ok stage counts and the surviving chain all
+      // read the flags, where the former shape re-ran the quality and
+      // lang-id text kernels per count branch (3 full featurization
+      // passes of the corpus for 2 integers — guide §1.2: don't compute
+      // things twice).
+      val flagged = TextOps.qualityFeatures(docs)
+        .withColumn("__q",
+          col("alpha_ratio") > 0.7 && col("n_tokens").between(20, 2000))
+        .withColumn("__l",
+          col("__q") && TextOps.langIdFast(col("text")) === col("lang"))
+        .select(docs.columns.map(col) ++ Seq(col("__q"), col("__l")): _*)
+        .localCheckpoint(true)
+      val langOk = flagged.filter(col("__l"))
         .select(docs.columns.map(col): _*)
       // (2) exact dedup — checkpointed: feeds the pair join twice + a count
       val deduped = TextOps.exactDedup(langOk, "doc_id", "text")
@@ -74,9 +84,16 @@ object Ep4Queries {
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(ord).as("stage_ord"), lit(stage).as("stage"),
             col("n_docs"))
-      cnt(0, "raw", docs)
-        .unionByName(cnt(1, "quality", quality))
-        .unionByName(cnt(2, "lang_ok", langOk))
+      // stages 0-2 from ONE aggregate over the flagged checkpoint
+      val hygiene = flagged.agg(count(lit(1)).as("raw"),
+        sum(when(col("__q"), 1L).otherwise(0L)).as("quality"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("lang_ok"))
+      def hcnt(ord: Int, stage: String, c: String): DataFrame =
+        hygiene.select(lit(ord).as("stage_ord"), lit(stage).as("stage"),
+          col(c).as("n_docs"))
+      hcnt(0, "raw", "raw")
+        .unionByName(hcnt(1, "quality", "quality"))
+        .unionByName(hcnt(2, "lang_ok", "lang_ok"))
         .unionByName(cnt(3, "exact_dedup", deduped))
         .unionByName(cnt(4, "minhash_dedup", nearKept))
         .unionByName(cnt(5, "substring_dedup", subKept))
