@@ -74,7 +74,7 @@ object Bench {
       // core count, so harness timings are untouched); env overrides
       .config("spark.sql.shuffle.partitions",
         graft.core.Sizing.shufflePartitions(sfDir, cpus.toInt))
-      // tmpfs shuffle scratch for small local inputs (Sizing.localDir doc)
+      // shuffle scratch override only (SPARK_GRAFT_LOCAL_DIR; Sizing.localDir doc)
       .config(graft.core.Sizing.localDir(sfDir).map("spark.local.dir" -> _).toMap)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

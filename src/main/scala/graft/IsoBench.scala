@@ -14,7 +14,7 @@ object IsoBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         graft.core.Sizing.shufflePartitions(sfDir, cpus.toInt))
-      // tmpfs shuffle scratch for small local inputs (Sizing.localDir doc)
+      // shuffle scratch override only (SPARK_GRAFT_LOCAL_DIR; Sizing.localDir doc)
       .config(graft.core.Sizing.localDir(sfDir).map("spark.local.dir" -> _).toMap)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -31,7 +31,7 @@ object Verify {
       // SPARK_GRAFT_SHUFFLE_PARTITIONS stays as an explicit override.
       .config("spark.sql.shuffle.partitions",
         graft.core.Sizing.shufflePartitions(sfDir, cpus.toInt))
-      // tmpfs shuffle scratch for small local inputs (Sizing.localDir doc)
+      // shuffle scratch override only (SPARK_GRAFT_LOCAL_DIR; Sizing.localDir doc)
       .config(graft.core.Sizing.localDir(sfDir).map("spark.local.dir" -> _).toMap)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -148,32 +148,24 @@ object Sizing {
     sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
       .getOrElse(partitionsForExpanded(expandedBytes(sfDir, conf), cores))
 
-  /** Shuffle-scratch bytes a local run may put on tmpfs before disk is
-    * the safer home (tmpfs is RAM — leave the budget far below it). */
-  val TmpfsShuffleCap: Long = 4L << 30
-
-  /** Shuffle scratch directory (spark.local.dir) for a session reading
-    * `sfDir`. Task-thread sampling at bench scale (r13) put ~40% of
-    * ACTIVE task time inside shuffle-file open()/create() on the
-    * default disk-backed /tmp — many tiny exchanges pay file-system
-    * latency per map task, not bandwidth. When the input (×expansion)
-    * is small enough that every shuffle fits comfortably in RAM, point
-    * the scratch at tmpfs; bigger inputs keep the disk default, and
-    * SPARK_GRAFT_LOCAL_DIR overrides both ways (a production cluster
-    * sets spark.local.dir to its fast local disks as usual — this
-    * helper only picks the fastest LOCAL scratch the sandbox offers,
-    * the same decision, made adaptively). None = leave Spark's default. */
+  /** Shuffle scratch directory (spark.local.dir) override for a session
+    * reading `sfDir`: SPARK_GRAFT_LOCAL_DIR when set, else Spark's
+    * default. The r13 tmpfs auto-pick (/dev/shm whenever expanded input
+    * ≤ 4 GiB) is GONE: the r13 driver run — the first with it active —
+    * blew q_x_decontam/q_x_bm25/q_x_embed_neardup up 1.6-6× at 32 cores
+    * while its own 8-core run and both builder runs stayed flat, and the
+    * gate checked input size only, never the host's free RAM or tmpfs
+    * quota (a cgroup-limited sandbox charges tmpfs pages against the
+    * container's memory, so RAM-backed shuffle scratch competes with the
+    * executor heap under exactly the 32-thread load that showed the
+    * regression). The r14 same-host A/B measured the auto-pick's local
+    * upside at ~9% on the shuffle-heavy subset (14.5 s vs 15.8 s) —
+    * a sandbox-only config lever, not worth a 4× risk on a loaded
+    * driver host, and no help to any real cluster (which sets
+    * spark.local.dir to its fast local disks as usual). */
   def localDir(sfDir: String,
-               conf: Configuration = new Configuration()): Option[String] = {
-    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty).orElse {
-      val shm = new java.io.File("/dev/shm")
-      val expanded = expandedBytes(sfDir, conf)
-      if (expanded > 0 && expanded <= TmpfsShuffleCap &&
-          shm.isDirectory && shm.canWrite)
-        Some("/dev/shm/graft-shuffle")
-      else None
-    }
-  }
+               conf: Configuration = new Configuration()): Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty)
 
   /** Scale-conditional read-parallelism repair (optimization-guide §2.5,
     * "input skew — one huge unsplittable file"): a single-row-group

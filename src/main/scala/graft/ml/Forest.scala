@@ -269,7 +269,8 @@ object Forest {
     // histogram anyway). Subsampled route keeps the pass: its histogram
     // covers only the subsample, leaf majorities must use full weights.
     val leafCounts: Array[(Int, Int, Int, Int, Long)] =
-      if (!needSub)
+      // depth == 0: no level histograms to derive from — groupBy fallback
+      if (!needSub && depth > 0)
         HistTree.deriveLeafCounts[(Int, Int)](lastCounts,
           lastBest.map { case (k, s) => k -> (s.feature, s.bin) })
           .map { case ((cvf, t), node, y, c) => (cvf, t, node, y, c) }

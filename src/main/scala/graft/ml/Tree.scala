@@ -232,7 +232,10 @@ object HistTree {
     // subsampled route keeps the pass: there the histogram covers only
     // the subsample while leaf majorities must use full data.
     val leafCounts: Array[(Int, Int, Int, Long)] =
-      if (!needSub)
+      // depth == 0 runs no level loop, so lastCounts is empty and the
+      // derived form would return no leaves (a model that abstains on
+      // every row); the groupBy pass still yields the root majority
+      if (!needSub && depth > 0)
         deriveLeafCounts[Int](lastCounts,
           lastBest.map { case (k, s) => k -> (s.feature, s.bin) })
       else cur

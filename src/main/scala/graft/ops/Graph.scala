@@ -170,12 +170,22 @@ object Graph {
       // e0 additionally holds self-loop rows; cap the collect so a
       // degenerate all-self-loop input cannot blow the driver
       val cap = (4L * DriverCcMaxEdges + 1).toInt
-      val rows = e0.limit(cap).collect()
+      val collected = e0.limit(cap).collect()
+      // null ids survive the greatest/least projection and distinct (an
+      // all-null edge row is (null, null)); the star loop drops them via
+      // its a =!= b filter and the left join never matches them, so the
+      // vertex labels itself (null, null). Mirror that here instead of
+      // NPE-ing on getLong.
+      val rows = collected.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
         .map(r => (r.getLong(0), r.getLong(1)))
-      if (rows.length < cap) {
+      if (collected.length < cap) {
         val spark = edges.sparkSession
         import spark.implicits._
-        val labels = driverComponents(rows).toSeq.toDF("id", "comp")
+        val nullVertex: Seq[(Option[Long], Option[Long])] =
+          if (collected.length > rows.length) Seq((None, None)) else Nil
+        val labels = (driverComponents(rows).toSeq
+          .map { case (v, c) => (Some(v): Option[Long], Some(c): Option[Long]) }
+          ++ nullVertex).toDF("id", "comp")
         verts.unpersist()
         unpersistIds(labels, liveIds ++ (e0Ids -- liveIds))
         return (labels, 0)

@@ -611,7 +611,7 @@ object Similarity {
   def nearDupCandidates(df: DataFrame, nPlanes: Int = 12, nTables: Int = 4,
                         dim: Int = 64, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
-    val sigs = graft.core.Sizing.spread(df.select(col(idCol), col(vecCol)))
+    val sigs = df.select(col(idCol), col(vecCol))
       .select(col(idCol), col(vecCol),
         explode(array((0 until nTables).map(t => concat_ws(":", lit(t),
           hyperplaneSignatureFast(col(vecCol), nPlanes, dim, seed = 77 + t))): _*))
