@@ -127,17 +127,19 @@ object TreeLeafDescend {
         if (f < n && !arr.isNullAt(f)) {
           val x = arr.getDouble(f)
           // ((x − min)·B) / (max − min + 1), floored — the exact
-          // HistTree.binExprs arithmetic, then Spark least/greatest
-          // (NaN sorts largest) and a truncating int cast
-          var v = math.floor((x - mn(f).toDouble) * b.toDouble /
+          // HistTree.binExprs arithmetic: SQL floor(double) returns
+          // BIGINT, so the quotient passes through a double→long cast
+          // BEFORE the least/greatest clamp. That cast sends NaN to 0
+          // (and ±Inf to Long.Min/Max), so a NaN feature lands in bin 0
+          // and descends LEFT — pinned by R13EquivalenceSpec against the
+          // path-CASE form (the r13 first cut clamped NaN to B−1, a
+          // divergence no catalog data exercised but the spec caught).
+          val v = math.floor((x - mn(f).toDouble) * b.toDouble /
             (mx(f) - mn(f) + 1L).toDouble)
-          val bb =
-            if (v.isNaN) b - 1
-            else {
-              if (v > (b - 1).toDouble) v = (b - 1).toDouble
-              if (v < 0.0) v = 0.0
-              v.toInt
-            }
+          val l = v.toLong
+          val bb = if (l > (b - 1).toLong) b - 1
+                   else if (l < 0L) 0
+                   else l.toInt
           left = bb <= sbin(node)
         }
         node = if (left) 2 * node + 1 else 2 * node + 2

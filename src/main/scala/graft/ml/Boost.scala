@@ -336,11 +336,22 @@ object Boost {
                            maxDepth: Int, lr: Double, lambda: Double,
                            nBins: Int): OvrModel = {
     val (binned, thresholds) = binFeatures(df, featureCols, labelCol, nBins)
-    try OvrModel((0 until numClasses).map { k =>
-      fitBinned(binned.withColumn("__y",
-          (col("__label") === k.toDouble).cast("double")),
-        featureCols, thresholds, numTrees, maxDepth, lr, lambda, 1e-3)
-    })
-    finally binned.unpersist()
+    // the per-class binary fits are independent chains over the SAME
+    // persisted binned frame — run them concurrently (guide §2.6: actions
+    // are only sequential because the driver calls them sequentially).
+    // Each fit is deterministic, so the model sequence is identical to
+    // the sequential loop.
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(numClasses, 4))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try OvrModel(Await.result(
+      Future.sequence((0 until numClasses).map { k =>
+        Future(fitBinned(binned.withColumn("__y",
+            (col("__label") === k.toDouble).cast("double")),
+          featureCols, thresholds, numTrees, maxDepth, lr, lambda, 1e-3))
+      }), Duration.Inf))
+    finally { pool.shutdown(); binned.unpersist() }
   }
 }

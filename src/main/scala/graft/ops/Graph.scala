@@ -25,10 +25,12 @@ object Graph {
     * the NEXT round materializes. */
   private def checkpointTracked(df: DataFrame, eager: Boolean)
       : (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint(eager)
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    // ids read off the checkpointed frame's own LogicalRDD leaves —
+    // NOT a getPersistentRDDs before/after diff, which mis-attributes
+    // (and later wrongly unpersists) a checkpoint another driver thread
+    // registers concurrently (r14: the q_pipe_ep4 semantic/text overlap)
+    (out, org.apache.spark.sql.graftbridge.Bridge.leafRddIds(out))
   }
 
   private def unpersistIds(df: DataFrame, ids: Set[Int]): Unit = {
@@ -387,35 +389,39 @@ object Graph {
     // separate distinct shuffle; pinned because every iteration joins it
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // each round's ranks vector arrives hash-partitioned on `node` from
-    // the previous round's groupBy("dst") (alias propagation keeps the
-    // partitioning through the rename), and this side is already
-    // partitioned on src — every iteration's join is exchange-free,
-    // ONE shuffle per round (the groupBy), at any cluster size.
-    val withDeg = sym.join(deg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // node count is a one-row scalar (the triangleCount precedent): the
     // Scala-side divisions below hit the same IEEE ops as the oracle's
     val nD = deg.count().toDouble
+    val dec = org.apache.spark.sql.types.DecimalType(30, 12)
     var ranks = deg.select(col("src").as("node"), lit(1.0 / nD).as("rank"))
-    for (_ <- 1 to iters)
-      // NO per-iteration checkpoint: `iters` is small and fixed, so the
-      // whole power iteration is one shallow job — round 4 eagerly
-      // materialized every round's rank vector (3 extra jobs) and leaked
-      // each one (localCheckpoint blocks are invisible to clearCache);
-      // the decimal sums make recomputation bit-identical anyway
-      ranks = withDeg.join(ranks, col("src") === col("node"))
+    for (_ <- 1 to iters) {
+      // contribution rank/deg is CONSTANT per source node — divide and
+      // decimal-cast ONCE per node, not once per edge (r14, guide §2.3:
+      // the per-edge double division + double→Decimal(30,12) conversion
+      // was the iteration's hottest expression at |E|/|V| ≈ 9 on the
+      // bipartite graph; per-edge work is now one decimal accumulate).
+      // The per-edge decimal VALUES are unchanged (same IEEE division,
+      // same cast, evaluated on the node relation instead of each edge
+      // copy), so every per-dst decimal sum — and the rank vector — is
+      // bit-identical. Join alignment: ranks arrives node(=dst)-hash-
+      // partitioned from the previous round's groupBy, deg is
+      // src-partitioned, sym is src-partitioned — both joins and the
+      // groupBy keep the ONE exchange per round.
+      val contrib = ranks.join(deg.withColumnRenamed("src", "node"), "node")
+        .select(col("node"), (col("rank") / col("deg")).cast(dec).as("__c"))
+      ranks = sym.join(contrib, col("src") === col("node"))
         .groupBy("dst")
-        .agg(Num.dsum12(col("rank") / col("deg")).as("__in"))
+        .agg(sum(col("__c")).cast("double").as("__in"))
         .select(col("dst").as("node"),
           (lit(teleport / nD) + lit(damping) * col("__in")).as("rank"))
-    // ONE eager materialization of the final vector lets the three pinned
+    }
+    // ONE eager materialization of the final vector lets the pinned
     // inputs release before returning; the returned frame carries exactly
     // ONE pinned RDD (its own checkpoint), swept by Leaks.sweep between
-    // pipelines
+    // pipelines. NO per-iteration checkpoint: `iters` is small and fixed
+    // (round-4 lesson: eager per-round vectors leaked their blocks).
     val out = ranks.localCheckpoint(true)
     deg.unpersist()
-    withDeg.unpersist()
     out
   }
 }

@@ -162,18 +162,22 @@ object BpeQueries {
       val kept = docs.join(broadcast(rates), Seq("lang"))
         .filter(uInt < floor(col("rate") * 4294967296.0).cast("long"))
         .select("doc_id", "text")
-      // 3. epoch shuffle
-      val ranked = graft.ml.Extras.hashRank(
-        kept.select("doc_id"), "doc_id", seed = 23, "pos")
-      // 4. fitted-BPE tokenization (inner join drops no-valid-word docs,
-      // the q_pipe_tokenize_pack semantic)
+      // 3+4. fitted-BPE tokenization (inner join drops no-valid-word
+      // docs, the q_pipe_tokenize_pack semantic), with the epoch-shuffle
+      // ORDER attached as a narrow hash column instead of a materialized
+      // rank: hashRank's global rank orders by (md5-bucket, md5, id) ≡
+      // (md5, id), and the packer only consumes the rank as a sort key —
+      // so the whole rank subplan (bucket window + offsets + join back,
+      // plus a second evaluation of the sampled relation) collapses into
+      // one expression column; cum_tok per row is identical (guide §2.4).
       val m = fitted(s, d)
       val toks = Bpe.encode(m, kept, "doc_id", "text")
-        .join(ranked, Seq("doc_id"))
-        .select(col("doc_id"), col("pos"), col("n_bpe_tokens").as("n_tok"))
+        .select(col("doc_id"),
+          graft.ml.Split.hashKey(col("doc_id"), 23).as("__h"),
+          col("n_bpe_tokens").as("n_tok"))
       // 5. pack in shuffle order, roll into 16 shards
       graft.ops.Prefix
-        .runningSum(toks, Seq(col("pos")), col("n_tok"), "cum_tok")
+        .runningSum(toks, Seq(col("__h"), col("doc_id")), col("n_tok"), "cum_tok")
         .withColumn("batch", expr("CAST((cum_tok - n_tok) DIV 512 AS INT)"))
         .groupBy((col("batch") % 16).cast("int").as("shard"))
         .agg(count(lit(1)).as("n_docs"),

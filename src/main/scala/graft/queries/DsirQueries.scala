@@ -42,25 +42,42 @@ object DsirQueries {
     // explosion and its bucket-bounded aggregates.
     "q_x_dsir_weights" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      // ONE tokenization pass: the feature stream carries the source
-      // column, so the target slice, the raw counts, and the per-doc
-      // weights all read the same persisted (id, source, bucket) rows.
-      val feats = Dsir.features(docs, "doc_id", "text", keep = Seq("source"))
+      // ONE tokenization pass, cached as the per-doc bucket HISTOGRAM
+      // (doc, source, bucket, cnt) instead of the exploded per-occurrence
+      // stream: ≤64 rows per doc versus one per token+bigram, so the
+      // pinned relation and every aggregate over it shrink ~10× (the r13
+      // driver bench flagged the exploded cache at 135 MB of per-task
+      // aggregate state). Counts regroup exactly: Σ_occurrences lr =
+      // Σ_buckets cnt·lr in decimal, n_feats = Σ cnt.
+      val hist = Dsir.features(docs, "doc_id", "text", keep = Seq("source"))
+        .groupBy("doc_id", "source", "bucket")
+        .agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val model = Dsir.logRatiosOf(
-        feats.filter(col("source").isin(targetSources: _*)), feats)
+      def counts(f: org.apache.spark.sql.DataFrame) =
+        f.select(col("bucket"), col("cnt"))
+      val model = Dsir.logRatiosOfCounts(
+        counts(hist.filter(col("source").isin(targetSources: _*))),
+        counts(hist))
       // per-source rollup out, corpus-sized cache in: release on return
       graft.ops.Leaks.releasing(
-        feats.join(broadcast(model), Seq("bucket"))
+        hist.join(broadcast(model), Seq("bucket"))
           .groupBy("doc_id", "source")
-          .agg(count(lit(1)).as("n_feats"), sum("lr").as("logw"))
+          .agg(sum("cnt").as("n_feats"),
+            // lr is decimal(30,12) but |lr| < ln(N+B) ≪ 100, so the
+            // (14,12) downcast is exact — and keeps the cnt product at
+            // precision 35, scale 12 (the raw (30,12)×bigint product
+            // hits Spark's 38-digit cap and sheds scale to 6, which
+            // broke bit-exactness against the per-occurrence sum)
+            sum(col("lr")
+              .cast(org.apache.spark.sql.types.DecimalType(14, 12)) *
+              col("cnt")).as("logw"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum("n_feats").as("n_feats"),
             sum("logw").cast("double").as("sum_logw"))
           .withColumn("mean_logw", col("sum_logw") / col("n_docs"))
           .orderBy("source"),
-        feats)
+        hist)
     }),
 
     // The selection itself: Gumbel top-k importance resample — the

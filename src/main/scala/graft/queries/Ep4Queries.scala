@@ -35,6 +35,23 @@ object Ep4Queries {
     "q_pipe_ep4" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val emb = Tables(s, d, "embeddings")
+      // (6, started FIRST) semantic near-dup keep-set over the embedding
+      // table: it depends on nothing the text chain produces, so its jobs
+      // run CONCURRENTLY with the text chain's checkpoint jobs on a
+      // driver thread (guide §2.6 — actions are only sequential because
+      // the driver calls them sequentially); the deterministic keep-set
+      // is identical either way. The future holds an eager checkpoint so
+      // the final plan reads a materialized relation.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val semFuture = Future {
+        Similarity
+          .semanticDedupKeepAuto(emb, threshold = 0.999,
+            targetClusterSize = SemTargetCluster, iters = 2)
+          .filter(col("keep")).select(col("vec_id").as("doc_id"))
+          .localCheckpoint(true)
+      }
       // (1) hygiene: quality gate + language agreement (CorpusBuild
       // stages), evaluated ONCE as flag columns on a checkpointed frame:
       // the raw/quality/lang_ok stage counts and the surviving chain all
@@ -73,12 +90,9 @@ object Ep4Queries {
       val editKept = subKept.join(
           editPairs.select(col("doc_b").as("doc_id")), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
-      // (6) semantic near-dup removal over the embedding table (auto-k
-      // cluster blocking), joined back by id
-      val semKeep = Similarity
-        .semanticDedupKeepAuto(emb, threshold = 0.999,
-          targetClusterSize = SemTargetCluster, iters = 2)
-        .filter(col("keep")).select(col("vec_id").as("doc_id"))
+      // (6) semantic near-dup removal: join the concurrently-built
+      // keep-set (above) back by id
+      val semKeep = Await.result(semFuture, Duration.Inf)
       val semKept = editKept.join(semKeep, Seq("doc_id"), "left_semi")
       def cnt(ord: Int, stage: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).as("n_docs"))

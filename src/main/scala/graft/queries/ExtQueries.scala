@@ -137,16 +137,19 @@ object ExtQueries {
     // single fixed-order sum of two exact double divisions.
     "q_x_rrf" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
+      // ONE tokenize pass feeds both scorers (guide §1.2): the former
+      // plan tokenized the corpus three times (bm25's term explode,
+      // bm25's N/avgdl aggregate, the tf-idf term explode); both rank
+      // lists now score off the same checkpointed (id, dl, hits) frame
+      // and the same (doc, term) frequency relation.
+      val base = graft.text.Retrieval.queryTermBase(
+        docs, "doc_id", "text", QueryTokens)
       val bm = graft.ops.Ranking.topKRanked(
-        graft.text.Retrieval.bm25(docs, "doc_id", "text", QueryTokens),
+        graft.text.Retrieval.bm25FromBase(base, "doc_id"),
         Seq("score" -> true, "doc_id" -> false), 50)
-      val toks = docs.select(col("doc_id"),
-        explode(graft.text.TextOps.tokens(
-          graft.text.TextOps.normalizeText(col("text")))).as("token"))
-        .filter(col("token").isin(QueryTokens: _*))
-      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val tf = graft.text.Retrieval.queryTermTf(base, "doc_id")
       val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val n = base.agg(count(lit(1)).as("n_docs"))
       val tfidf = tf.join(broadcast(df_), Seq("token")).crossJoin(broadcast(n))
         .withColumn("w", expr("(n_docs * 1000000) DIV df"))
         .groupBy("doc_id")

@@ -30,7 +30,7 @@ object PipeQueries {
     }
 
   /** BM25 query terms with deliberately different document frequencies. */
-  private val Bm25Terms = Seq("spark", "merge", "window")
+  private[graft] val Bm25Terms = Seq("spark", "merge", "window")
 
   /** Target language mixture for the domain-reweighting plan. */
   private[queries] val MixtureTargets = Seq(

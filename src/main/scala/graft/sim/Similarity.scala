@@ -145,19 +145,21 @@ object Similarity {
       Seq("query_id"), "left_semi")
       .select(col("query_id"), col("neighbor_id"))
     val pruned = prunedOk.unionByName(escalated)
-    val dots = pruned
+    // dot AND both norms off the ONE pair-explode pass (guide §1.2, r14):
+    // the pair relation already carries both vectors, so the corpus-wide
+    // norm aggregate + two joins back were rework; identical decimal sums
+    val cos = pruned
       .join(e.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
       .join(e.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        posexplode(zip_with(col("qv"), col("cv"),
-          (x, y) => x.cast("double") * y.cast("double"))))
-      .groupBy("query_id", "neighbor_id").agg(dsum12(col("col")).as("dot"))
-    val n2 = e.select(col(idCol),
-        explode(transform(col(vecCol), x => x.cast("double") * x.cast("double"))).as("p"))
-      .groupBy(idCol).agg(dsum12(col("p")).as("n2"))
-    val cos = dots
-      .join(n2.select(col(idCol).as("query_id"), col("n2").as("n2q")), Seq("query_id"))
-      .join(n2.select(col(idCol).as("neighbor_id"), col("n2").as("n2c")), Seq("neighbor_id"))
+        posexplode(zip_with(col("qv"), col("cv"), (x, y) =>
+          struct((x.cast("double") * y.cast("double")).as("xy"),
+            (x.cast("double") * x.cast("double")).as("xx"),
+            (y.cast("double") * y.cast("double")).as("yy")))))
+      .groupBy("query_id", "neighbor_id")
+      .agg(dsum12(col("col.xy")).as("dot"),
+        dsum12(col("col.xx")).as("n2q"),
+        dsum12(col("col.yy")).as("n2c"))
       .select(col("query_id"), col("neighbor_id"),
         (col("dot") / (sqrt(col("n2q")) * sqrt(col("n2c")))).as("cosine"))
     cos.groupBy("query_id")
@@ -468,23 +470,27 @@ object Similarity {
     val coarse = pqAdcTopK(corpus, queries, rerankFrom, dims, subspaces,
         codewords, iters, nCentroids, nProbe, idCol, vecCol, quant)
       .select("query_id", "neighbor_id")
-    def n2Of(df: DataFrame) = df.select(col(idCol),
-        explode(transform(col(vecCol), x => x.cast("double") * x.cast("double"))).as("p"))
-      .groupBy(idCol).agg(dsum12(col("p")).as("n2"))
+    // dot AND both norms from the ONE pair-explode pass (guide §1.2):
+    // the former shape ran two extra corpus-wide norm aggregates (one
+    // over ALL corpus vectors for ≤ rerankFrom·|queries| survivors) and
+    // joined them back; the per-element (x·y, x², y²) triple rides the
+    // same explode, and each dsum12 is the identical order-independent
+    // decimal sum of the identical 64 doubles — cosine is bit-unchanged.
     val dots = coarse
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
         Seq("query_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        posexplode(zip_with(col("__qv"), col("__cv"),
-          (x, y) => x.cast("double") * y.cast("double"))))
-      .groupBy("query_id", "neighbor_id").agg(dsum12(col("col")).as("dot"))
+        posexplode(zip_with(col("__qv"), col("__cv"), (x, y) =>
+          struct((x.cast("double") * y.cast("double")).as("xy"),
+            (x.cast("double") * x.cast("double")).as("xx"),
+            (y.cast("double") * y.cast("double")).as("yy")))))
+      .groupBy("query_id", "neighbor_id")
+      .agg(dsum12(col("col.xy")).as("dot"),
+        dsum12(col("col.xx")).as("n2q"),
+        dsum12(col("col.yy")).as("n2c"))
     dots
-      .join(n2Of(queries).select(col(idCol).as("query_id"), col("n2").as("n2q")),
-        Seq("query_id"))
-      .join(n2Of(corpus).select(col(idCol).as("neighbor_id"), col("n2").as("n2c")),
-        Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("dot") / (sqrt(col("n2q")) * sqrt(col("n2c")))).as("cosine"))
       .groupBy("query_id")
@@ -651,20 +657,22 @@ object Similarity {
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
       .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
       .filter(cosine(col("va"), col("vb")) >= threshold - 1e-6)
-    // corpus-wide exact norms: independent of the candidate branch, so
-    // both subtrees overlap (a survivors-only semi-join was measured
-    // slower — it serializes norms behind the candidate prune)
-    val n2 = df.select(col(idCol),
-        explode(transform(col(vecCol), x => x.cast("double") * x.cast("double"))).as("p"))
-      .groupBy(idCol).agg(dsum12(col("p")).as("n2"))
-    val dots = pruned
+    // dot AND both norms off the ONE pair-explode pass (guide §1.2, r14):
+    // the pair relation already carries both vectors, so the former
+    // corpus-wide norm aggregate + two joins back were pure rework (a
+    // survivors-only norm SEMI-JOIN had been measured slower — this is
+    // not that: no extra pass at all); each dsum12 is the identical
+    // order-independent decimal sum, so cosines are bit-unchanged
+    pruned
       .select(col("id_a"), col("id_b"),
-        posexplode(zip_with(col("va"), col("vb"),
-          (x, y) => x.cast("double") * y.cast("double"))))
-      .groupBy("id_a", "id_b").agg(dsum12(col("col")).as("dot"))
-    dots
-      .join(n2.select(col(idCol).as("id_a"), col("n2").as("n2a")), Seq("id_a"))
-      .join(n2.select(col(idCol).as("id_b"), col("n2").as("n2b")), Seq("id_b"))
+        posexplode(zip_with(col("va"), col("vb"), (x, y) =>
+          struct((x.cast("double") * y.cast("double")).as("xy"),
+            (x.cast("double") * x.cast("double")).as("xx"),
+            (y.cast("double") * y.cast("double")).as("yy")))))
+      .groupBy("id_a", "id_b")
+      .agg(dsum12(col("col.xy")).as("dot"),
+        dsum12(col("col.xx")).as("n2a"),
+        dsum12(col("col.yy")).as("n2b"))
       .select(col("id_a"), col("id_b"),
         (col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -721,17 +729,21 @@ object Similarity {
     val pruned = lhs.join(rhs, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("va"), col("vb")) >= threshold - 1e-6)
-    val n2 = df.select(col(idCol),
-        explode(transform(col(vecCol), x => x.cast("double") * x.cast("double"))).as("p"))
-      .groupBy(idCol).agg(dsum12(col("p")).as("n2"))
-    val dots = pruned
+    // dot AND both norms off the ONE pair-explode pass (guide §1.2 —
+    // the former shape aggregated norms over the FULL corpus for the few
+    // surviving pairs and joined them back twice); each dsum12 is the
+    // identical order-independent decimal sum of the identical per-
+    // element doubles, so the exact-cosine test is bit-unchanged
+    val pairs = pruned
       .select(col("id_a"), col("id_b"),
-        posexplode(zip_with(col("va"), col("vb"),
-          (x, y) => x.cast("double") * y.cast("double"))))
-      .groupBy("id_a", "id_b").agg(dsum12(col("col")).as("dot"))
-    val pairs = dots
-      .join(n2.select(col(idCol).as("id_a"), col("n2").as("n2a")), Seq("id_a"))
-      .join(n2.select(col(idCol).as("id_b"), col("n2").as("n2b")), Seq("id_b"))
+        posexplode(zip_with(col("va"), col("vb"), (x, y) =>
+          struct((x.cast("double") * y.cast("double")).as("xy"),
+            (x.cast("double") * x.cast("double")).as("xx"),
+            (y.cast("double") * y.cast("double")).as("yy")))))
+      .groupBy("id_a", "id_b")
+      .agg(dsum12(col("col.xy")).as("dot"),
+        dsum12(col("col.xx")).as("n2a"),
+        dsum12(col("col.yy")).as("n2b"))
       .filter(col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b"))) >= threshold)
       .select("id_a", "id_b")
     // comp = min reachable id, so the representative test is comp == id;

@@ -225,18 +225,38 @@ object Tests {
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val d2 = (col("avg_rank") * 2).cast("long")
     val rx = Ranks.byValue(base, xCol).select(col(xCol), d2.as("dx"))
-    val ry = Ranks.byValue(base, yCol).select(col(yCol), d2.as("dy"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val s = base.join(rx, Seq(xCol)).join(ry, Seq(yCol))
-      .agg(count(lit(1)).as("n"),
-        sum(col("dx").cast(dec)).as("sx"),
-        sum(col("dy").cast(dec)).as("sy"),
+    // The y-side ranking FUSES into the joint aggregation (guide §2.4 —
+    // two operations keyed the same way share one exchange): instead of
+    // ranking y's distinct values separately and joining the full base
+    // back on the high-cardinality y (the former plan's dominant
+    // exchange), group the dx-tagged base by y ONCE, carrying the
+    // per-y partial x-moments (Σdx, Σdx² — exact decimal integers), rank
+    // THAT relation's cumulative counts, and read every moment off the
+    // per-distinct-y relation: Σ_rows dy^k·dx^j = Σ_y dy^k·(Σ_y dx^j).
+    // One groupBy + one prefix sum + one O(distinct-y) aggregate replace
+    // groupBy + prefix + two full-base joins; the moments are the same
+    // exact integers (regrouped decimal sums), so rho is bit-identical.
+    val perY = base.join(rx, Seq(xCol))
+      .groupBy(col(yCol))
+      .agg(count(lit(1)).as("cnt"),
         // cast BEFORE multiplying: doubled ranks reach 2n, so long×long
         // products hit 4n² and would silently overflow int64 at n ≳ 1.5e9 —
         // below the documented ≈2.5e9 exactness bound of the moment formula
-        sum(col("dx").cast(dec) * col("dx").cast(dec)).as("sxx"),
-        sum(col("dy").cast(dec) * col("dy").cast(dec)).as("syy"),
-        sum(col("dx").cast(dec) * col("dy").cast(dec)).as("sxy"))
+        sum(col("dx").cast(dec)).as("sdx"),
+        sum(col("dx").cast(dec) * col("dx").cast(dec)).as("sdx2"))
+    // dy = 2·midrank(y) = 2·cum − cnt + 1 — exact integer arithmetic,
+    // the same value byValue's avg_rank doubling produces
+    val ranked = graft.ops.Prefix
+      .runningSums(perY, Seq(col(yCol)), Seq(col("cnt") -> "__cum"))
+      .withColumn("dy", (col("__cum") * 2 - col("cnt") + 1).cast(dec))
+    val s = ranked
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("sdx")).as("sx"),
+        sum(col("cnt").cast(dec) * col("dy")).as("sy"),
+        sum(col("sdx2")).as("sxx"),
+        sum(col("cnt").cast(dec) * col("dy") * col("dy")).as("syy"),
+        sum(col("sdx") * col("dy")).as("sxy"))
       .head()
     val n = BigInt(s.getLong(0))
     def m(i: Int): BigInt = BigInt(s.getDecimal(i).toBigInteger)

@@ -71,10 +71,19 @@ object Dsir {
     * form: callers materialize `features(corpus, …, keep = Seq(src))`
     * once and slice the target out of it, so the corpus text is read and
     * tokenized exactly once no matter how many stages consume it. */
-  def logRatiosOf(targetFeats: DataFrame, rawFeats: DataFrame): DataFrame = {
+  def logRatiosOf(targetFeats: DataFrame, rawFeats: DataFrame): DataFrame =
+    logRatiosOfCounts(
+      targetFeats.select(col("bucket"), lit(1L).as("cnt")),
+      rawFeats.select(col("bucket"), lit(1L).as("cnt")))
+
+  /** As [[logRatiosOf]], over pre-counted (bucket, cnt) streams — the
+    * per-doc-histogram form: a caller that caches (id, bucket, cnt)
+    * instead of the exploded per-occurrence stream feeds the bucket
+    * totals here as Σcnt (identical integers). */
+  def logRatiosOfCounts(targetFeats: DataFrame, rawFeats: DataFrame): DataFrame = {
     val spark = targetFeats.sparkSession
     def bucketCounts(f: DataFrame, n: String) =
-      f.groupBy("bucket").agg(count(lit(1)).as(n))
+      f.groupBy("bucket").agg(sum(col("cnt")).as(n))
     val ct = bucketCounts(targetFeats, "ct")
     val cr = bucketCounts(rawFeats, "cr")
     val nt = ct.agg(sum("ct").as("nt"))

@@ -27,21 +27,50 @@ object Retrieval {
     *   3. per-(doc, term) scores decimal-sum per doc — one shuffle on
     *      doc_id, whose width is bounded by |query terms|.
     * Returns (idCol, score) for docs containing ≥1 query term. */
-  def bm25(docs: DataFrame, idCol: String, textCol: String,
-           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** ONE tokenize pass over the corpus: per doc (idCol, dl, query-term
+    * token list). Tokenization is the per-row-expensive stage (normalize
+    * regex + split), and the naive plan pays it once for the term
+    * explode and AGAIN for the corpus-wide N/avgdl aggregate (and a
+    * third time for a second scorer in the hybrid query) — checkpointing
+    * the tiny (id, dl, hits) projection caps it at one pass however many
+    * consumers score from it (guide §1.2 compute-once). The frame is
+    * id + a long + ≤|queryTerms| short strings per doc; the pinned RDD
+    * is released by the catalog-wide Leaks.sweep discipline. */
+  private[graft] def queryTermBase(docs: DataFrame, idCol: String,
+                                   textCol: String, queryTerms: Seq[String],
+                                   checkpoint: Boolean = true): DataFrame = {
     val toks = TextOps.tokens(TextOps.normalizeText(col(textCol)))
     val base = docs.select(col(idCol), toks.as("__toks"))
       .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
-        explode(col("__toks")).as("token"))
-    val hits = base.filter(col("token").isin(queryTerms: _*))
-    val tf = hits.groupBy(col(idCol), col("token"), col("dl"))
+        filter(col("__toks"), t => t.isin(queryTerms: _*)).as("__q"))
+    // checkpoint=false is the PlanSpec hook: the lazy plan shows the
+    // term filter below the aggregation, which the checkpoint truncates
+    if (checkpoint) base.localCheckpoint(false) else base
+  }
+
+  /** (doc, term, dl) term frequencies over query terms only, from a
+    * [[queryTermBase]] frame — identical rows to the former
+    * explode-then-filter form (filter-then-explode of the same array). */
+  private[graft] def queryTermTf(base: DataFrame, idCol: String): DataFrame =
+    base.select(col(idCol), col("dl"), explode(col("__q")).as("token"))
+      .groupBy(col(idCol), col("token"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = queryTermBase(docs, idCol, textCol, queryTerms)
+    bm25FromBase(base, idCol, k1, b)
+  }
+
+  /** BM25 scoring over a prepared [[queryTermBase]] frame (shared with
+    * the hybrid RRF query so the corpus tokenizes once). */
+  private[graft] def bm25FromBase(base: DataFrame, idCol: String,
+                                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = queryTermTf(base, idCol)
     val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // N and avgdl over the WHOLE corpus (docs without query terms count)
-    val corpus = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(TextOps.tokens(TextOps.normalizeText(col(textCol))))
-        .cast("long")).as("sum_dl"))
+    val corpus = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val scored = tf.join(broadcast(dfRel), Seq("token"))
       .crossJoin(broadcast(corpus))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
@@ -71,13 +100,18 @@ object Retrieval {
         .withColumn("gh", md5(col("gram"))).drop("gram")
     val evalGrams = grams(eval_).distinct()
     val trainGrams = grams(train, col(idCol))
-    val flagged = trainGrams.join(evalGrams, Seq("gh"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
-    trainGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
-      .join(flagged, Seq(idCol), "left")
-      .select(col(idCol), col("n_ngrams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_contaminated"), lit(0L)) /
+    // ONE pass over the train grams (guide §1.2): the former plan
+    // evaluated the expensive shingle explode TWICE (a semi-joined
+    // contamination count and a separate total count, joined back);
+    // a left join against the DISTINCT eval set preserves every train
+    // gram exactly once, so one aggregate yields both counts.
+    trainGrams
+      .join(evalGrams.withColumn("__hit", lit(1)), Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(col("__hit")).as("n_contaminated"))
+      .select(col(idCol), col("n_ngrams"), col("n_contaminated"),
+        (col("n_contaminated") /
           col("n_ngrams").cast("double")).as("contamination"))
   }
 

@@ -14,6 +14,17 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** RDD ids of the LogicalRDD leaves of a (checkpointed) DataFrame's
+    * analyzed plan — the exact pinned ids of a `localCheckpoint` result,
+    * read off the frame itself. Replaces getPersistentRDDs set-diff
+    * bracketing, which mis-attributed ids when two driver threads
+    * checkpointed concurrently (r14: the q_pipe_ep4 overlap unpersisted
+    * the other thread's live checkpoint block). */
+  def leafRddIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+
   /** Temp-function registration on a live session (the extensions route in
     * graft.expressions.GraftExtensions covers sessions built with
     * spark.sql.extensions). */

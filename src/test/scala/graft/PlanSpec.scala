@@ -185,10 +185,20 @@ class PlanSpec extends AnyFunSuite {
       s"redaction should not shuffle:\n${plan.take(1200)}")
   }
 
-  test("decontamination joins on the gram hash via semi join, never text") {
+  test("decontamination joins on the gram hash, never text") {
     val plan = SparkEntry.queries("q_x_decontam")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), "expected a semi join on gram hashes")
+    // r14: one LEFT join against the distinct eval grams replaced the
+    // semi join + second full gram pass (both counts off one aggregate);
+    // the join key must still be the md5 hash, never document text
+    // exclude topKRanked's bounded rank self-join (an inequality join
+    // over the 10-row TakeOrdered result — the one allowed nested loop)
+    val joinLines = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("Outer") &&
+        !l.contains("n_contaminated")).toSeq
+    assert(joinLines.nonEmpty, "expected a left join on gram hashes")
+    assert(joinLines.forall(l => l.contains("gh#")),
+      s"gram join must key on the md5 hash, got: ${joinLines.mkString(";")}")
     assert(!plan.contains("CartesianProduct"),
       "decontamination must stay an equi-join")
     // the top-10 is TakeOrdered + a rank self-join over the 10-row result
@@ -215,13 +225,24 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bm25 filters to query terms BEFORE the doc-term aggregation") {
-    val plan = SparkEntry.queries("q_x_bm25")(spark, sfDir)
+    // r14: the corpus tokenizes ONCE into a checkpointed (id, dl, hits)
+    // base, which truncates the final plan — assert the property on the
+    // UN-checkpointed base plan instead (checkpoint=false test hook):
+    // the array-level term filter sits below the tf aggregation, so the
+    // grouped relation stays |terms|-bounded per doc
+    import graft.text.Retrieval
+    import graft.queries.{PipeQueries, Fixtures}
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val base = Retrieval.queryTermBase(docs, "doc_id", "text",
+      PipeQueries.Bm25Terms, checkpoint = false)
+    val plan = Retrieval.bm25FromBase(base, "doc_id")
       .queryExecution.optimizedPlan.toString
     // plans print root-first, so "below the Aggregate" = later in the
-    // string: the IN-list term filter must appear after the first
-    // Aggregate node — the grouped relation is |terms|-bounded per doc
+    // string: the filter/IN-list over the token array must appear after
+    // the first Aggregate node
     val aggIdx = plan.indexOf("Aggregate")
-    val inIdx = math.max(plan.indexOf(" IN ("), plan.indexOf("INSET"))
+    val inIdx = Seq(plan.indexOf(" IN ("), plan.indexOf("INSET"),
+      plan.indexOf("filter(")).max
     assert(aggIdx >= 0 && inIdx > aggIdx,
       s"term filter not below the aggregate:\n${plan.take(1500)}")
   }

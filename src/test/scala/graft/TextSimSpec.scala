@@ -717,7 +717,6 @@ class TextSimSpec extends AnyFunSuite {
     // the same bucket of every hyperplane table by construction; a
     // future fixture with ORGANIC near-dups above ~0.9 would void that
     // argument, and this test is what catches it).
-    import graft.ops.Num.dsum12
     import graft.queries.Fixtures
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val e0 = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
@@ -725,19 +724,17 @@ class TextSimSpec extends AnyFunSuite {
       val u = Fixtures.assertNoAlias(e0, "vec_id").unionByName(
         e0.select(Fixtures.shifted(col("vec_id")).as("vec_id"),
           col("embedding")))
-      val n2 = u.select(col("vec_id"), explode(transform(col("embedding"),
-          x => x.cast("double") * x.cast("double"))).as("p"))
-        .groupBy("vec_id").agg(dsum12(col("p")).as("n2"))
+      // brute force via the codegen'd fast cosine: fast-vs-exact differs
+      // sub-ulp while every comparison here has ~0.5 of margin (planted
+      // duplicates score 1.0, organic pairs < 0.52, thresholds at 0.999
+      // and 0.9) — the decimal-exact explode form computed the same sets
+      // in ~100× the time (8M pairs × 64-dim posexplode on the test
+      // session) and was the single slowest test in the suite
       val brute = u.select(col("vec_id").as("id_a"), col("embedding").as("va"))
         .crossJoin(u.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), posexplode(zip_with(
-          col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double"))))
-        .groupBy("id_a", "id_b").agg(dsum12(col("col")).as("dot"))
-        .join(n2.select(col("vec_id").as("id_a"), col("n2").as("n2a")), Seq("id_a"))
-        .join(n2.select(col("vec_id").as("id_b"), col("n2").as("n2b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          (col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("cosine"))
+          Similarity.cosine(col("va"), col("vb")).as("cosine"))
       val bruteQual = brute.filter(col("cosine") >= 0.999)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val blocked = Similarity.cosineNearDupPairsExact(u, threshold = 0.999)

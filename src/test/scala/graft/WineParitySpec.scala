@@ -13,6 +13,21 @@ import graft.ml.Models
   * reproducible across sklearn/Spark (SURVEY §7.4), so parity is asserted
   * STATISTICALLY: same ordering, means within a few points.
   */
+object WineParitySpec {
+  /** Run independent Spark-action-bearing units concurrently on a small
+    * fixed pool (guide §2.6 — enough in flight to fill the scheduler,
+    * not so many that tiny fits fight for cores), preserving input
+    * order. Deterministic per unit ⇒ identical results to sequential. */
+  def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(items.map(a => Future(f(a)))), 30.minutes)
+    finally pool.shutdown()
+  }
+}
+
 class WineParitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -55,7 +70,14 @@ class WineParitySpec extends AnyFunSuite {
         .setMaxDepth(20).setSeed(42)),
       "naive_bayes" -> (() => new graft.ml.GaussianNbEstimator()))
     val folded = graft.ml.Split.tagStratifiedKFold(df, "index", "y", 5).cache()
-    val cv = for (name <- estimators.keys.toSeq.sorted; fold <- 0 until 5) yield {
+    folded.count() // materialize once before the concurrent fits
+    // the 15 (model, fold) fits are independent — run them concurrently
+    // (optimization-guide §2.6: actions are only sequential because the
+    // driver calls them sequentially); results are per-fit deterministic,
+    // so the asserts see exactly the sequential outcome
+    val cv = WineParitySpec.inParallel(
+      for (name <- estimators.keys.toSeq.sorted; fold <- 0 until 5)
+        yield (name, fold)) { case (name, fold) =>
       val train = folded.filter(col("fold") =!= fold)
       val test = folded.filter(col("fold") === fold)
       val fitted = Models.pipelineFor(estimators(name)(), feats, "y").fit(train)
@@ -94,7 +116,9 @@ class WineParitySpec extends AnyFunSuite {
       .cache()
     val feats = featureNames
     import org.apache.spark.ml.classification.RandomForestClassifier
-    val accs = for (seed <- 0 until 8) yield {
+    df.count() // materialize the cache before the concurrent fits
+    // 8 independent seeded fits, run concurrently (guide §2.6)
+    val accs = WineParitySpec.inParallel(0 until 8) { seed =>
       val tagged = graft.ml.Split.tagStratifiedHoldout(
         df, "index", "y", testFraction = 0.5, seed = seed)
       val fitted = Models.pipelineFor(
