@@ -344,7 +344,7 @@ object Boost {
     import scala.concurrent._
     import scala.concurrent.duration._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(numClasses, 4))
+      math.min(numClasses, 8))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try OvrModel(Await.result(
       Future.sequence((0 until numClasses).map { k =>

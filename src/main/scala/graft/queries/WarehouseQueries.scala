@@ -156,6 +156,15 @@ object WarehouseQueries {
     // bounded by per-order basket size, never corpus-quadratic; top-20
     // rules via TakeOrdered + broadcast rank.
     "q_j_assoc_rules" -> ((s, d) => {
+      // NOTE (r14, measured and kept AS-IS): the plan recomputes the lo
+      // scan+distinct 4x and the pair join+aggregate 2x (once per union
+      // branch — plans/r14/q_j_assoc_rules_before.txt), but pinning them
+      // measured WORSE at bench scale: lazy-checkpointing lo+pairs 2.51
+      // -> 3.50 s, pairs alone 2.51 -> 2.66 s (scratch best-of-5, same
+      // session) — the duplicated subtrees are cheap broadcast-hash
+      // chains while the checkpoint serializes a 600k-row materialization
+      // onto the critical path. At a scale where the pair aggregate
+      // dominates, revisit pinning `pairs` only.
       val lo = Tables(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
         .distinct()

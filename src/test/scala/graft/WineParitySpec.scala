@@ -21,7 +21,7 @@ object WineParitySpec {
   def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     import scala.concurrent._
     import scala.concurrent.duration._
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try Await.result(Future.sequence(items.map(a => Future(f(a)))), 30.minutes)
     finally pool.shutdown()
